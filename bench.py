@@ -1,0 +1,90 @@
+"""Benchmark: full fused SafeOpt iteration on a 1e6-point candidate grid.
+
+Measures the end-to-end hot path of one ``optimize()`` call — grid
+posterior for every GP, confidence-interval bookkeeping, safe /
+maximizer / expander classification (including the early-exit
+virtual-observation expander search), and query-point selection — as a
+single compiled program on one TPU chip.
+
+Baseline (BASELINE.md): the reference (befelix/SafeOpt on GPy/NumPy)
+publishes no numbers; the driver-set north star is a 1e6-point grid
+iteration in < 10 ms on one v5e chip. ``vs_baseline`` is the speedup
+against that 10 ms target (>1 = faster than target).
+
+Prints ONE JSON line.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from safeopt_tpu import linearly_spaced_combinations
+    from safeopt_tpu.algorithms.safe_opt_core import safeopt_step
+    from safeopt_tpu.gp import GPRegression, RBF
+
+    rng = np.random.default_rng(0)
+
+    # 2-D problem, 1000 x 1000 grid = 1e6 candidates, 2 GPs
+    # (objective + one safety constraint), ~50 observations.
+    n_obs = 50
+    grid = linearly_spaced_combinations([(-5.0, 5.0), (-5.0, 5.0)], 1000)
+
+    X = rng.uniform(-1.5, 1.5, size=(n_obs, 2))
+    Yf = (2.0 * np.exp(-0.5 * np.sum(X ** 2, axis=1))
+          + 0.05 * rng.normal(size=n_obs))[:, None]
+    Yg = (1.0 - 0.1 * np.sum(X ** 2, axis=1)
+          + 0.05 * rng.normal(size=n_obs))[:, None]
+
+    gp_f = GPRegression(X, Yf, RBF(2, variance=2.0, lengthscale=1.0),
+                        noise_var=0.05 ** 2, capacity=64)
+    gp_g = GPRegression(X, Yg, RBF(2, variance=1.0, lengthscale=1.5),
+                        noise_var=0.05 ** 2, capacity=64)
+
+    kernels = (gp_f.kern, gp_g.kern)
+    states = (gp_f.state, gp_g.state)
+    dtype = states[0].X.dtype
+
+    grid_dev = jnp.asarray(grid, dtype)
+    fmin = jnp.asarray([0.2, 0.5], dtype)
+    beta = jnp.asarray(2.0, dtype)
+    scaling = jnp.asarray([np.sqrt(2.0), 1.0], dtype)
+    threshold = jnp.asarray([0.0, 0.0], dtype)
+
+    def step():
+        return safeopt_step(kernels, states, grid_dev, fmin, beta, scaling,
+                            threshold, chunk=64)
+
+    # Warmup / compile.
+    result = step()
+    jax.block_until_ready(result)
+    assert bool(result.has_safe), "bench config must have safe points"
+
+    reps = 20
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        result = step()
+    jax.block_until_ready(result)
+    elapsed = (time.perf_counter() - t0) / reps
+
+    points_per_sec = grid.shape[0] / elapsed
+    target_ms = 10.0
+    print(json.dumps({
+        "metric": "safeopt_1e6_grid_iteration",
+        "value": round(elapsed * 1e3, 3),
+        "unit": "ms",
+        "vs_baseline": round(target_ms / (elapsed * 1e3), 3),
+        "points_per_sec": round(points_per_sec),
+        "num_gps": 2,
+        "n_obs": n_obs,
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

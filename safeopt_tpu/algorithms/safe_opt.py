@@ -1,0 +1,290 @@
+"""SafeOpt: exact safe Bayesian optimization on a discretized grid.
+
+TPU-native re-implementation of the reference algorithm class
+(/root/reference/safeopt/gp_opt.py:281-712). The public surface —
+constructor signature, ``optimize(context, ucb)``,
+``get_maximum(context)``, ``compute_sets``, ``compute_safe_set``,
+``get_new_query_point``, the ``S``/``M``/``G``/``Q`` attributes, context
+handling and the Lipschitz variant — matches the reference; all O(N)
+grid work runs in the fused jitted step (``safe_opt_core``).
+
+Host/device split: branchy small-scalar logic (the empty-safe-set
+error, context bookkeeping) stays host-side; the grid never leaves the
+device between posterior, classification and selection.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import default_dtype
+from .base import GaussianProcessOptimization
+from .safe_opt_core import full_expander_sets, safe_maximum, safeopt_step
+
+__all__ = ["SafeOpt"]
+
+
+class SafeOpt(GaussianProcessOptimization):
+    """Safe Bayesian optimization over a discrete candidate set.
+
+    Implements SafeOpt (Sui et al. 2015; Berkenkamp et al. 2016): keep a
+    set of certified-safe candidates, and at each step query the most
+    uncertain point among the potential maximizers and the potential
+    safe-set expanders.
+
+    Parameters
+    ----------
+    gp : GPRegression or list
+        Objective GP first, then one GP per safety constraint.
+    parameter_set : 2d-array (N, d)
+        Discrete candidate inputs (build with
+        ``linearly_spaced_combinations``).
+    fmin : float or list of floats
+        Safety threshold per GP (``-inf`` = unconstrained).
+    lipschitz : float or list of floats, optional
+        Lipschitz constants; when given, the expander test uses the
+        Lipschitz bound instead of virtual GP observations.
+    beta : float or callable
+    num_contexts : int
+        Trailing context dimensions appended to every candidate.
+    threshold : float or list of floats
+    scaling : 'auto' or list of floats
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> from safeopt_tpu import SafeOpt, linearly_spaced_combinations
+    >>> from safeopt_tpu.gp import GPRegression
+    >>> gp = GPRegression(np.array([[0.]]), np.array([[1.]]),
+    ...                   noise_var=0.01 ** 2)
+    >>> parameter_set = linearly_spaced_combinations([[-1., 1.]],
+    ...                                              num_samples=100)
+    >>> opt = SafeOpt(gp, parameter_set, fmin=[0.])
+    >>> next_parameters = opt.optimize()
+    >>> performance = np.array([[1.]])
+    >>> opt.add_new_data_point(next_parameters, performance)
+    """
+
+    def __init__(self, gp, parameter_set, fmin, lipschitz=None, beta=2,
+                 num_contexts=0, threshold=0, scaling="auto",
+                 expander_chunk: int = 64):
+        super().__init__(gp, fmin=fmin, beta=beta,
+                         num_contexts=num_contexts, threshold=threshold,
+                         scaling=scaling)
+
+        parameter_set = np.asarray(parameter_set, dtype=float)
+        if self.num_contexts > 0:
+            ctx = np.zeros((parameter_set.shape[0], self.num_contexts))
+            self.inputs = np.hstack((parameter_set, ctx))
+            self.parameter_set = self.inputs[:, : -self.num_contexts]
+        else:
+            self.inputs = parameter_set
+            self.parameter_set = parameter_set
+
+        self.lipschitz = lipschitz
+        if self.lipschitz is not None:
+            if not isinstance(self.lipschitz, list):
+                self.lipschitz = [self.lipschitz] * len(self.gps)
+            self.lipschitz = np.atleast_1d(
+                np.asarray(self.lipschitz, dtype=float).squeeze())
+        self._use_lipschitz = self.lipschitz is not None
+
+        N = self.inputs.shape[0]
+        num_gps = len(self.gps)
+        self.Q = np.zeros((N, 2 * num_gps))
+        self.S = np.zeros(N, dtype=bool)
+        self.M = np.zeros(N, dtype=bool)
+        self.G = np.zeros(N, dtype=bool)
+
+        self._expander_chunk = min(int(expander_chunk), N)
+        self._grid_device = None   # lazily shipped device copy of inputs
+        self._grid_dirty = True
+
+        from ..utils.observability import StatsRecorder
+        self.stats = StatsRecorder()
+
+    # -- properties mirrored from the reference ------------------------------
+
+    @property
+    def use_lipschitz(self) -> bool:
+        """Whether the expander test uses the Lipschitz constant."""
+        return self._use_lipschitz
+
+    @use_lipschitz.setter
+    def use_lipschitz(self, value: bool):
+        if value and self.lipschitz is None:
+            raise ValueError("Lipschitz constant not defined")
+        self._use_lipschitz = bool(value)
+
+    @property
+    def parameter_set(self):
+        """Discrete parameter candidates (context columns excluded)."""
+        return self._parameter_set
+
+    @parameter_set.setter
+    def parameter_set(self, parameter_set):
+        self._parameter_set = parameter_set
+        self.bounds = list(zip(np.min(parameter_set, axis=0),
+                               np.max(parameter_set, axis=0)))
+        self.num_samples = [len(np.unique(parameter_set[:, i]))
+                            for i in range(parameter_set.shape[1])]
+
+    @property
+    def context_fixed_inputs(self):
+        """Fixed-input pairs pinning the current context (for plotting)."""
+        n = self.gp.input_dim - 1
+        nc = self.num_contexts
+        if nc > 0:
+            contexts = self.inputs[0, -nc:]
+            return list(zip(range(n, n - nc, -1), contexts))
+
+    @property
+    def context(self):
+        """Current context columns of the candidate grid."""
+        if self.num_contexts:
+            return self.inputs[0, -self.num_contexts:]
+
+    @context.setter
+    def context(self, context):
+        if self.num_contexts:
+            if context is None:
+                raise ValueError("Need to provide value for context.")
+            self.inputs[:, -self.num_contexts:] = context
+            self._grid_dirty = True
+
+    # -- device plumbing ------------------------------------------------------
+
+    def _grid(self) -> jnp.ndarray:
+        if self._grid_dirty or self._grid_device is None:
+            self._grid_device = jnp.asarray(self.inputs,
+                                            dtype=default_dtype())
+            self._grid_dirty = False
+        return self._grid_device
+
+    def _model_args(self):
+        kernels = tuple(g.kern for g in self.gps)
+        states = tuple(g.state for g in self.gps)
+        return kernels, states
+
+    def _threshold_array(self) -> np.ndarray:
+        th = np.asarray(self.threshold, dtype=float)
+        return np.broadcast_to(th, (len(self.gps),))
+
+    def _run_step(self, context=None, ucb: bool = False):
+        """Execute the fused device step and mirror results host-side."""
+        self.context = context
+        kernels, states = self._model_args()
+        dtype = default_dtype()
+        result = safeopt_step(
+            kernels, states, self._grid(),
+            jnp.asarray(self.fmin, dtype),
+            jnp.asarray(self.beta(self.t), dtype),
+            jnp.asarray(self.scaling, dtype),
+            jnp.asarray(self._threshold_array(), dtype),
+            None if self.lipschitz is None else jnp.asarray(self.lipschitz,
+                                                            dtype),
+            ucb=ucb, use_lipschitz=self._use_lipschitz,
+            chunk=self._expander_chunk)
+        self.Q = np.asarray(result.Q)
+        self.S = np.asarray(result.S)
+        if not ucb:
+            self.M = np.asarray(result.M)
+            self.G = np.asarray(result.G)
+        return result
+
+    # -- reference API ---------------------------------------------------------
+
+    def update_confidence_intervals(self, context=None) -> None:
+        """Recompute Q (and S) from the current GP posteriors."""
+        self._run_step(context=context, ucb=True)
+
+    def compute_safe_set(self) -> None:
+        """Recompute only the safe set from current Q."""
+        self.S = np.all(self.Q[:, ::2] > self.fmin, axis=1)
+
+    def compute_sets(self, full_sets: bool = False) -> None:
+        """Recompute S, M and G from the current GP posteriors.
+
+        ``full_sets=True`` evaluates the expander predicate for every
+        safe point (plotting only), reference gp_opt.py:527-555.
+        """
+        kernels, states = self._model_args()
+        dtype = default_dtype()
+        if full_sets:
+            result = full_expander_sets(
+                kernels, states, self._grid(),
+                jnp.asarray(self.fmin, dtype),
+                jnp.asarray(self.beta(self.t), dtype),
+                jnp.asarray(self.scaling, dtype),
+                None if self.lipschitz is None else
+                jnp.asarray(self.lipschitz, dtype),
+                use_lipschitz=self._use_lipschitz,
+                chunk=self._expander_chunk)
+        else:
+            result = self._run_step(ucb=False)
+        self.Q = np.asarray(result.Q)
+        self.S = np.asarray(result.S)
+        self.M = np.asarray(result.M)
+        self.G = np.asarray(result.G)
+
+    def get_new_query_point(self, ucb: bool = False) -> np.ndarray:
+        """Next evaluation point from the current S/M/G/Q state."""
+        if not np.any(self.S):
+            raise EnvironmentError("There are no safe points to evaluate.")
+        if ucb:
+            value = np.where(self.S, self.Q[:, 1], -np.inf)
+        else:
+            l = self.Q[:, ::2]
+            u = self.Q[:, 1::2]
+            MG = self.M | self.G
+            value = np.where(MG, np.max((u - l) / self.scaling, axis=1),
+                             -np.inf)
+        x = self.inputs[int(np.argmax(value)), :]
+        if self.num_contexts:
+            return x[: -self.num_contexts]
+        return x
+
+    def optimize(self, context=None, ucb: bool = False) -> np.ndarray:
+        """Run one SafeOpt iteration and return the next query point."""
+        import time
+
+        from ..utils.observability import IterationStats
+
+        start = time.perf_counter()
+        result = self._run_step(context=context, ucb=ucb)
+        if not bool(result.has_safe):
+            raise EnvironmentError("There are no safe points to evaluate.")
+        idx = int(result.next_idx)
+        self.stats.record(IterationStats(
+            t=self.t, duration_s=time.perf_counter() - start,
+            safe_count=int(self.S.sum()),
+            maximizer_count=int(self.M.sum()),
+            expander_found=bool(self.G.any()),
+            next_index=idx, beta=float(self.beta(self.t))))
+        x = self.inputs[idx, :]
+        if self.num_contexts:
+            return x[: -self.num_contexts]
+        return x
+
+    def get_maximum(self, context=None):
+        """Current safe best estimate: argmax of the objective lower bound.
+
+        Returns ``(x, lower_bound)`` or ``None`` when no candidate is
+        certified safe (reference gp_opt.py:677-712).
+        """
+        self.context = context
+        kernels, states = self._model_args()
+        dtype = default_dtype()
+        idx, lb, has_safe, Q, S = safe_maximum(
+            kernels, states, self._grid(),
+            jnp.asarray(self.fmin, dtype),
+            jnp.asarray(self.beta(self.t), dtype))
+        self.Q = np.asarray(Q)
+        self.S = np.asarray(S)
+        if not bool(has_safe):
+            return None
+        x = self.inputs[int(idx), : -self.num_contexts or None]
+        return x, float(lb)

@@ -1,0 +1,362 @@
+"""Fused, jit-compiled core of the exact (grid) SafeOpt algorithm.
+
+This module is the TPU-native redesign of the reference hot path
+(/root/reference/safeopt/gp_opt.py:453-712). Everything that touches
+the O(N) candidate grid runs inside one compiled program per
+``optimize()`` call:
+
+1. **Confidence intervals** (reference ``update_confidence_intervals``,
+   gp_opt.py:453-476): per GP, posterior over the full grid as pure
+   matmuls on whitened factors — ``V = Linv @ K(X, grid)``,
+   ``mu = V^T w``, ``var = kdiag - colsum(V^2)`` — then
+   ``Q = mu -+ beta*sigma``. ``V`` is retained and reused by the
+   expander test.
+
+2. **Set classification** (gp_opt.py:478-536): safe set S (strict
+   ``l > fmin`` intersection over GPs), maximizers M, and the
+   candidate-expander filter (safe, not in M, scaled width above the
+   best maximizer width, width above ``threshold * beta``) as masked
+   reductions.
+
+3. **Expander search** (gp_opt.py:557-612): the reference adds a
+   *virtual observation* ``(x_cand, u_i)`` to constraint GP i, refits,
+   and re-predicts every unsafe grid point, sequentially per candidate
+   with early exit at the first success. Conditioning on one extra
+   observation is a closed-form rank-1 posterior update, so here the
+   test is evaluated for a whole *chunk* of candidates at once:
+
+       c    = Linv k(X, x_cand)            (one matvec per candidate)
+       dd   = sqrt(k(x,x) + noise - c.c)   (bordered Cholesky diagonal)
+       E    = (k(x_cand, Z) - c^T V) / dd  (cross-covariance update)
+       mu'  = mu(Z) + E * (u - c^T w)/dd
+       var' = var(Z) - E^2
+
+   Candidates are visited in the reference's sort order (descending
+   max width) chunk by chunk under ``lax.while_loop``, stopping at the
+   first chunk containing a success — identical decisions to the
+   sequential loop, zero per-point Python work.
+
+4. **Query selection** (gp_opt.py:617-649): masked argmax of the max
+   scaled width over M cup G (or of the objective upper bound over S
+   for the safe-UCB criterion).
+
+GPs may have heterogeneous kernels (e.g. RBF objective + Matern
+constraint), so the per-GP loop is unrolled at trace time; each GP's
+state is a fixed-shape pytree and the whole step compiles once per
+(grid size, capacities, num GPs) signature.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import with_matmul_precision
+from ..gp.kernels import Kernel
+from ..gp.regression import GPState
+
+__all__ = ["StepResult", "safeopt_step", "safe_maximum",
+           "full_expander_sets"]
+
+
+class StepResult(NamedTuple):
+    """Device-side outputs of one fused SafeOpt iteration."""
+
+    Q: jnp.ndarray          # (N, 2G) confidence intervals [l0,u0,l1,u1,..]
+    S: jnp.ndarray          # (N,) safe set
+    M: jnp.ndarray          # (N,) maximizers
+    G: jnp.ndarray          # (N,) expanders (<=1 True unless full_sets)
+    next_idx: jnp.ndarray   # () index of the next query point
+    has_safe: jnp.ndarray   # () bool — host raises if False
+
+
+# ---------------------------------------------------------------------------
+# confidence intervals
+# ---------------------------------------------------------------------------
+
+def _posterior_with_V(kernel: Kernel, state: GPState, grid: jnp.ndarray):
+    """Grid posterior returning (mu, var, V) with V = Linv @ K(X, grid)."""
+    cap = state.capacity
+    mask = (jnp.arange(cap) < state.count).astype(grid.dtype)
+    kvec = kernel.K(state.X, grid) * mask[:, None]        # (cap, N)
+    V = state.Linv @ kvec                                  # (cap, N)
+    mu = V.T @ state.w                                     # (N,)
+    var = jnp.maximum(kernel.Kdiag(grid) - jnp.sum(V * V, axis=0), 0.0)
+    return mu, var, V
+
+
+def _confidence_intervals(kernels, states, grid, beta):
+    """Q columns, plus per-GP (mu, sigma, V) retained for the expander."""
+    mus, sigmas, Vs, cols = [], [], [], []
+    for kern, st in zip(kernels, states):
+        mu, var, V = _posterior_with_V(kern, st, grid)
+        sigma = jnp.sqrt(var)
+        mus.append(mu)
+        sigmas.append(sigma)
+        Vs.append(V)
+        cols.append(mu - beta * sigma)
+        cols.append(mu + beta * sigma)
+    Q = jnp.stack(cols, axis=1)
+    return Q, mus, sigmas, Vs
+
+
+# ---------------------------------------------------------------------------
+# set classification
+# ---------------------------------------------------------------------------
+
+def _classify(Q, fmin, scaling, threshold, beta, valid):
+    """S, M, and the expander-candidate mask + sort order.
+
+    Mirrors gp_opt.py:478-552. ``threshold`` is a per-GP array (scalar
+    thresholds are broadcast by the caller). ``valid`` masks padding
+    rows appended for even sharding — they can be neither safe nor
+    unsafe-set members.
+    """
+    l = Q[:, 0::2]                                   # (N, G)
+    u = Q[:, 1::2]
+    widths = u - l
+
+    S = jnp.all(l > fmin, axis=1) & valid            # strict, like reference
+    has_safe = jnp.any(S)
+
+    l0, u0 = l[:, 0], u[:, 0]
+    best_l0 = jnp.max(jnp.where(S, l0, -jnp.inf))
+    M = S & (u0 >= best_l0)
+    max_var = jnp.max(jnp.where(M, u0 - l0, -jnp.inf)) / scaling[0]
+
+    scaled_width = jnp.max(widths / scaling, axis=1)
+    unscaled_width = jnp.max(widths, axis=1)
+    cand = (S & ~M
+            & (scaled_width > max_var)
+            & jnp.any(widths > threshold * beta, axis=1))
+
+    # Descending width; ties broken toward the larger grid index (what
+    # reversing an ascending argsort yields, gp_opt.py:542-552).
+    N = Q.shape[0]
+    key = jnp.where(cand, unscaled_width, -jnp.inf)
+    order = jnp.lexsort((-jnp.arange(N), -key))
+    num_cand = jnp.sum(cand)
+
+    # Empty safe set zeroes everything (gp_opt.py:504-507).
+    M = M & has_safe
+    cand = cand & has_safe
+    num_cand = jnp.where(has_safe, num_cand, 0)
+    return S, M, cand, order, num_cand, has_safe
+
+
+# ---------------------------------------------------------------------------
+# expander predicate (rank-1 virtual-observation update)
+# ---------------------------------------------------------------------------
+
+def _chunk_expander_predicate(kernels, states, grid, Q, unsafe, mus, sigmas,
+                              Vs, fmin, beta, lipschitz, grid_idx, valid):
+    """Expander predicate for a chunk of candidate grid indices.
+
+    GP variant (lipschitz None): closed-form rank-1 conditioning on the
+    virtual observation (x_cand, u_i) per constraint GP, checked against
+    every currently-unsafe grid point (gp_opt.py:577-606).
+    Lipschitz variant: ``u_i - L_i * mindist(x_cand, unsafe) >= fmin_i``
+    (gp_opt.py:558-576). ``unsafe`` excludes sharding-padding rows.
+    """
+    C = grid_idx.shape[0]
+    Xc = jnp.take(grid, grid_idx, axis=0)                 # (C, d)
+
+    num_constrained = 0
+    pred = jnp.ones((C,), dtype=bool)
+
+    if lipschitz is None:
+        for i, (kern, st) in enumerate(zip(kernels, states)):
+            fmin_i = fmin[i]
+            uc = jnp.take(Q[:, 2 * i + 1], grid_idx)       # (C,)
+            cap = st.capacity
+            mask = (jnp.arange(cap) < st.count).astype(grid.dtype)
+
+            kmat = kern.K(st.X, Xc) * mask[:, None]        # (cap, C)
+            Cm = st.Linv @ kmat                            # (cap, C)
+            dd2 = kern.Kdiag(Xc) + st.noise_var - jnp.sum(Cm * Cm, axis=0)
+            dd = jnp.sqrt(jnp.maximum(dd2, 1e-30))         # (C,)
+            gain = (uc - Cm.T @ st.w) / dd                 # (C,)
+
+            # Cross-covariance update for every grid point.
+            E = (kern.K(Xc, grid) - Cm.T @ Vs[i]) / dd[:, None]   # (C, N)
+            mu2 = mus[i][None, :] + E * gain[:, None]
+            var2 = jnp.maximum(sigmas[i][None, :] ** 2 - E * E, 0.0)
+            l2 = mu2 - beta * jnp.sqrt(var2)
+
+            pred_i = jnp.any(unsafe[None, :] & (l2 >= fmin_i), axis=1)
+            pred &= jnp.where(fmin_i == -jnp.inf, True, pred_i)
+            num_constrained += 1  # traced check below handles -inf
+    else:
+        # Pairwise distances candidate -> unsafe grid points.
+        d2 = (jnp.sum(Xc * Xc, axis=1)[:, None]
+              + jnp.sum(grid * grid, axis=1)[None, :]
+              - 2.0 * (Xc @ grid.T))
+        dist = jnp.sqrt(jnp.maximum(d2, 0.0))
+        mindist = jnp.min(jnp.where(unsafe[None, :], dist, jnp.inf), axis=1)
+        any_unsafe = jnp.any(unsafe)
+        for i in range(len(kernels)):
+            fmin_i = fmin[i]
+            uc = jnp.take(Q[:, 2 * i + 1], grid_idx)
+            pred_i = any_unsafe & (uc - lipschitz[i] * mindist >= fmin_i)
+            pred &= jnp.where(fmin_i == -jnp.inf, True, pred_i)
+
+    # A candidate with no constrained GP at all is never an expander
+    # (the reference's G_safe starts False and is only ever set inside
+    # the per-constraint loop, gp_opt.py:547,570,602).
+    pred &= jnp.any(fmin > -jnp.inf)
+    return pred & valid
+
+
+def _find_first_expander(kernels, states, grid, Q, unsafe, mus, sigmas, Vs,
+                         fmin, beta, lipschitz, order, num_cand, chunk):
+    """Walk candidates in sort order, chunk by chunk, early-exiting.
+
+    Replicates the sequential early-exit semantics of
+    gp_opt.py:557-612: the selected expander is the first candidate in
+    descending-width order whose predicate holds.
+    """
+    N = grid.shape[0]
+
+    def predicate_chunk(k):
+        offs = k * chunk + jnp.arange(chunk)
+        valid = offs < num_cand
+        gidx = jnp.take(order, jnp.minimum(offs, N - 1))
+        gidx = jnp.minimum(gidx, N - 1)
+        pred = _chunk_expander_predicate(
+            kernels, states, grid, Q, unsafe, mus, sigmas, Vs, fmin, beta,
+            lipschitz, gidx, valid)
+        return pred, gidx
+
+    def cond(carry):
+        k, found, _ = carry
+        return (~found) & (k * chunk < num_cand)
+
+    def body(carry):
+        k, _, winner = carry
+        pred, gidx = predicate_chunk(k)
+        found = jnp.any(pred)
+        first = jnp.argmax(pred)                 # first True in chunk order
+        winner = jnp.where(found, gidx[first], winner)
+        return k + 1, found, winner
+
+    _, found, winner = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0, jnp.int32), jnp.asarray(False),
+                     jnp.zeros((), order.dtype)))
+
+    G = jnp.zeros((N,), dtype=bool).at[winner].set(found)
+    return G
+
+
+# ---------------------------------------------------------------------------
+# query selection
+# ---------------------------------------------------------------------------
+
+def _select_query(Q, S, M, G, scaling, ucb: bool):
+    """Masked argmax (first max in grid order, like np.argmax)."""
+    if ucb:
+        value = jnp.where(S, Q[:, 1], -jnp.inf)
+    else:
+        l = Q[:, 0::2]
+        u = Q[:, 1::2]
+        width = jnp.max((u - l) / scaling, axis=1)
+        value = jnp.where(M | G, width, -jnp.inf)
+    return jnp.argmax(value)
+
+
+# ---------------------------------------------------------------------------
+# public fused steps
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("ucb", "use_lipschitz", "chunk"))
+@with_matmul_precision
+def safeopt_step(kernels: Tuple[Kernel, ...], states: Tuple[GPState, ...],
+                 grid: jnp.ndarray, fmin: jnp.ndarray, beta: jnp.ndarray,
+                 scaling: jnp.ndarray, threshold: jnp.ndarray,
+                 lipschitz=None, num_valid=None, *, ucb: bool = False,
+                 use_lipschitz: bool = False, chunk: int = 64) -> StepResult:
+    """One full SafeOpt iteration over the candidate grid.
+
+    Fuses the reference call stack optimize() -> update_confidence_
+    intervals -> compute_sets -> get_new_query_point (SURVEY.md
+    section 3.1) into a single compiled program. ``num_valid`` masks
+    padding rows appended for even multi-chip sharding.
+    """
+    N = grid.shape[0]
+    valid = (jnp.ones((N,), bool) if num_valid is None
+             else jnp.arange(N) < num_valid)
+    Q, mus, sigmas, Vs = _confidence_intervals(kernels, states, grid, beta)
+    S, M, cand, order, num_cand, has_safe = _classify(
+        Q, fmin, scaling, threshold, beta, valid)
+
+    if ucb:
+        G = jnp.zeros_like(S)
+        M = jnp.zeros_like(S)   # ucb never populates M/G (gp_opt.py:670-671)
+    else:
+        lip = lipschitz if use_lipschitz else None
+        G = _find_first_expander(kernels, states, grid, Q, valid & ~S, mus,
+                                 sigmas, Vs, fmin, beta, lip, order,
+                                 num_cand, chunk)
+
+    next_idx = _select_query(Q, S, M, G, scaling, ucb)
+    return StepResult(Q=Q, S=S, M=M, G=G, next_idx=next_idx,
+                      has_safe=has_safe)
+
+
+@jax.jit
+@with_matmul_precision
+def safe_maximum(kernels, states, grid, fmin, beta, num_valid=None):
+    """Best safe point by objective lower bound (gp_opt.py:677-712).
+
+    Returns (idx, lower_bound, has_safe); host strips context columns.
+    """
+    N = grid.shape[0]
+    valid = (jnp.ones((N,), bool) if num_valid is None
+             else jnp.arange(N) < num_valid)
+    Q, _, _, _ = _confidence_intervals(kernels, states, grid, beta)
+    l = Q[:, 0::2]
+    S = jnp.all(l > fmin, axis=1) & valid
+    value = jnp.where(S, Q[:, 0], -jnp.inf)
+    idx = jnp.argmax(value)
+    return idx, value[idx], jnp.any(S), Q, S
+
+
+@partial(jax.jit, static_argnames=("use_lipschitz", "chunk"))
+@with_matmul_precision
+def full_expander_sets(kernels, states, grid, fmin, beta, scaling,
+                       lipschitz=None, *, use_lipschitz: bool = False,
+                       chunk: int = 64):
+    """Plotting variant: evaluate the predicate for every safe point.
+
+    Reference ``compute_sets(full_sets=True)`` (gp_opt.py:527-555): the
+    candidate set is all of S (including M), unfiltered and unsorted.
+    """
+    Q, mus, sigmas, Vs = _confidence_intervals(kernels, states, grid, beta)
+    l = Q[:, 0::2]
+    u = Q[:, 1::2]
+    S = jnp.all(l > fmin, axis=1)
+    has_safe = jnp.any(S)
+    l0, u0 = l[:, 0], u[:, 0]
+    best_l0 = jnp.max(jnp.where(S, l0, -jnp.inf))
+    M = S & (u0 >= best_l0) & has_safe
+
+    N = grid.shape[0]
+    lip = lipschitz if use_lipschitz else None
+    num_chunks = -(-N // chunk)
+    unsafe = ~S
+
+    def body(k, G):
+        offs = k * chunk + jnp.arange(chunk)
+        valid = (offs < N) & jnp.take(S, jnp.minimum(offs, N - 1))
+        gidx = jnp.minimum(offs, N - 1)
+        pred = _chunk_expander_predicate(
+            kernels, states, grid, Q, unsafe, mus, sigmas, Vs, fmin, beta,
+            lip, gidx, valid)
+        return G.at[gidx].set(pred | G[gidx])
+
+    G = jax.lax.fori_loop(0, num_chunks, body,
+                          jnp.zeros((N,), dtype=bool))
+    return StepResult(Q=Q, S=S, M=M, G=G & has_safe,
+                      next_idx=jnp.asarray(0, jnp.int32), has_safe=has_safe)

@@ -1,0 +1,488 @@
+"""SafeOptSwarm: scalable safe Bayesian optimization via particle swarms.
+
+TPU-native re-implementation of the reference swarm variant
+(/root/reference/safeopt/gp_opt.py:715-1192, Duivenvoorden et al. 2017).
+No grid: the safe set is an explicit, growing set of points, and three
+constrained particle swarms (greedy / maximizers / expanders) search the
+continuous domain.
+
+TPU-first redesign of the hot path: the reference runs 3 swarms x 101
+Python-level fitness evaluations per ``optimize()`` (~300+ GPy posterior
+calls, SURVEY.md section 3.3). Here each swarm run — PSO dynamics plus
+the multi-GP posterior fitness — is ONE fused ``lax.scan`` program
+(``swarm_core.swarm_scan`` with the fitness inlined), so an entire
+``optimize()`` is three device dispatches plus small host glue.
+
+Semantics preserved from the reference:
+- particle fitness per swarm type (gp_opt.py:901-1013): greedy = lower
+  bound; maximizers/expanders = max scaled posterior std across GPs,
+  plus piecewise slack penalties (gp_opt.py:874-899); expander interest
+  = num_gps * prod_i N(slack_i; 0, 0.2) (prefers constraint
+  boundaries); maximizer interest = sigmoid(10 * (u - best_lower_bound)
+  / scaling[0]);
+- safe-set pruning never below swarm_size, with a warning
+  (gp_opt.py:1051-1062); empty safe set raises RuntimeError
+  (gp_opt.py:1045-1049);
+- safe-set growth: accept a swarm's best positions whose normalized
+  kernel covariance to all previously accepted points is <= 0.95,
+  sequential greedy dedup (gp_opt.py:1089-1114);
+- optimal particle velocities by bisecting the kernel correlation into
+  (0.94, 0.95), min across GPs, / sqrt(input_dim)
+  (gp_opt.py:818-872, stationary kernels only);
+- final maximizer-vs-expander choice by larger max scaled std with the
+  threshold / -inf zeroing (gp_opt.py:1161-1177).
+"""
+
+from __future__ import annotations
+
+import logging
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import default_dtype, with_matmul_precision
+from ..gp.regression import GPState, gp_predict
+from .base import GaussianProcessOptimization
+from .swarm import SwarmOptimization
+from .swarm_core import make_uniform_stream, swarm_scan
+
+__all__ = ["SafeOptSwarm"]
+
+_SWARM_TYPES = ("greedy", "maximizers", "expanders")
+
+
+# ---------------------------------------------------------------------------
+# fused fitness + swarm runs (pure, jitted)
+# ---------------------------------------------------------------------------
+
+def _penalty(slack: jnp.ndarray) -> jnp.ndarray:
+    """Piecewise slack penalty (reference gp_opt.py:874-899).
+
+    Nonzero only for violated constraints; steeper the deeper the
+    violation (x2 / x5 / x10 bands, then -300*slack^2).
+    """
+    pen = jnp.clip(slack, None, 0.0)
+    pen = jnp.where((slack < 0) & (slack > -0.001), pen * 2, pen)
+    pen = jnp.where((slack <= -0.001) & (slack > -0.1), pen * 5, pen)
+    pen = jnp.where((slack <= -0.1) & (slack > -1), pen * 10, pen)
+    pen = jnp.where(slack < -1, -300.0 * pen * pen, pen)
+    return pen
+
+
+def _norm_pdf(x: jnp.ndarray, scale: float) -> jnp.ndarray:
+    inv = 1.0 / (scale * jnp.sqrt(2.0 * jnp.pi))
+    return inv * jnp.exp(-0.5 * (x / scale) ** 2)
+
+
+def _particle_fitness(swarm_type: str, kernels, states, beta, fmin, scaling,
+                      best_lower_bound, particles):
+    """Multi-GP swarm fitness (reference gp_opt.py:901-1013), traceable.
+
+    Returns (values, safe_mask). ``swarm_type`` is trace-static.
+    """
+    num_gps = len(kernels)
+    mu, var = gp_predict(kernels[0], states[0], particles)
+    std = jnp.sqrt(var)
+    lower = mu - beta * std
+    upper = mu + beta * std
+
+    if swarm_type == "greedy":
+        return lower, jnp.ones(particles.shape[0], dtype=bool)
+
+    values = std / scaling[0]
+    if swarm_type == "expanders":
+        interest = float(num_gps) * jnp.ones_like(values)
+    elif swarm_type == "maximizers":
+        improvement = upper - best_lower_bound
+        interest = jax.nn.sigmoid(10.0 * improvement / scaling[0])
+    elif swarm_type == "safe_set":
+        interest = None
+    else:
+        raise AssertionError("Invalid swarm type")
+
+    safe = jnp.ones(particles.shape[0], dtype=bool)
+    total_penalty = jnp.zeros_like(values)
+
+    for i in range(num_gps):
+        if i > 0:
+            mu, var = gp_predict(kernels[i], states[i], particles)
+            std = jnp.sqrt(var)
+            lower = mu - beta * std
+            values = jnp.maximum(values, std / scaling[i])
+
+        constrained = fmin[i] > -jnp.inf
+        slack = lower - fmin[i]                      # +inf when -inf fmin
+        safe &= jnp.where(constrained, slack >= 0, True)
+
+        if swarm_type == "safe_set":
+            continue
+
+        slack_n = slack / scaling[i]
+        total_penalty += jnp.where(constrained, _penalty(slack_n), 0.0)
+        if swarm_type == "expanders":
+            interest = interest * jnp.where(constrained,
+                                            _norm_pdf(slack_n, 0.2), 1.0)
+
+    if swarm_type == "safe_set":
+        return lower, safe
+
+    return (values + total_penalty) * interest, safe
+
+
+@partial(jax.jit, static_argnames=("swarm_type",))
+@with_matmul_precision
+def _run_swarm_fused(kernels, states, particles, velocities, r_stream,
+                     velocity_scale, bounds, beta, fmin, scaling,
+                     best_lower_bound, *, swarm_type: str):
+    """One complete PSO run with the GP fitness fused into the scan."""
+    fitness = partial(_particle_fitness, swarm_type, kernels, states, beta,
+                      fmin, scaling, best_lower_bound)
+    return swarm_scan(fitness, particles, velocities, r_stream,
+                      velocity_scale, bounds)
+
+
+@jax.jit
+@with_matmul_precision
+def _safe_set_check(kernels, states, points, beta, fmin, scaling):
+    """Safety mask of the stored safe-set points (gp_opt.py:1045)."""
+    _, safe = _particle_fitness("safe_set", kernels, states, beta, fmin,
+                                scaling, jnp.asarray(0.0), points)
+    return safe
+
+
+@jax.jit
+@with_matmul_precision
+def _dedup_covariance(kernel, candidates, existing, scaling0):
+    """Normalized covariance of candidates vs [existing; candidates].
+
+    Used by the safe-set growth dedup (gp_opt.py:1092-1096).
+    """
+    stacked = jnp.concatenate([existing, candidates], axis=0)
+    return kernel.K(candidates, stacked) / (scaling0 ** 2)
+
+
+def _bisect_velocity_impl(kernel, scaling_i, d, dtype, num_iters=40):
+    """Per-dimension optimal velocity by kernel-correlation bisection.
+
+    Vectorized over dimensions (one ``kern.K(0, diag(mid))`` evaluates
+    every axis step at once); replicates the reference's termination
+    rule — stop when correlation lands in (0.94, 0.95) or the bracket
+    width drops below 1e-5, keeping the midpoint of the final iteration
+    (gp_opt.py:843-861).
+    """
+    zero = jnp.zeros((1, d), dtype=dtype)
+
+    def body(carry, _):
+        lower, upper, mid, done = carry
+        new_mid = (upper + lower) / 2.0
+        mid = jnp.where(done, mid, new_mid)
+        cov = kernel.K(zero, jnp.diag(mid))[0] / (scaling_i ** 2)
+        not_too_fast = cov < 0.95
+        enough = cov > 0.94
+        upper = jnp.where(~done & not_too_fast, mid, upper)
+        lower = jnp.where(~done & ~not_too_fast & enough, mid, lower)
+        done = done | (not_too_fast & enough) | (upper - lower < 1e-5)
+        return (lower, upper, mid, done), None
+
+    init = (jnp.zeros(d, dtype), jnp.full((d,), 1000.0, dtype),
+            jnp.zeros(d, dtype), jnp.zeros(d, bool))
+    carry, _ = jax.lax.scan(body, init, None, length=num_iters)
+    return carry[2]
+
+
+_bisect_velocity_jit = jax.jit(_bisect_velocity_impl,
+                               static_argnames=("d", "dtype", "num_iters"))
+
+
+@jax.jit
+@with_matmul_precision
+def _predict_stack(kernels, states, x):
+    """Per-GP posterior (mu, var) at a single point, stacked."""
+    mus, vars_ = [], []
+    for kern, st in zip(kernels, states):
+        mu, var = gp_predict(kern, st, x)
+        mus.append(mu[0])
+        vars_.append(var[0])
+    return jnp.stack(mus), jnp.stack(vars_)
+
+
+# ---------------------------------------------------------------------------
+# public class
+# ---------------------------------------------------------------------------
+
+class SafeOptSwarm(GaussianProcessOptimization):
+    """Safe Bayesian optimization for high-dimensional problems.
+
+    Swarm-based variant: instead of classifying a discrete grid, three
+    particle swarms search for the greedy estimate, potential
+    maximizers, and potential expanders; the safe set is an explicit
+    growing set of points. Supports neither Lipschitz constants nor
+    contexts (like the reference, gp_opt.py:717-719).
+
+    Parameters
+    ----------
+    gp : GPRegression or list
+        Objective first, then safety-constraint GPs.
+    fmin : float or list of floats
+        Safety thresholds (``-inf`` = unconstrained).
+    bounds : pair or list of pairs
+        Domain box (per dimension, or one pair broadcast to all).
+    beta : float or callable
+    scaling : 'auto' or list of floats
+    threshold : float or list of floats
+    swarm_size : int
+        Particles per swarm (default 20).
+    key : jax PRNG key, optional
+        Randomness source; the reference uses the unseeded global NumPy
+        RNG (SURVEY.md section 3.5), explicit keys are a new capability.
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> from safeopt_tpu import SafeOptSwarm
+    >>> from safeopt_tpu.gp import GPRegression
+    >>> gp = GPRegression(np.array([[0.]]), np.array([[1.]]),
+    ...                   noise_var=0.01 ** 2)
+    >>> opt = SafeOptSwarm(gp, fmin=[0.], bounds=[[-1., 1.]])
+    >>> next_parameters = opt.optimize()
+    >>> performance = np.array([[1.]])
+    >>> opt.add_new_data_point(next_parameters, performance)
+    """
+
+    def __init__(self, gp, fmin, bounds, beta=2, scaling="auto", threshold=0,
+                 swarm_size: int = 20, key: Optional[jax.Array] = None,
+                 max_iters: int = 100):
+        super().__init__(gp, fmin=fmin, beta=beta, num_contexts=0,
+                         threshold=threshold, scaling=scaling)
+
+        # Safe set: explicit points, seeded with the objective's data.
+        self.S = np.asarray(self.gp.X, dtype=float).copy()
+
+        self.swarm_size = int(swarm_size)
+        self.max_iters = int(max_iters)   # swarm iterations per run
+
+        if not isinstance(bounds, list):
+            self.bounds = [bounds] * self.S.shape[1]
+        else:
+            self.bounds = bounds
+        self._bounds_arr = np.asarray(self.bounds, dtype=float)
+
+        self.best_lower_bound = -np.inf
+        self.greedy_point = self.S[0, :].copy()
+
+        self._key = key if key is not None else jax.random.key(0)
+        self.optimal_velocities = self.optimize_particle_velocity()
+
+        # Public swarm objects for API parity / custom use; the hot path
+        # runs through the fused scan, not these.
+        self.swarms = {
+            swarm_type: SwarmOptimization(
+                self.swarm_size, self.optimal_velocities,
+                partial(self._compute_particle_fitness, swarm_type),
+                bounds=self.bounds)
+            for swarm_type in _SWARM_TYPES}
+
+    # -- plumbing -------------------------------------------------------------
+
+    def _split(self) -> jax.Array:
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def _model_args(self):
+        return (tuple(g.kern for g in self.gps),
+                tuple(g.state for g in self.gps))
+
+    def _common_scalars(self):
+        dtype = default_dtype()
+        return (jnp.asarray(self.beta(self.t), dtype),
+                jnp.asarray(self.fmin, dtype),
+                jnp.asarray(self.scaling, dtype))
+
+    # -- reference API ----------------------------------------------------------
+
+    def optimize_particle_velocity(self) -> np.ndarray:
+        """Optimal per-dimension particle velocities.
+
+        Bisects each kernel's correlation length so one velocity step
+        keeps ~0.94-0.95 correlation; min across GPs, scaled by
+        1/sqrt(input_dim) (reference gp_opt.py:818-872). Only sensible
+        for stationary kernels.
+        """
+        dtype = default_dtype()
+        d = self.gp.input_dim
+        per_gp = []
+        for g, scale in zip(self.gps, self.scaling):
+            vel = _bisect_velocity_jit(g.kern, jnp.asarray(scale, dtype),
+                                       d=d, dtype=dtype)
+            per_gp.append(np.asarray(vel))
+        velocities = np.min(np.stack(per_gp), axis=0)
+        return velocities / np.sqrt(d)
+
+    def _compute_particle_fitness(self, swarm_type: str, particles):
+        """Swarm fitness of a particle batch (traceable; public for the
+        ``swarms`` objects)."""
+        kernels, states = self._model_args()
+        beta, fmin, scaling = self._common_scalars()
+        return _particle_fitness(swarm_type, kernels, states, beta, fmin,
+                                 scaling,
+                                 jnp.asarray(self.best_lower_bound),
+                                 jnp.atleast_2d(particles))
+
+    def _validate_safe_set(self) -> None:
+        """Re-check stored safe points; prune model violations.
+
+        Never prunes below swarm_size (reference gp_opt.py:1051-1062);
+        raises RuntimeError when nothing is safe.
+        """
+        kernels, states = self._model_args()
+        beta, fmin, scaling = self._common_scalars()
+        safe = np.asarray(_safe_set_check(
+            kernels, states, jnp.asarray(self.S, default_dtype()), beta,
+            fmin, scaling))
+        num_safe = int(safe.sum())
+        if num_safe == 0:
+            raise RuntimeError("The safe set is empty.")
+        if num_safe >= self.swarm_size and num_safe != len(safe):
+            logging.warning(
+                "Warning: %d unsafe points removed. Model might be violated",
+                int(np.count_nonzero(~safe)))
+            self.S = self.S[safe]
+
+    def _init_particles(self, swarm_type: str) -> np.ndarray:
+        """Seed particles uniformly from the safe set.
+
+        The greedy swarm swaps its last three particles for the previous
+        greedy estimate, the most recent observation, and the best
+        observation (reference gp_opt.py:1064-1081).
+        """
+        safe_size = self.S.shape[0]
+        if swarm_type == "greedy":
+            n_random = self.swarm_size - 3
+        else:
+            n_random = self.swarm_size
+        random_id = np.asarray(jax.random.randint(
+            self._split(), (n_random,), 0, safe_size))
+        particles = self.S[random_id, :]
+        if swarm_type == "greedy":
+            X = np.asarray(self.gp.X, dtype=float)
+            Y = np.asarray(self.gp.Y, dtype=float)
+            best_sampled = int(np.argmax(Y[:, 0]))
+            particles = np.vstack((particles, self.greedy_point,
+                                   X[-1, :], X[best_sampled, :]))
+        return particles
+
+    def _grow_safe_set(self, best_positions: np.ndarray) -> None:
+        """Greedy covariance dedup growth (reference gp_opt.py:1089-1114).
+
+        A swarm best is added if its normalized covariance to every
+        previously accepted safe point (including those just added) is
+        at most 0.95.
+        """
+        dtype = default_dtype()
+        cov = np.asarray(_dedup_covariance(
+            self.gp.kern, jnp.asarray(best_positions, dtype),
+            jnp.asarray(self.S, dtype),
+            jnp.asarray(self.scaling[0], dtype)))
+
+        initial_safe = len(self.S)
+        m = cov.shape[1]
+        mask = np.zeros(m, dtype=bool)
+        mask[:initial_safe] = True
+
+        accepted = []
+        for j in range(best_positions.shape[0]):
+            if np.all(cov[j, mask] <= 0.95):
+                accepted.append(best_positions[j])
+                mask[initial_safe + j] = True
+        if accepted:
+            self.S = np.vstack([self.S] + [a[None, :] for a in accepted])
+        logging.debug("%d points were appended to the safeset",
+                      len(accepted))
+
+    def get_new_query_point(self, swarm_type: str):
+        """Run one swarm and return its best point.
+
+        Returns ``(x, max_best_value)`` for the greedy swarm, else
+        ``(x, per-GP posterior std at x)`` (reference
+        gp_opt.py:1015-1134).
+        """
+        if swarm_type not in _SWARM_TYPES:
+            raise ValueError(f"unknown swarm type: {swarm_type!r}")
+        dtype = default_dtype()
+        kernels, states = self._model_args()
+        beta, fmin, scaling = self._common_scalars()
+
+        self._validate_safe_set()
+        particles = jnp.asarray(self._init_particles(swarm_type), dtype)
+
+        u = jax.random.uniform(self._split(),
+                               (self.swarm_size, self.gp.input_dim),
+                               dtype=dtype)
+        velocities = u * jnp.asarray(self.optimal_velocities, dtype)
+        r_stream = make_uniform_stream(self._split(), self.max_iters,
+                                       self.swarm_size, self.gp.input_dim,
+                                       dtype)
+
+        result = _run_swarm_fused(
+            kernels, states, particles, velocities, r_stream,
+            jnp.asarray(self.optimal_velocities, dtype),
+            jnp.asarray(self._bounds_arr, dtype), beta, fmin, scaling,
+            jnp.asarray(self.best_lower_bound, dtype),
+            swarm_type=swarm_type)
+
+        global_best = np.asarray(result.global_best)
+
+        if swarm_type != "greedy":
+            self._grow_safe_set(np.asarray(result.best_positions))
+            mus, vars_ = _predict_stack(kernels, states,
+                                        jnp.asarray(global_best[None, :],
+                                                    dtype))
+            return global_best, np.sqrt(np.asarray(vars_))
+
+        # Greedy: move the running estimate if the swarm beat it.
+        mu, var = gp_predict(kernels[0], states[0],
+                             jnp.asarray(self.greedy_point[None, :], dtype))
+        lower_bound = float(mu[0] - beta * jnp.sqrt(var[0]))
+        best_val = float(jnp.max(result.best_values))
+        if lower_bound < best_val:
+            self.greedy_point = global_best.copy()
+        return global_best.copy(), best_val
+
+    def optimize(self, ucb: bool = False) -> np.ndarray:
+        """One SafeOptSwarm iteration: run the three swarms and pick the
+        maximizer or expander with the larger scaled uncertainty
+        (reference gp_opt.py:1136-1177)."""
+        self.greedy, self.best_lower_bound = self.get_new_query_point(
+            "greedy")
+
+        x_maxi, std_maxi = self.get_new_query_point("maximizers")
+        if ucb:
+            logging.info("Using ucb criterion.")
+            return x_maxi
+
+        x_exp, std_exp = self.get_new_query_point("expanders")
+
+        std_exp = std_exp.copy()
+        std_exp[(std_exp < self.threshold) | (self.fmin == -np.inf)] = 0
+        std_exp = np.max(std_exp / self.scaling)
+        std_maxi = float(std_maxi[0]) / self.scaling[0]
+
+        logging.info("The best maximizer has std. dev. %f", std_maxi)
+        logging.info("The best expander has std. dev. %f", std_exp)
+        logging.info("The greedy estimate of lower bound has value %f",
+                     self.best_lower_bound)
+
+        if std_maxi > std_exp:
+            return x_maxi
+        return x_exp
+
+    def get_maximum(self):
+        """Best *observed* point (argmax over the objective's data,
+        reference gp_opt.py:1179-1192)."""
+        Y = np.asarray(self.gp.Y, dtype=float)
+        X = np.asarray(self.gp.X, dtype=float)
+        maxi = int(np.argmax(Y[:, 0]))
+        return X[maxi, :], Y[maxi]

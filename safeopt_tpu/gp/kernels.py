@@ -1,0 +1,219 @@
+"""Covariance kernels for the TPU-native GP engine.
+
+Implements the closed set of kernel features the reference consumes from
+GPy (see /root/reference/safeopt/gp_opt.py:83,847,1093 and
+/root/reference/safeopt/utilities.py:89,135): stationary RBF and
+Matern-3/2 kernels with scalar or ARD lengthscales, ``active_dims``
+column slicing, product composition (``k1 * k2``), ``K(X, X2)``,
+``Kdiag(X)`` and ``copy()``.
+
+Kernels are registered JAX pytrees: hyperparameters (variance,
+lengthscale) are traced leaves, while structure (input_dim, ARD flag,
+active_dims) is static aux data — so a kernel can be passed straight
+into ``jit``-compiled functions and the compilation caches on structure
+only.
+
+Gram construction is expressed so XLA maps the inner product onto the
+MXU: scaled squared distances via ``|x|^2 + |z|^2 - 2 x.z^T`` where the
+cross term is a single matmul over the (batch, dim) operands.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import default_dtype
+
+__all__ = ["Kernel", "RBF", "Matern32", "Product"]
+
+
+def _as_active_dims(active_dims, input_dim: int) -> Tuple[int, ...]:
+    if active_dims is None:
+        return tuple(range(input_dim))
+    dims = tuple(int(d) for d in active_dims)
+    if len(dims) != input_dim:
+        raise ValueError(
+            "active_dims must have length input_dim "
+            f"({len(dims)} != {input_dim})"
+        )
+    return dims
+
+
+def _slice_active(X: jnp.ndarray, active_dims: Tuple[int, ...]) -> jnp.ndarray:
+    X = jnp.atleast_2d(X)
+    if X.shape[1] == len(active_dims) and active_dims == tuple(
+        range(len(active_dims))
+    ):
+        return X
+    return X[:, list(active_dims)]
+
+
+class Kernel:
+    """Base class for covariance kernels (GPy ``kern`` API surface)."""
+
+    #: number of input dimensions this kernel operates on
+    input_dim: int
+    #: columns of the full input this kernel reads
+    active_dims: Tuple[int, ...]
+
+    def K(self, X, X2=None) -> jnp.ndarray:
+        """Cross-covariance matrix k(X, X2); X2=None means k(X, X)."""
+        raise NotImplementedError
+
+    def Kdiag(self, X) -> jnp.ndarray:
+        """Diagonal of k(X, X) — the prior variance at each input."""
+        raise NotImplementedError
+
+    def copy(self) -> "Kernel":
+        leaves, treedef = jax.tree_util.tree_flatten(self)
+        return jax.tree_util.tree_unflatten(treedef, [l.copy() for l in leaves])
+
+    def __mul__(self, other: "Kernel") -> "Product":
+        return Product(self, other)
+
+
+class _Stationary(Kernel):
+    """Shared machinery for stationary kernels k(x, z) = f(r).
+
+    ``r^2`` is the lengthscale-scaled squared Euclidean distance over the
+    kernel's active dims.
+    """
+
+    def __init__(self, input_dim, variance=1.0, lengthscale=None, ARD=False,
+                 active_dims=None, name: Optional[str] = None):
+        self.input_dim = int(input_dim)
+        self.ARD = bool(ARD)
+        self.active_dims = _as_active_dims(active_dims, self.input_dim)
+        self.name = name if name is not None else type(self).__name__.lower()
+
+        dtype = default_dtype()
+        self.variance = jnp.asarray(variance, dtype=dtype).reshape(())
+        if lengthscale is None:
+            lengthscale = jnp.ones(self.input_dim) if self.ARD else 1.0
+        lengthscale = jnp.asarray(lengthscale, dtype=dtype)
+        if self.ARD:
+            self.lengthscale = jnp.broadcast_to(
+                lengthscale.reshape(-1), (self.input_dim,)
+            )
+        else:
+            self.lengthscale = lengthscale.reshape(())
+
+    # -- pytree protocol -------------------------------------------------
+    def tree_flatten(self):
+        children = (self.variance, self.lengthscale)
+        aux = (self.input_dim, self.ARD, self.active_dims, self.name)
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = object.__new__(cls)
+        obj.input_dim, obj.ARD, obj.active_dims, obj.name = aux
+        obj.variance, obj.lengthscale = children
+        return obj
+
+    # -- gram construction ------------------------------------------------
+    def _scaled(self, X: jnp.ndarray) -> jnp.ndarray:
+        return _slice_active(X, self.active_dims) / self.lengthscale
+
+    def _r2(self, X, X2=None) -> jnp.ndarray:
+        Xs = self._scaled(X)
+        Zs = Xs if X2 is None else self._scaled(X2)
+        # |x|^2 + |z|^2 - 2 x.z^T : the cross term is one MXU matmul.
+        xn = jnp.sum(Xs * Xs, axis=1, keepdims=True)
+        zn = jnp.sum(Zs * Zs, axis=1, keepdims=True)
+        cross = Xs @ Zs.T
+        r2 = xn + zn.T - 2.0 * cross
+        return jnp.maximum(r2, 0.0)
+
+    def _K_of_r2(self, r2: jnp.ndarray) -> jnp.ndarray:
+        raise NotImplementedError
+
+    def K(self, X, X2=None) -> jnp.ndarray:
+        return self._K_of_r2(self._r2(X, X2))
+
+    def Kdiag(self, X) -> jnp.ndarray:
+        X = jnp.atleast_2d(X)
+        return jnp.full((X.shape[0],), 1.0, dtype=self.variance.dtype) * (
+            self.variance
+        )
+
+    def __repr__(self):
+        return (
+            f"{type(self).__name__}(input_dim={self.input_dim}, "
+            f"variance={self.variance}, lengthscale={self.lengthscale}, "
+            f"ARD={self.ARD}, active_dims={self.active_dims})"
+        )
+
+
+@jax.tree_util.register_pytree_node_class
+class RBF(_Stationary):
+    """Squared-exponential kernel: k(r) = variance * exp(-r^2 / 2).
+
+    Matches GPy.kern.RBF as used by the reference notebooks and tests
+    (/root/reference/safeopt/tests/test_gps.py:18).
+    """
+
+    def _K_of_r2(self, r2: jnp.ndarray) -> jnp.ndarray:
+        return self.variance * jnp.exp(-0.5 * r2)
+
+
+@jax.tree_util.register_pytree_node_class
+class Matern32(_Stationary):
+    """Matern-3/2: k(r) = variance * (1 + sqrt(3) r) * exp(-sqrt(3) r).
+
+    Matches GPy.kern.Matern32 as used in
+    /root/reference/safeopt/tests/test_gps.py:19.
+    """
+
+    def _K_of_r2(self, r2: jnp.ndarray) -> jnp.ndarray:
+        r = jnp.sqrt(r2 + 1e-36)  # guarded sqrt: grad-safe at r = 0
+        s3r = jnp.sqrt(jnp.asarray(3.0, r.dtype)) * r
+        return self.variance * (1.0 + s3r) * jnp.exp(-s3r)
+
+
+@jax.tree_util.register_pytree_node_class
+class Product(Kernel):
+    """Product composition ``k1 * k2``.
+
+    The reference uses this for contextual optimization:
+    ``RBF(active_dims=[0]) * RBF(active_dims=[1])``
+    (context_example notebook; see SURVEY.md section 2.9).
+    """
+
+    def __init__(self, k1: Kernel, k2: Kernel):
+        self.k1 = k1
+        self.k2 = k2
+
+    @property
+    def parts(self) -> Sequence[Kernel]:
+        return (self.k1, self.k2)
+
+    @property
+    def input_dim(self) -> int:
+        # Effective dimensionality: one past the largest active dim used.
+        return max(max(self.k1.active_dims), max(self.k2.active_dims)) + 1
+
+    @property
+    def active_dims(self) -> Tuple[int, ...]:
+        return tuple(sorted(set(self.k1.active_dims) | set(self.k2.active_dims)))
+
+    def tree_flatten(self):
+        return (self.k1, self.k2), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = object.__new__(cls)
+        obj.k1, obj.k2 = children
+        return obj
+
+    def K(self, X, X2=None) -> jnp.ndarray:
+        return self.k1.K(X, X2) * self.k2.K(X, X2)
+
+    def Kdiag(self, X) -> jnp.ndarray:
+        return self.k1.Kdiag(X) * self.k2.Kdiag(X)
+
+    def __repr__(self):
+        return f"Product({self.k1!r}, {self.k2!r})"

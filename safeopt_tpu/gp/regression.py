@@ -1,0 +1,353 @@
+"""TPU-native exact GP regression (the in-repo replacement for GPy).
+
+The reference delegates all GP inference to the external GPy library;
+the exact API surface it consumes is small and closed (SURVEY.md
+section 2.8): ``GPRegression(X, Y, kernel, noise_var)``, ``gp.X``,
+``gp.Y``, ``gp.set_XY``, ``gp.predict_noiseless``, ``gp._raw_predict``,
+``gp.input_dim`` and ``gp.kern``. This module implements that contract
+as a pure-functional JAX core plus a thin stateful wrapper.
+
+Design (TPU-first):
+
+* **Padded fixed-shape buffers.** Training data lives in ``(capacity,
+  d)`` buffers with an active-row ``count``, so every jitted function
+  compiles once per capacity instead of once per data size.
+
+* **Masked Cholesky.** The factor ``L`` is the Cholesky of a matrix that
+  equals ``K + sigma^2 I`` on the active block and the identity on
+  padded rows/cols. Because that matrix is block diagonal, the factor of
+  the padded system is exactly ``blockdiag(chol(K_active + s2 I), I)`` —
+  padded rows never contaminate active results as long as query
+  cross-covariances are masked to zero on padded rows.
+
+* **Append is a Cholesky *extension*, not a refit.** The reference's
+  data access pattern is append-one / remove-last via ``set_XY``
+  (/root/reference/safeopt/gp_opt.py:227-228,267) which triggers a full
+  GPy refit each time. Appending a row to a Cholesky factor is the exact
+  O(n^2) bordering step ``c = L^{-1} k_new``, ``dd = sqrt(k(x,x) + s2 -
+  c.c)``; removing the last row is a truncation. No downdates are ever
+  needed, so the fast path is exact (it is literally the last step of a
+  blocked factorization).
+
+* **Explicit triangular inverse.** ``Linv = L^{-1}`` is maintained so
+  large-batch posteriors are pure matmuls (MXU): ``V = Linv @ Kxz``,
+  ``mu = V^T w``, ``var = kdiag - sum(V^2)`` with whitened targets
+  ``w = L^{-1} y``. ``Linv`` also has an exact O(n^2) bordering update.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import default_dtype, with_matmul_precision
+from .kernels import Kernel, RBF
+
+__all__ = ["GPState", "GPRegression", "gp_fit", "gp_append", "gp_pop",
+           "gp_predict", "predict_from_factors"]
+
+
+class GPState(NamedTuple):
+    """Immutable GP posterior state (a pytree of fixed-shape arrays)."""
+
+    X: jnp.ndarray        # (cap, d) padded training inputs
+    Y: jnp.ndarray        # (cap, 1) padded training targets
+    count: jnp.ndarray    # () int32 — number of active rows
+    L: jnp.ndarray        # (cap, cap) masked lower Cholesky factor
+    Linv: jnp.ndarray     # (cap, cap) lower-triangular inverse of L
+    w: jnp.ndarray        # (cap,) whitened targets L^{-1} y (masked)
+    noise_var: jnp.ndarray  # () observation noise variance
+
+    @property
+    def capacity(self) -> int:
+        return self.X.shape[0]
+
+    @property
+    def input_dim(self) -> int:
+        return self.X.shape[1]
+
+
+def _row_mask(cap: int, count: jnp.ndarray, dtype) -> jnp.ndarray:
+    return (jnp.arange(cap) < count).astype(dtype)
+
+
+@jax.jit
+@with_matmul_precision
+def gp_fit(kernel: Kernel, X: jnp.ndarray, Y: jnp.ndarray,
+           count: jnp.ndarray, noise_var: jnp.ndarray) -> GPState:
+    """Factorize from scratch over padded buffers.
+
+    ``X`` is (cap, d), ``Y`` is (cap, 1); rows at index >= count are
+    ignored (the masked gram is the identity there).
+    """
+    cap = X.shape[0]
+    dtype = X.dtype
+    mask = _row_mask(cap, count, dtype)
+    mm = mask[:, None] * mask[None, :]
+
+    K = kernel.K(X)
+    eye = jnp.eye(cap, dtype=dtype)
+    # Active block: K + noise * I. Padded block: identity.
+    Kmasked = K * mm + eye * jnp.where(
+        jnp.arange(cap) < count, noise_var, 1.0
+    )
+    L = jnp.linalg.cholesky(Kmasked)
+    Linv = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+    w = Linv @ (Y[:, 0] * mask)
+    return GPState(X=X, Y=Y, count=jnp.asarray(count, jnp.int32), L=L,
+                   Linv=Linv, w=w, noise_var=jnp.asarray(noise_var, dtype))
+
+
+@jax.jit
+@with_matmul_precision
+def gp_append(kernel: Kernel, state: GPState, x: jnp.ndarray,
+              y: jnp.ndarray) -> GPState:
+    """Exact O(n^2) Cholesky bordering append of one observation.
+
+    Equivalent to the reference's append-via-``set_XY`` full refit
+    (/root/reference/safeopt/gp_opt.py:227-228) but without the O(n^3)
+    recompute.
+    """
+    cap = state.capacity
+    dtype = state.X.dtype
+    pos = state.count
+    mask = _row_mask(cap, pos, dtype)
+    x = jnp.asarray(x, dtype).reshape(1, -1)
+    y = jnp.asarray(y, dtype).reshape(())
+
+    kvec = kernel.K(state.X, x)[:, 0] * mask          # (cap,)
+    kxx = kernel.Kdiag(x)[0]
+    c = state.Linv @ kvec                              # (cap,) zero beyond pos
+    dd2 = kxx + state.noise_var - jnp.dot(c, c)
+    dd = jnp.sqrt(jnp.maximum(dd2, 1e-30))
+
+    onehot = (jnp.arange(cap) == pos).astype(dtype)
+
+    # New factor row: [c^T, dd] at index pos (c is zero at/after pos).
+    Lrow = c + dd * onehot
+    L = jax.lax.dynamic_update_index_in_dim(state.L, Lrow, pos, axis=0)
+
+    # Bordered inverse: row = -(c^T Linv)/dd, diagonal 1/dd.
+    linv_row = -(state.Linv.T @ c) / dd + (1.0 / dd) * onehot
+    Linv = jax.lax.dynamic_update_index_in_dim(state.Linv, linv_row, pos,
+                                               axis=0)
+
+    mu_x = jnp.dot(c, state.w)
+    w = state.w + ((y - mu_x) / dd) * onehot
+
+    X = jax.lax.dynamic_update_index_in_dim(state.X, x[0], pos, axis=0)
+    Y = jax.lax.dynamic_update_index_in_dim(
+        state.Y, y.reshape(1), pos, axis=0)
+    return GPState(X=X, Y=Y, count=pos + 1, L=L, Linv=Linv, w=w,
+                   noise_var=state.noise_var)
+
+
+@jax.jit
+def gp_pop(state: GPState) -> GPState:
+    """Remove the last observation (exact: truncate the factor).
+
+    The leading principal block of a Cholesky factor is the factor of
+    the leading principal submatrix, so removal is a count decrement
+    plus restoring the vacated row to the padded-identity convention.
+    """
+    cap = state.capacity
+    dtype = state.X.dtype
+    pos = state.count - 1
+    onehot_row = (jnp.arange(cap) == pos).astype(dtype)
+    L = jax.lax.dynamic_update_index_in_dim(state.L, onehot_row, pos, axis=0)
+    Linv = jax.lax.dynamic_update_index_in_dim(state.Linv, onehot_row, pos,
+                                               axis=0)
+    w = state.w * (1.0 - onehot_row)
+    return GPState(X=state.X, Y=state.Y, count=pos, L=L, Linv=Linv, w=w,
+                   noise_var=state.noise_var)
+
+
+def predict_from_factors(kernel: Kernel, X: jnp.ndarray, mask: jnp.ndarray,
+                         Linv: jnp.ndarray, w: jnp.ndarray,
+                         Xq: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Latent posterior (mu, var) at ``Xq`` given whitened factors.
+
+    Pure matmul formulation (MXU path):
+    ``V = Linv @ (k(X, Xq) * mask)``; ``mu = V^T w``;
+    ``var = kdiag(Xq) - sum_i V_i^2``. Matches GPy's
+    ``predict_noiseless`` semantics: no likelihood noise in ``var``
+    (/root/reference/safeopt/gp_opt.py:469).
+    """
+    kvec = kernel.K(X, Xq) * mask[:, None]            # (cap, m)
+    V = Linv @ kvec                                    # (cap, m)
+    mu = V.T @ w                                       # (m,)
+    var = kernel.Kdiag(Xq) - jnp.sum(V * V, axis=0)
+    return mu, jnp.maximum(var, 0.0)
+
+
+@jax.jit
+@with_matmul_precision
+def gp_predict(kernel: Kernel, state: GPState,
+               Xq: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Latent (noiseless) posterior mean/variance at query batch Xq."""
+    mask = _row_mask(state.capacity, state.count, state.X.dtype)
+    return predict_from_factors(kernel, state.X, mask, state.Linv, state.w,
+                                jnp.atleast_2d(Xq))
+
+
+def _next_capacity(n: int, minimum: int = 64) -> int:
+    cap = minimum
+    while cap < n:
+        cap *= 2
+    return cap
+
+
+class GPRegression:
+    """Exact GP regression with a GPy-compatible surface.
+
+    Drop-in for the subset of ``GPy.models.GPRegression`` the reference
+    consumes (SURVEY.md section 2.8). The heavy math lives in the jitted
+    pure functions above; this wrapper only manages capacity growth and
+    fast-path detection for ``set_XY``.
+
+    Parameters
+    ----------
+    X : array (n, d)
+        Initial training inputs.
+    Y : array (n, 1)
+        Initial training targets.
+    kernel : Kernel, optional
+        Covariance kernel; defaults to ``RBF(d)`` like GPy.
+    noise_var : float
+        Gaussian observation noise variance (GPy default 1.0).
+    capacity : int, optional
+        Initial padded buffer size; grows automatically (x2 refit).
+    """
+
+    def __init__(self, X, Y, kernel: Optional[Kernel] = None,
+                 noise_var: float = 1.0, capacity: Optional[int] = None):
+        X = np.atleast_2d(np.asarray(X, dtype=np.float64))
+        Y = np.asarray(Y, dtype=np.float64).reshape(X.shape[0], -1)
+        if Y.shape[1] != 1:
+            raise ValueError("Y must have exactly one column")
+        if kernel is None:
+            kernel = RBF(X.shape[1])
+        self.kern = kernel
+        n, d = X.shape
+        cap = capacity if capacity is not None else _next_capacity(n + 1)
+
+        # Float64 island: the O(n^2) factor state is maintained on the
+        # host in f64 (see host_math.py) — an f32 Cholesky of an
+        # ill-conditioned gram silently destroys the posterior. The
+        # device state is a cast copy feeding the O(N) grid work.
+        from .host_math import HostFactor
+        self._host = HostFactor(self.kern, cap, d, float(noise_var))
+        self._host.set_data(X, Y)
+        self._state = self._device_state()
+
+    # -- construction helpers --------------------------------------------
+    def _device_state(self) -> GPState:
+        dtype = default_dtype()
+        h = self._host
+        return GPState(
+            X=jnp.asarray(h.X, dtype),
+            Y=jnp.asarray(h.Y, dtype),
+            count=jnp.asarray(h.count, jnp.int32),
+            L=jnp.asarray(h.L, dtype),
+            Linv=jnp.asarray(h.Linv, dtype),
+            w=jnp.asarray(h.w, dtype),
+            noise_var=jnp.asarray(h.noise_var, dtype),
+        )
+
+    # -- GPy API surface ---------------------------------------------------
+    @property
+    def state(self) -> GPState:
+        return self._state
+
+    @property
+    def num_data(self) -> int:
+        return int(self._state.count)
+
+    @property
+    def X(self) -> jnp.ndarray:
+        return self._state.X[: self.num_data]
+
+    @property
+    def Y(self) -> jnp.ndarray:
+        return self._state.Y[: self.num_data]
+
+    @property
+    def input_dim(self) -> int:
+        return self._state.input_dim
+
+    @property
+    def noise_var(self) -> float:
+        return float(self._state.noise_var)
+
+    def predict_noiseless(self, Xq) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Latent posterior (mean, var), each (m, 1) — GPy convention."""
+        mu, var = gp_predict(self.kern, self._state, jnp.atleast_2d(Xq))
+        return mu[:, None], var[:, None]
+
+    # GPy's plotting path uses the private ``_raw_predict``
+    # (/root/reference/safeopt/utilities.py:203,282,355) which for a
+    # Gaussian likelihood equals predict_noiseless.
+    _raw_predict = predict_noiseless
+
+    def append_data(self, x, y) -> None:
+        """Fast path: append one observation (O(n^2) exact update)."""
+        if self.num_data + 1 > self._host.capacity:
+            self._host = self._host.grown(self._host.capacity * 2)
+        self._host.append(np.asarray(x, dtype=np.float64), float(y))
+        self._state = self._device_state()
+
+    def pop_data(self) -> None:
+        """Fast path: drop the most recent observation (exact)."""
+        self._host.pop()
+        self._state = self._device_state()
+
+    def set_XY(self, X, Y) -> None:
+        """Replace the training set (GPy semantics).
+
+        Detects the reference's two access patterns — append rows
+        (/root/reference/safeopt/gp_opt.py:227-228) and drop-last
+        (/root/reference/safeopt/gp_opt.py:267,275) — and uses the exact
+        incremental updates; anything else is a full refit.
+        """
+        X = np.atleast_2d(np.asarray(X, dtype=np.float64))
+        Y = np.asarray(Y, dtype=np.float64).reshape(X.shape[0], -1)
+        n_old = self.num_data
+        n_new = X.shape[0]
+
+        if X.shape[1] == self.input_dim:
+            X_cur = self._host.X[:n_old]
+            Y_cur = self._host.Y[:n_old]
+            if (n_new > n_old and n_new - n_old <= 4
+                    and np.array_equal(X[:n_old], X_cur)
+                    and np.array_equal(Y[:n_old], Y_cur)):
+                for i in range(n_old, n_new):
+                    self.append_data(X[i], Y[i, 0])
+                return
+            if (n_new < n_old and n_old - n_new <= 4
+                    and np.array_equal(X, X_cur[:n_new])
+                    and np.array_equal(Y, Y_cur[:n_new])):
+                for _ in range(n_old - n_new):
+                    self.pop_data()
+                return
+
+        cap = self._host.capacity
+        if n_new + 1 > cap or X.shape[1] != self.input_dim:
+            cap = _next_capacity(n_new + 1)
+            from .host_math import HostFactor
+            self._host = HostFactor(self.kern, cap, X.shape[1],
+                                    self.noise_var)
+        self._host.set_data(X, Y)
+        self._state = self._device_state()
+
+    def refit(self) -> None:
+        """Refactorize from scratch (numerical hygiene escape hatch)."""
+        self._host.set_data(self._host.X[: self.num_data].copy(),
+                            self._host.Y[: self.num_data].copy())
+        self._state = self._device_state()
+
+    def __repr__(self):
+        return (f"GPRegression(n={self.num_data}, d={self.input_dim}, "
+                f"noise_var={self.noise_var}, kern={self.kern!r})")

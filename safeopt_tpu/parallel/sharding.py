@@ -1,0 +1,106 @@
+"""Multi-chip scaling for the candidate grid and GP factors.
+
+The reference is a single-process NumPy program with no distributed
+story (SURVEY.md section 2.10); scaling out is new capability designed
+the JAX way: pick a mesh, annotate shardings, let the XLA SPMD
+partitioner insert the collectives.
+
+Two parallel axes map naturally onto hardware:
+
+* ``data`` — the candidate-grid rows (and swarm particles). All O(N)
+  work in ``safeopt_step`` is pointwise or row-parallel; the only
+  cross-shard traffic is the handful of global reductions (safe-set
+  max, maximizer width, argmax selection) and the expander search's
+  candidate gathers, all of which ride ICI as tiny collectives.
+
+* ``model`` — the GP factor rows (training points). The posterior
+  ``V = Linv @ K(X, grid)`` contracts over this axis, so sharding
+  ``X``/``L``/``Linv``/``w`` row-wise turns the grid posterior into a
+  2-D SPMD matmul with one ``psum`` over ``model`` for the
+  mean/variance reductions.
+
+Because the fused step (``safe_opt_core.safeopt_step``) is pure jnp
+with static shapes, the SAME program runs single-chip or partitioned:
+callers only place the operands with ``NamedSharding`` and jit does the
+rest. Numerics are unchanged (contractions keep their within-shard
+order; global max/argmax are order-independent).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..gp.regression import GPState
+
+__all__ = ["make_mesh", "shard_grid", "shard_state", "replicate",
+           "GRID_AXIS", "MODEL_AXIS"]
+
+GRID_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(n_devices: Optional[int] = None, model_parallel: int = 1,
+              devices=None) -> Mesh:
+    """Build a (data, model) mesh over the available devices.
+
+    ``model_parallel`` chips shard the GP-factor contraction; the rest
+    shard the candidate grid. Defaults to pure grid data-parallelism.
+    """
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    if n % model_parallel != 0:
+        raise ValueError(
+            f"{n} devices not divisible by model_parallel={model_parallel}")
+    arr = np.asarray(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(arr, (GRID_AXIS, MODEL_AXIS))
+
+
+def shard_grid(grid, mesh: Mesh):
+    """Place the candidate grid row-sharded over the data axis.
+
+    Rows are padded to a multiple of the axis size so every shard is
+    equal (XLA requires even partitions for best layouts); padding rows
+    replicate the last row, which is harmless for SafeOpt because
+    padded duplicates can never win an argmax over their originals
+    (ties resolve to the first/lowest index).
+    """
+    grid = np.asarray(grid)
+    n_shards = mesh.shape[GRID_AXIS]
+    pad = (-grid.shape[0]) % n_shards
+    if pad:
+        grid = np.concatenate([grid, np.repeat(grid[-1:], pad, axis=0)])
+    return jax.device_put(grid, NamedSharding(mesh, P(GRID_AXIS, None))), pad
+
+
+def shard_state(state: GPState, mesh: Mesh) -> GPState:
+    """Shard a GP factor over the model axis (rows of X/Y/L/Linv/w).
+
+    The padded-capacity design guarantees the row count is a power of
+    two, so it divides the mesh axis evenly.
+    """
+    row = NamedSharding(mesh, P(MODEL_AXIS))
+    mat = NamedSharding(mesh, P(MODEL_AXIS, None))
+    rep = NamedSharding(mesh, P())
+    return GPState(
+        X=jax.device_put(state.X, mat),
+        Y=jax.device_put(state.Y, mat),
+        count=jax.device_put(state.count, rep),
+        L=jax.device_put(state.L, mat),
+        Linv=jax.device_put(state.Linv, mat),
+        w=jax.device_put(state.w, row),
+        noise_var=jax.device_put(state.noise_var, rep),
+    )
+
+
+def replicate(tree, mesh: Mesh):
+    """Fully replicate a pytree over the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), tree)

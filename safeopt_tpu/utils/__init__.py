@@ -1,0 +1,8 @@
+"""Grid construction, GP-prior sampling, and plotting utilities."""
+
+from .grids import linearly_spaced_combinations
+from .plotting import plot_2d_gp, plot_3d_gp, plot_contour_gp
+from .sampling import sample_gp_function
+
+__all__ = ["linearly_spaced_combinations", "sample_gp_function",
+           "plot_2d_gp", "plot_3d_gp", "plot_contour_gp"]

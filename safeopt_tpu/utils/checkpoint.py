@@ -1,0 +1,161 @@
+"""Checkpoint / resume for optimization runs.
+
+The reference has no persistence at all (SURVEY.md section 5): an
+experiment "resumes" by manually reconstructing objects from data.
+Here the complete algorithm state — per-GP data, the global
+observation store, safe-set points, swarm estimates, and the PRNG key
+— serializes to a single ``.npz`` file, and ``load`` rebuilds a
+functionally identical optimizer (Cholesky factors are recomputed
+rather than stored: they are derived state, and refactorizing n <= a
+few hundred points is microseconds).
+
+Kernels are reconstructed from their pytree spec (class name + static
+aux + parameter arrays).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Union
+
+import jax
+import numpy as np
+
+from ..gp import kernels as _kernels
+from ..gp.regression import GPRegression
+
+__all__ = ["save", "load"]
+
+_KERNEL_CLASSES = {"RBF": _kernels.RBF, "Matern32": _kernels.Matern32}
+
+
+def _kernel_spec(kern, arrays, prefix):
+    """Flatten a kernel into (json-able spec, named arrays)."""
+    if isinstance(kern, _kernels.Product):
+        s1 = _kernel_spec(kern.k1, arrays, prefix + "p1_")
+        s2 = _kernel_spec(kern.k2, arrays, prefix + "p2_")
+        return {"type": "Product", "k1": s1, "k2": s2}
+    name = type(kern).__name__
+    if name not in _KERNEL_CLASSES:
+        raise TypeError(f"cannot checkpoint kernel type {name}")
+    arrays[prefix + "variance"] = np.asarray(kern.variance)
+    arrays[prefix + "lengthscale"] = np.asarray(kern.lengthscale)
+    return {"type": name, "input_dim": kern.input_dim, "ARD": kern.ARD,
+            "active_dims": list(kern.active_dims), "prefix": prefix}
+
+
+def _kernel_from_spec(spec, arrays):
+    if spec["type"] == "Product":
+        return _kernels.Product(_kernel_from_spec(spec["k1"], arrays),
+                                _kernel_from_spec(spec["k2"], arrays))
+    cls = _KERNEL_CLASSES[spec["type"]]
+    p = spec["prefix"]
+    return cls(spec["input_dim"], variance=arrays[p + "variance"],
+               lengthscale=arrays[p + "lengthscale"], ARD=spec["ARD"],
+               active_dims=spec["active_dims"])
+
+
+def save(opt, path: str) -> None:
+    """Serialize a SafeOpt / SafeOptSwarm run to ``path`` (.npz)."""
+    from ..algorithms.safe_opt import SafeOpt
+    from ..algorithms.swarm_opt import SafeOptSwarm
+
+    arrays = {}
+    meta = {
+        "algo": type(opt).__name__,
+        "fmin": np.asarray(opt.fmin).tolist(),
+        "beta": opt.beta(opt.t),   # constant betas roundtrip; callables
+                                   # must be re-supplied at load time
+        "threshold": np.asarray(opt.threshold).tolist(),
+        "scaling": np.asarray(opt.scaling).tolist(),
+        "num_contexts": opt.num_contexts,
+        "noise_vars": [g.noise_var for g in opt.gps],
+        "kernels": [],
+    }
+    for i, g in enumerate(opt.gps):
+        meta["kernels"].append(_kernel_spec(g.kern, arrays, f"k{i}_"))
+        arrays[f"gp{i}_X"] = np.asarray(g.X)
+        arrays[f"gp{i}_Y"] = np.asarray(g.Y)
+    arrays["x"] = opt.x
+    arrays["y"] = opt.y
+
+    if isinstance(opt, SafeOpt):
+        arrays["parameter_set"] = np.asarray(opt.parameter_set)
+        meta["lipschitz"] = (None if opt.lipschitz is None
+                             else np.asarray(opt.lipschitz).tolist())
+        if opt.num_contexts:
+            arrays["context"] = np.asarray(opt.context)
+    elif isinstance(opt, SafeOptSwarm):
+        arrays["safe_set"] = opt.S
+        arrays["greedy_point"] = opt.greedy_point
+        meta["best_lower_bound"] = float(opt.best_lower_bound)
+        meta["bounds"] = np.asarray(opt.bounds, dtype=float).tolist()
+        meta["swarm_size"] = opt.swarm_size
+        arrays["key"] = np.asarray(jax.random.key_data(opt._key))
+    else:
+        raise TypeError(f"cannot checkpoint {type(opt).__name__}")
+
+    np.savez(path, __meta__=json.dumps(meta), **arrays)
+
+
+def load(path: str, beta=None):
+    """Rebuild an optimizer from a checkpoint.
+
+    ``beta`` overrides the stored constant (required if the original
+    run used a callable beta schedule).
+    """
+    from ..algorithms.safe_opt import SafeOpt
+    from ..algorithms.swarm_opt import SafeOptSwarm
+
+    data = np.load(path, allow_pickle=False)
+    meta = json.loads(str(data["__meta__"]))
+    arrays = {k: data[k] for k in data.files if k != "__meta__"}
+
+    # Build GPs on an identical placeholder row first: NaN-routed
+    # observations give GPs differing data, which the constructors'
+    # global-store init rejects (reference gp_opt.py:119-130). The
+    # true data goes in via set_XY after construction.
+    d = arrays["gp0_X"].shape[1]
+    placeholder = np.zeros((1, d))
+    gps = []
+    for i, kspec in enumerate(meta["kernels"]):
+        kern = _kernel_from_spec(kspec, arrays)
+        gps.append(GPRegression(placeholder, np.zeros((1, 1)), kern,
+                                noise_var=meta["noise_vars"][i]))
+    gp_arg = gps if len(gps) > 1 else gps[0]
+    beta = beta if beta is not None else meta["beta"]
+    threshold = meta["threshold"]
+    if isinstance(threshold, list) and len(threshold) == 1:
+        threshold = threshold[0]
+
+    if meta["algo"] == "SafeOpt":
+        opt = SafeOpt(gp_arg, arrays["parameter_set"], fmin=list(meta["fmin"]),
+                      lipschitz=meta["lipschitz"], beta=beta,
+                      num_contexts=meta["num_contexts"],
+                      threshold=threshold, scaling=meta["scaling"])
+        for i, g in enumerate(opt.gps):
+            g.set_XY(arrays[f"gp{i}_X"], arrays[f"gp{i}_Y"])
+        if meta["num_contexts"]:
+            opt.context = arrays["context"]
+    elif meta["algo"] == "SafeOptSwarm":
+        import jax.random as jrandom
+
+        opt = SafeOptSwarm(gp_arg, fmin=list(meta["fmin"]),
+                           bounds=[tuple(b) for b in meta["bounds"]],
+                           beta=beta, threshold=threshold,
+                           scaling=meta["scaling"],
+                           swarm_size=meta["swarm_size"])
+        for i, g in enumerate(opt.gps):
+            g.set_XY(arrays[f"gp{i}_X"], arrays[f"gp{i}_Y"])
+        opt.S = arrays["safe_set"]
+        opt.greedy_point = arrays["greedy_point"]
+        opt.best_lower_bound = float(meta["best_lower_bound"])
+        opt._key = jrandom.wrap_key_data(arrays["key"])
+    else:
+        raise ValueError(f"unknown algorithm {meta['algo']!r}")
+
+    # Restore the global store exactly (it can contain NaN-masked rows
+    # that are not present in any single GP).
+    opt._x = arrays["x"]
+    opt._y = arrays["y"]
+    return opt

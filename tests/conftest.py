@@ -1,0 +1,33 @@
+"""Test configuration.
+
+Tests run on a virtual 8-device CPU mesh (the real TPU is reserved for
+bench runs) with float64 enabled so results can be compared against the
+in-repo NumPy float64 reference implementation (the stand-in for the
+reference's GPy/float64 numerics).
+"""
+
+import os
+
+# Force CPU: the ambient environment pins JAX_PLATFORMS=axon (the real
+# TPU tunnel), which must not leak into the test suite — TPU matmuls
+# run at f32 precision regardless of x64 mode, and every compile goes
+# through the tunnel.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    flags += " --xla_force_host_platform_device_count=8"
+# XLA:CPU fast-math approximates sqrt/exp inside fused kernels (~1e-8
+# error even in f64), which breaks golden comparisons against the NumPy
+# reference. Accuracy over speed for tests.
+if "xla_cpu_enable_fast_math" not in flags:
+    flags += " --xla_cpu_enable_fast_math=false"
+os.environ["XLA_FLAGS"] = flags.strip()
+
+import jax  # noqa: E402
+
+# The env var alone is not enough: pytest plugins (flax/chex entry
+# points) import jax before this conftest runs, snapshotting
+# JAX_PLATFORMS=axon into the config. Overriding the config value works
+# as long as no backend has been initialized yet.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)

@@ -1,0 +1,375 @@
+"""Independent NumPy float64 reference implementation for golden tests.
+
+GPy is not installable in this environment, so parity targets are
+recorded from this minimal, from-scratch NumPy implementation of the
+exact same math the reference delegates to GPy (full refit per data
+change, scipy Cholesky solves). It deliberately shares no code with
+``safeopt_tpu`` — gram matrices via scipy ``cdist``, posteriors via
+``cho_solve`` — so agreement is meaningful.
+
+Semantics mirrored from the reference:
+- predict_noiseless: latent posterior, no likelihood noise in var
+  (/root/reference/safeopt/gp_opt.py:469)
+- set_XY-style full refit on every data change
+  (/root/reference/safeopt/gp_opt.py:227-228)
+"""
+
+import numpy as np
+import scipy.linalg
+from scipy.spatial.distance import cdist
+
+
+class RefRBF:
+    def __init__(self, input_dim, variance=1.0, lengthscale=1.0, ARD=False,
+                 active_dims=None):
+        self.input_dim = input_dim
+        self.variance = float(variance)
+        self.lengthscale = np.atleast_1d(np.asarray(lengthscale, dtype=float))
+        self.ARD = ARD
+        self.active_dims = (np.arange(input_dim) if active_dims is None
+                            else np.asarray(active_dims))
+
+    def _sliced(self, X):
+        return np.atleast_2d(X)[:, self.active_dims] / self.lengthscale
+
+    def K(self, X, X2=None):
+        Xs = self._sliced(X)
+        Zs = Xs if X2 is None else self._sliced(X2)
+        r2 = cdist(Xs, Zs, metric="sqeuclidean")
+        return self.variance * np.exp(-0.5 * r2)
+
+    def Kdiag(self, X):
+        return self.variance * np.ones(np.atleast_2d(X).shape[0])
+
+    def __mul__(self, other):
+        return RefProduct(self, other)
+
+
+class RefMatern32(RefRBF):
+    def K(self, X, X2=None):
+        Xs = self._sliced(X)
+        Zs = Xs if X2 is None else self._sliced(X2)
+        r = cdist(Xs, Zs, metric="euclidean")
+        s3r = np.sqrt(3.0) * r
+        return self.variance * (1.0 + s3r) * np.exp(-s3r)
+
+
+class RefProduct:
+    def __init__(self, k1, k2):
+        self.k1, self.k2 = k1, k2
+
+    @property
+    def input_dim(self):
+        return int(max(self.k1.active_dims.max(),
+                       self.k2.active_dims.max())) + 1
+
+    def K(self, X, X2=None):
+        return self.k1.K(X, X2) * self.k2.K(X, X2)
+
+    def Kdiag(self, X):
+        return self.k1.Kdiag(X) * self.k2.Kdiag(X)
+
+
+class RefGP:
+    """Full-refit exact GP regression (what GPy does under set_XY)."""
+
+    def __init__(self, X, Y, kernel=None, noise_var=1.0):
+        self.X = np.atleast_2d(np.asarray(X, dtype=float)).copy()
+        self.Y = np.asarray(Y, dtype=float).reshape(self.X.shape[0], 1).copy()
+        self.kern = kernel if kernel is not None else RefRBF(self.X.shape[1])
+        self.noise_var = float(noise_var)
+        self._refit()
+
+    @property
+    def input_dim(self):
+        return self.X.shape[1]
+
+    def _refit(self):
+        n = self.X.shape[0]
+        K = self.kern.K(self.X) + self.noise_var * np.eye(n)
+        self._cho = scipy.linalg.cho_factor(K, lower=True)
+        self._alpha = scipy.linalg.cho_solve(self._cho, self.Y)
+
+    def set_XY(self, X, Y):
+        self.X = np.atleast_2d(np.asarray(X, dtype=float)).copy()
+        self.Y = np.asarray(Y, dtype=float).reshape(self.X.shape[0], 1).copy()
+        self._refit()
+
+    def predict_noiseless(self, Xq):
+        Xq = np.atleast_2d(Xq)
+        kvec = self.kern.K(self.X, Xq)               # (n, m)
+        mu = kvec.T @ self._alpha                    # (m, 1)
+        v = scipy.linalg.solve_triangular(self._cho[0], kvec, lower=True)
+        var = self.kern.Kdiag(Xq) - np.sum(v * v, axis=0)
+        return mu, np.maximum(var, 0.0)[:, None]
+
+    _raw_predict = predict_noiseless
+
+
+class RefSafeOpt:
+    """Sequential-loop float64 SafeOpt, mirroring the reference algorithm
+    (/root/reference/safeopt/gp_opt.py:281-712) on top of RefGP.
+
+    Used to record golden trajectories that the fused TPU implementation
+    must reproduce.
+    """
+
+    def __init__(self, gps, parameter_set, fmin, lipschitz=None, beta=2,
+                 num_contexts=0, threshold=0, scaling="auto"):
+        self.gps = gps if isinstance(gps, list) else [gps]
+        self.gp = self.gps[0]
+        self.fmin = np.atleast_1d(np.asarray(
+            fmin if isinstance(fmin, list) else [fmin] * len(self.gps),
+            dtype=float).squeeze())
+        self.beta = beta if callable(beta) else (lambda t: beta)
+        if isinstance(scaling, str):
+            self.scaling = np.sqrt(np.array(
+                [gp.kern.Kdiag(np.zeros((1, gp.input_dim)))[0]
+                 for gp in self.gps]))
+        else:
+            self.scaling = np.asarray(scaling, dtype=float)
+        self.threshold = threshold
+        self.num_contexts = num_contexts
+
+        parameter_set = np.asarray(parameter_set, dtype=float)
+        if num_contexts > 0:
+            self.inputs = np.hstack(
+                (parameter_set, np.zeros((parameter_set.shape[0],
+                                          num_contexts))))
+        else:
+            self.inputs = parameter_set
+
+        self.lipschitz = lipschitz
+        if self.lipschitz is not None:
+            if not isinstance(self.lipschitz, list):
+                self.lipschitz = [self.lipschitz] * len(self.gps)
+            self.lipschitz = np.atleast_1d(
+                np.asarray(self.lipschitz, dtype=float).squeeze())
+        self.use_lipschitz = self.lipschitz is not None
+
+        N = self.inputs.shape[0]
+        self.Q = np.zeros((N, 2 * len(self.gps)))
+        self.S = np.zeros(N, dtype=bool)
+        self.M = np.zeros(N, dtype=bool)
+        self.G = np.zeros(N, dtype=bool)
+        self._t = self.gp.X.shape[0]
+
+    @property
+    def t(self):
+        return self._t
+
+    def add_new_data_point(self, x, y, context=None):
+        x = np.atleast_2d(np.asarray(x, dtype=float))
+        y = np.atleast_2d(np.asarray(y, dtype=float))
+        if self.num_contexts:
+            ctx = np.atleast_2d(np.asarray(context, dtype=float))
+            x = np.hstack([x, np.broadcast_to(ctx, (x.shape[0],
+                                                    ctx.shape[1]))])
+        for i, gp in enumerate(self.gps):
+            keep = ~np.isnan(y[:, i])
+            if np.any(keep):
+                gp.set_XY(np.vstack([gp.X, x[keep]]),
+                          np.vstack([gp.Y, y[keep][:, [i]]]))
+        self._t += x.shape[0]
+
+    def set_context(self, context):
+        if self.num_contexts:
+            self.inputs[:, -self.num_contexts:] = context
+
+    def update_confidence_intervals(self, context=None):
+        beta = self.beta(self.t)
+        self.set_context(context)
+        for i, gp in enumerate(self.gps):
+            mu, var = gp.predict_noiseless(self.inputs)
+            sd = np.sqrt(var.squeeze())
+            self.Q[:, 2 * i] = mu.squeeze() - beta * sd
+            self.Q[:, 2 * i + 1] = mu.squeeze() + beta * sd
+
+    def compute_safe_set(self):
+        self.S[:] = np.all(self.Q[:, ::2] > self.fmin, axis=1)
+
+    def compute_sets(self, full_sets=False):
+        beta = self.beta(self.t)
+        self.compute_safe_set()
+        l0 = self.Q[:, 0]
+        u0 = self.Q[:, 1]
+        self.M[:] = False
+        self.G[:] = False
+        if not np.any(self.S):
+            return
+        self.M[self.S] = u0[self.S] >= np.max(l0[self.S])
+        max_var = np.max(u0[self.M] - l0[self.M]) / self.scaling[0]
+
+        l = self.Q[:, ::2]
+        u = self.Q[:, 1::2]
+        if full_sets:
+            s = self.S.copy()
+        else:
+            s = np.logical_and(self.S, ~self.M)
+            s[s] = np.max((u[s] - l[s]) / self.scaling, axis=1) > max_var
+            s[s] = np.any(u[s] - l[s] > self.threshold * beta, axis=1)
+            if not np.any(s):
+                return
+
+        cand_idx = np.flatnonzero(s)
+        widths = np.max(u[cand_idx] - l[cand_idx], axis=1)
+        if full_sets:
+            order = range(len(cand_idx))
+        else:
+            order = np.argsort(widths, kind="stable")[::-1]
+
+        G_safe = np.zeros(len(cand_idx), dtype=bool)
+        for index in order:
+            gi = cand_idx[index]
+            if self.use_lipschitz:
+                dvec = np.linalg.norm(
+                    self.inputs[~self.S] - self.inputs[gi], axis=1)
+                for i in range(len(self.gps)):
+                    if self.fmin[i] == -np.inf:
+                        continue
+                    G_safe[index] = np.any(
+                        u[gi, i] - self.lipschitz[i] * dvec >= self.fmin[i])
+                    if not G_safe[index]:
+                        break
+            else:
+                for i, gp in enumerate(self.gps):
+                    if self.fmin[i] == -np.inf:
+                        continue
+                    X_saved, Y_saved = gp.X.copy(), gp.Y.copy()
+                    gp.set_XY(np.vstack([gp.X, self.inputs[[gi]]]),
+                              np.vstack([gp.Y, [[u[gi, i]]]]))
+                    mu2, var2 = gp.predict_noiseless(self.inputs[~self.S])
+                    gp.set_XY(X_saved, Y_saved)
+                    l2 = mu2.squeeze() - beta * np.sqrt(var2.squeeze())
+                    G_safe[index] = np.any(np.atleast_1d(l2) >= self.fmin[i])
+                    if not G_safe[index]:
+                        break
+            if G_safe[index] and not full_sets:
+                break
+        self.G[cand_idx] = G_safe
+
+    def get_new_query_point(self, ucb=False):
+        if not np.any(self.S):
+            raise EnvironmentError("There are no safe points to evaluate.")
+        if ucb:
+            value = np.where(self.S, self.Q[:, 1], -np.inf)
+        else:
+            l = self.Q[:, ::2]
+            u = self.Q[:, 1::2]
+            MG = self.M | self.G
+            value = np.where(MG, np.max((u - l) / self.scaling, axis=1),
+                             -np.inf)
+        x = self.inputs[np.argmax(value)]
+        return x[: -self.num_contexts] if self.num_contexts else x
+
+    def optimize(self, context=None, ucb=False):
+        self.update_confidence_intervals(context=context)
+        if ucb:
+            self.compute_safe_set()
+        else:
+            self.compute_sets()
+        return self.get_new_query_point(ucb=ucb)
+
+    def get_maximum(self, context=None):
+        self.update_confidence_intervals(context=context)
+        self.compute_safe_set()
+        if not np.any(self.S):
+            return None
+        value = np.where(self.S, self.Q[:, 0], -np.inf)
+        idx = np.argmax(value)
+        return (self.inputs[idx, : -self.num_contexts or None],
+                value[idx])
+
+
+def ref_penalty(slack):
+    """Piecewise slack penalty (reference gp_opt.py:874-899)."""
+    slack = np.atleast_1d(np.asarray(slack, dtype=float))
+    pen = np.clip(slack, None, 0.0)
+    pen[(slack < 0) & (slack > -0.001)] *= 2
+    pen[(slack <= -0.001) & (slack > -0.1)] *= 5
+    pen[(slack <= -0.1) & (slack > -1)] *= 10
+    deep = slack < -1
+    pen[deep] = -300 * pen[deep] ** 2
+    return pen
+
+
+def ref_particle_fitness(swarm_type, gps, beta, fmin, scaling,
+                         best_lower_bound, particles):
+    """NumPy mirror of the reference swarm fitness (gp_opt.py:901-1013)."""
+    from scipy.special import expit
+    from scipy.stats import norm
+
+    mu, var = gps[0].predict_noiseless(particles)
+    mu = mu.squeeze()
+    sd = np.sqrt(var.squeeze())
+    lower = np.atleast_1d(mu - beta * sd)
+    upper = np.atleast_1d(mu + beta * sd)
+
+    if swarm_type == "greedy":
+        return lower, np.ones(len(lower), dtype=bool)
+
+    values = sd / scaling[0]
+    if swarm_type == "expanders":
+        interest = len(gps) * np.ones_like(values)
+    elif swarm_type == "maximizers":
+        interest = expit(10 * (upper - best_lower_bound) / scaling[0])
+    else:
+        interest = None
+
+    safe = np.ones(particles.shape[0], dtype=bool)
+    penalty = np.zeros(particles.shape[0])
+    for i, gp in enumerate(gps):
+        if i > 0:
+            mu, var = gp.predict_noiseless(particles)
+            sd = np.sqrt(var.squeeze())
+            lower = mu.squeeze() - beta * sd
+            values = np.maximum(values, sd / scaling[i])
+        if fmin[i] == -np.inf:
+            continue
+        slack = np.atleast_1d(lower - fmin[i])
+        safe &= slack >= 0
+        if swarm_type == "safe_set":
+            continue
+        slack = slack / scaling[i]
+        penalty += ref_penalty(slack)
+        if swarm_type == "expanders":
+            interest = interest * norm.pdf(slack, scale=0.2)
+
+    if swarm_type == "safe_set":
+        return lower, safe
+    return (values + penalty) * interest, safe
+
+
+def ref_pso(fitness, positions, velocities, r_stream, velocity_scale,
+            bounds=None, c1=1.0, c2=1.0, initial_inertia=1.0,
+            final_inertia=0.1):
+    """NumPy PSO loop mirroring the reference (swarm.py:66-146) with an
+    injected randomness stream (max_iter, 2, S, d)."""
+    positions = np.array(positions, dtype=float)
+    velocities = np.array(velocities, dtype=float)
+    max_velocity = 10 * velocity_scale
+    max_iter = r_stream.shape[0]
+    inertia = initial_inertia
+    step = (final_inertia - initial_inertia) / max_iter
+
+    values, _ = fitness(positions)
+    best_positions = positions.copy()
+    best_values = np.array(values, dtype=float)
+    global_best = best_positions[np.argmax(values)].copy()
+
+    for it in range(max_iter):
+        r1, r2 = r_stream[it, 0], r_stream[it, 1]
+        velocities = inertia * velocities + (
+            c1 * r1 * (best_positions - positions) +
+            c2 * r2 * (global_best - positions)) / velocity_scale
+        inertia += step
+        velocities = np.clip(velocities, -max_velocity, max_velocity)
+        positions = positions + velocities
+        if bounds is not None:
+            positions = np.clip(positions, bounds[:, 0], bounds[:, 1])
+        values, safe = fitness(positions)
+        improve = (values > best_values) & safe
+        best_values[improve] = values[improve]
+        best_positions[improve] = positions[improve]
+        global_best = best_positions[np.argmax(best_values)].copy()
+    return positions, velocities, best_positions, best_values, global_best

@@ -1,0 +1,177 @@
+"""GP engine tests: kernels and regression vs the NumPy f64 reference."""
+
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+from safeopt_tpu.gp import (GPRegression, Matern32, Product, RBF, gp_append,
+                            gp_pop, gp_predict)
+
+from reference_impl import RefGP, RefMatern32, RefRBF
+
+
+RNG = np.random.default_rng(0)
+
+
+def _pairs():
+    """(ours, reference) kernel pairs covering the consumed feature set."""
+    return [
+        (RBF(1), RefRBF(1)),
+        (RBF(2, variance=2.0, lengthscale=0.7),
+         RefRBF(2, variance=2.0, lengthscale=0.7)),
+        (RBF(3, variance=1.5, lengthscale=[0.5, 1.0, 2.0], ARD=True),
+         RefRBF(3, variance=1.5, lengthscale=[0.5, 1.0, 2.0], ARD=True)),
+        (Matern32(2, variance=4.0, lengthscale=1.3),
+         RefMatern32(2, variance=4.0, lengthscale=1.3)),
+        (RBF(1, variance=2.0, active_dims=[0]) *
+         RBF(1, variance=1.0, lengthscale=2.0, active_dims=[1]),
+         RefRBF(1, variance=2.0, active_dims=[0]) *
+         RefRBF(1, variance=1.0, lengthscale=2.0, active_dims=[1])),
+    ]
+
+
+class TestKernels:
+    def test_gram_matches_reference(self):
+        for ours, ref in _pairs():
+            d = ours.input_dim if not isinstance(ours, Product) else 2
+            X = RNG.normal(size=(7, d))
+            Z = RNG.normal(size=(5, d))
+            assert_allclose(np.asarray(ours.K(X, Z)), ref.K(X, Z),
+                            rtol=1e-12, atol=1e-12)
+            assert_allclose(np.asarray(ours.K(X)), ref.K(X),
+                            rtol=1e-12, atol=1e-12)
+            assert_allclose(np.asarray(ours.Kdiag(X)), ref.Kdiag(X),
+                            rtol=1e-12)
+
+    def test_product_input_dim(self):
+        k = RBF(1, active_dims=[0]) * RBF(1, active_dims=[1])
+        assert k.input_dim == 2
+        assert k.active_dims == (0, 1)
+
+    def test_copy_is_independent(self):
+        k = RBF(2, variance=3.0)
+        k2 = k.copy()
+        assert np.asarray(k2.variance) == 3.0
+        assert k2.input_dim == 2
+
+    def test_matern_at_zero_distance(self):
+        k = Matern32(1, variance=4.0)
+        X = np.zeros((1, 1))
+        assert_allclose(np.asarray(k.K(X, X)), [[4.0]], rtol=1e-10)
+
+
+class TestGPRegression:
+    def test_posterior_matches_reference(self):
+        X = RNG.normal(size=(10, 2))
+        Y = RNG.normal(size=(10, 1))
+        Xq = RNG.normal(size=(20, 2))
+        kern = RBF(2, variance=2.0, lengthscale=0.8)
+        rkern = RefRBF(2, variance=2.0, lengthscale=0.8)
+
+        gp = GPRegression(X, Y, kern, noise_var=0.05 ** 2)
+        ref = RefGP(X, Y, rkern, noise_var=0.05 ** 2)
+
+        mu, var = gp.predict_noiseless(Xq)
+        rmu, rvar = ref.predict_noiseless(Xq)
+        assert_allclose(np.asarray(mu), rmu, rtol=1e-9, atol=1e-11)
+        assert_allclose(np.asarray(var), rvar, rtol=1e-9, atol=1e-11)
+
+    def test_incremental_append_matches_full_refit(self):
+        kern = Matern32(1, variance=2.0)
+        rkern = RefMatern32(1, variance=2.0)
+        X0 = np.array([[0.0]])
+        Y0 = np.array([[1.0]])
+        gp = GPRegression(X0, Y0, kern, noise_var=0.01)
+        ref = RefGP(X0, Y0, rkern, noise_var=0.01)
+        Xq = np.linspace(-3, 3, 25)[:, None]
+
+        for i in range(40):  # crosses capacity-growth boundary (64 init cap)
+            x = RNG.normal(size=(1, 1))
+            y = RNG.normal(size=(1, 1))
+            gp.set_XY(np.vstack([np.asarray(gp.X), x]),
+                      np.vstack([np.asarray(gp.Y), y]))
+            ref.set_XY(np.vstack([ref.X, x]), np.vstack([ref.Y, y]))
+
+        mu, var = gp.predict_noiseless(Xq)
+        rmu, rvar = ref.predict_noiseless(Xq)
+        assert_allclose(np.asarray(mu), rmu, rtol=1e-8, atol=1e-10)
+        assert_allclose(np.asarray(var), rvar, rtol=1e-8, atol=1e-10)
+
+    def test_append_then_pop_is_identity(self):
+        kern = RBF(2)
+        X = RNG.normal(size=(5, 2))
+        Y = RNG.normal(size=(5, 1))
+        gp = GPRegression(X, Y, kern, noise_var=0.1)
+        Xq = RNG.normal(size=(8, 2))
+        mu0, var0 = gp.predict_noiseless(Xq)
+
+        gp.append_data(np.array([1.0, -1.0]), 0.5)
+        gp.pop_data()
+
+        mu1, var1 = gp.predict_noiseless(Xq)
+        assert_allclose(np.asarray(mu1), np.asarray(mu0), rtol=1e-12,
+                        atol=1e-14)
+        assert_allclose(np.asarray(var1), np.asarray(var0), rtol=1e-12,
+                        atol=1e-14)
+        assert gp.num_data == 5
+
+    def test_set_xy_full_replace(self):
+        gp = GPRegression(np.zeros((1, 1)), np.ones((1, 1)), RBF(1),
+                          noise_var=0.01)
+        Xn = RNG.normal(size=(6, 1))
+        Yn = RNG.normal(size=(6, 1))
+        gp.set_XY(Xn, Yn)
+        assert gp.num_data == 6
+        ref = RefGP(Xn, Yn, RefRBF(1), noise_var=0.01)
+        Xq = np.linspace(-2, 2, 9)[:, None]
+        mu, var = gp.predict_noiseless(Xq)
+        rmu, rvar = ref.predict_noiseless(Xq)
+        assert_allclose(np.asarray(mu), rmu, rtol=1e-9, atol=1e-11)
+        assert_allclose(np.asarray(var), rvar, rtol=1e-9, atol=1e-11)
+
+    def test_set_xy_pop_last(self):
+        X = RNG.normal(size=(4, 1))
+        Y = RNG.normal(size=(4, 1))
+        gp = GPRegression(X, Y, RBF(1), noise_var=0.01)
+        gp.set_XY(X[:-1], Y[:-1])
+        assert gp.num_data == 3
+        assert_allclose(np.asarray(gp.X), X[:-1])
+
+    def test_default_kernel_and_noise(self):
+        # GPy defaults: RBF(d) kernel, noise_var=1.0
+        gp = GPRegression(np.zeros((1, 2)), np.ones((1, 1)))
+        assert isinstance(gp.kern, RBF)
+        assert gp.kern.input_dim == 2
+        assert gp.noise_var == 1.0
+
+    def test_prior_reversion_far_from_data(self):
+        gp = GPRegression(np.zeros((1, 1)), np.ones((1, 1)),
+                          RBF(1, variance=2.0), noise_var=0.01)
+        mu, var = gp.predict_noiseless(np.array([[100.0]]))
+        assert abs(float(mu[0, 0])) < 1e-8
+        assert_allclose(float(var[0, 0]), 2.0, rtol=1e-9)
+
+    def test_jitted_core_functions(self):
+        """gp_append/gp_pop/gp_predict compose under jit transformations."""
+        import jax
+
+        kern = RBF(1)
+        gp = GPRegression(np.zeros((1, 1)), np.ones((1, 1)), kern,
+                          noise_var=0.1)
+        state = gp.state
+
+        @jax.jit
+        def virtual_update_predict(state, x, y, xq):
+            st2 = gp_append(kern, state, x, y)
+            mu, var = gp_predict(kern, st2, xq)
+            st3 = gp_pop(st2)
+            return mu, var, st3
+
+        mu, var, st3 = virtual_update_predict(
+            state, np.array([0.5]), np.array(2.0), np.array([[0.25]]))
+        ref = RefGP(np.array([[0.0], [0.5]]), np.array([[1.0], [2.0]]),
+                    RefRBF(1), noise_var=0.1)
+        rmu, rvar = ref.predict_noiseless(np.array([[0.25]]))
+        assert_allclose(np.asarray(mu), rmu[:, 0], rtol=1e-9)
+        assert_allclose(np.asarray(var), rvar[:, 0], rtol=1e-9)
+        assert int(st3.count) == 1

@@ -1,0 +1,232 @@
+"""SafeOpt trajectory parity vs the float64 NumPy reference.
+
+Covers the four shipped reference configurations (SURVEY.md section
+2.9): 1-D single constraint, 1-D multi-constraint, 2-D, and contextual
+optimization — plus the Lipschitz variant, safe-UCB mode, and
+get_maximum. Each test runs the full BO loop on a deterministic RKHS
+test function and asserts the fused TPU implementation visits exactly
+the same points as the sequential reference.
+"""
+
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+from safeopt_tpu import SafeOpt, linearly_spaced_combinations
+from safeopt_tpu.gp import GPRegression, Matern32, RBF
+
+from reference_impl import (RefGP, RefMatern32, RefRBF, RefSafeOpt)
+
+
+def rkhs_fn(kern_eval, centers, weights):
+    """Deterministic test function f(x) = sum_j w_j k(x, c_j)."""
+    centers = np.atleast_2d(np.asarray(centers, dtype=float))
+    weights = np.asarray(weights, dtype=float)
+
+    def f(x):
+        x = np.atleast_2d(np.asarray(x, dtype=float))
+        return kern_eval(x, centers) @ weights
+
+    return f
+
+
+def run_loop(opt, ref, fns, iters, context=None):
+    """Run both implementations in lockstep; assert identical queries."""
+    for it in range(iters):
+        x = np.asarray(opt.optimize(context=context)
+                       if context is not None else opt.optimize())
+        x_ref = np.asarray(ref.optimize(context=context)
+                           if context is not None else ref.optimize())
+        assert_allclose(x, x_ref, atol=1e-9,
+                        err_msg=f"query diverged at iteration {it}")
+        y = [float(f(x)[0]) for f in fns]
+        if context is not None:
+            opt.add_new_data_point(x, np.array([y]), context=context)
+            ref.add_new_data_point(x, np.array([y]), context=context)
+        else:
+            opt.add_new_data_point(x, np.array([y]))
+            ref.add_new_data_point(x, np.array([y]))
+
+
+class Test1D:
+    """1d_example.ipynb configuration: RBF(var=2), noise 0.05^2,
+    grid over [-10, 10], fmin=0, safe seed at x=0."""
+
+    def _setup(self, threshold=0.2):
+        kern = RBF(1, variance=2.0, lengthscale=1.0, ARD=True)
+        rkern = RefRBF(1, variance=2.0, lengthscale=1.0, ARD=True)
+        f = rkhs_fn(rkern.K, [[-4.0], [-1.0], [0.0], [2.0], [5.0]],
+                    [1.5, -1.0, 2.0, 1.0, -2.0])
+        x0 = np.array([[0.0]])
+        y0 = f(x0)[:, None]
+        assert y0[0, 0] > 0.5
+        grid = linearly_spaced_combinations([(-10.0, 10.0)], 500)
+        gp = GPRegression(x0, y0, kern, noise_var=0.05 ** 2)
+        rgp = RefGP(x0, y0, rkern, noise_var=0.05 ** 2)
+        opt = SafeOpt(gp, grid, fmin=[0.0], threshold=threshold)
+        ref = RefSafeOpt(rgp, grid, fmin=[0.0], threshold=threshold)
+        return opt, ref, f
+
+    def test_trajectory_parity(self):
+        opt, ref, f = self._setup()
+        run_loop(opt, ref, [f], iters=10)
+        # sets agree at the end
+        assert_allclose(opt.Q, ref.Q, rtol=1e-7, atol=1e-9)
+        np.testing.assert_array_equal(opt.S, ref.S)
+        np.testing.assert_array_equal(opt.M, ref.M)
+        np.testing.assert_array_equal(opt.G, ref.G)
+
+    def test_get_maximum_parity(self):
+        opt, ref, f = self._setup()
+        run_loop(opt, ref, [f], iters=5)
+        x, y = opt.get_maximum()
+        xr, yr = ref.get_maximum()
+        assert_allclose(np.asarray(x), xr, atol=1e-9)
+        assert_allclose(y, yr, rtol=1e-8)
+
+    def test_ucb_parity(self):
+        opt, ref, f = self._setup()
+        for _ in range(5):
+            x = np.asarray(opt.optimize(ucb=True))
+            xr = np.asarray(ref.optimize(ucb=True))
+            assert_allclose(x, xr, atol=1e-9)
+            y = float(f(x)[0])
+            opt.add_new_data_point(x, y)
+            ref.add_new_data_point(x, y)
+
+    def test_empty_safe_set_raises(self):
+        kern = RBF(1, variance=2.0)
+        gp = GPRegression(np.array([[0.0]]), np.array([[-5.0]]), kern,
+                          noise_var=0.05 ** 2)
+        grid = linearly_spaced_combinations([(-10.0, 10.0)], 100)
+        opt = SafeOpt(gp, grid, fmin=[0.0])
+        with pytest.raises(EnvironmentError):
+            opt.optimize()
+
+    def test_lipschitz_variant_parity(self):
+        opt, ref, f = self._setup()
+        opt_l, ref_l, _ = self._setup()
+        # rebuild with lipschitz constants
+        kern = RBF(1, variance=2.0, lengthscale=1.0, ARD=True)
+        rkern = RefRBF(1, variance=2.0, lengthscale=1.0, ARD=True)
+        x0 = np.array([[0.0]])
+        y0 = f(x0)[:, None]
+        grid = linearly_spaced_combinations([(-10.0, 10.0)], 500)
+        gp = GPRegression(x0, y0, kern, noise_var=0.05 ** 2)
+        rgp = RefGP(x0, y0, rkern, noise_var=0.05 ** 2)
+        opt = SafeOpt(gp, grid, fmin=[0.0], lipschitz=1.5, threshold=0.2)
+        ref = RefSafeOpt(rgp, grid, fmin=[0.0], lipschitz=1.5, threshold=0.2)
+        assert opt.use_lipschitz
+        run_loop(opt, ref, [f], iters=8)
+
+
+class TestMultiConstraint:
+    """1d_multiple_constraints_example.ipynb: unconstrained objective +
+    one safety-constraint GP (fmin = [-inf, 0])."""
+
+    def test_trajectory_parity(self):
+        kern_f = RBF(1, variance=2.0)
+        kern_g = Matern32(1, variance=1.5)
+        rkern_f = RefRBF(1, variance=2.0)
+        rkern_g = RefMatern32(1, variance=1.5)
+        f = rkhs_fn(rkern_f.K, [[-3.0], [0.0], [3.0]], [1.0, 1.5, -1.0])
+        g = rkhs_fn(rkern_g.K, [[-2.0], [0.0], [4.0]], [-0.5, 2.0, -1.5])
+        x0 = np.array([[0.0]])
+        assert g(x0)[0] > 0.1
+
+        grid = linearly_spaced_combinations([(-8.0, 8.0)], 400)
+        gps = [GPRegression(x0, f(x0)[:, None], kern_f, noise_var=1e-5),
+               GPRegression(x0, g(x0)[:, None], kern_g, noise_var=1e-5)]
+        rgps = [RefGP(x0, f(x0)[:, None], rkern_f, noise_var=1e-5),
+                RefGP(x0, g(x0)[:, None], rkern_g, noise_var=1e-5)]
+        opt = SafeOpt(gps, grid, fmin=[-np.inf, 0.0], threshold=0.1)
+        ref = RefSafeOpt(rgps, grid, fmin=[-np.inf, 0.0], threshold=0.1)
+        run_loop(opt, ref, [f, g], iters=10)
+        np.testing.assert_array_equal(opt.S, ref.S)
+
+    def test_nan_observation_routing(self):
+        kern_f = RBF(1, variance=2.0)
+        kern_g = RBF(1, variance=2.0)
+        x0 = np.array([[0.0]])
+        gps = [GPRegression(x0, np.array([[1.0]]), kern_f, noise_var=1e-4),
+               GPRegression(x0, np.array([[1.0]]), kern_g, noise_var=1e-4)]
+        grid = linearly_spaced_combinations([(-5.0, 5.0)], 50)
+        opt = SafeOpt(gps, grid, fmin=[-np.inf, 0.0])
+        opt.add_new_data_point(np.array([[1.0]]), np.array([[2.0, np.nan]]))
+        assert opt.gps[0].num_data == 2
+        assert opt.gps[1].num_data == 1
+        assert opt.t == 2
+
+
+class Test2D:
+    """2d_example.ipynb configuration (reduced grid)."""
+
+    def test_trajectory_parity(self):
+        kern = RBF(2, variance=2.0, lengthscale=1.0, ARD=True)
+        rkern = RefRBF(2, variance=2.0, lengthscale=1.0, ARD=True)
+        f = rkhs_fn(rkern.K,
+                    [[0.0, 0.0], [2.0, 1.0], [-2.0, -1.5], [1.0, -2.0]],
+                    [2.0, 1.2, -1.0, -1.5])
+        x0 = np.array([[0.0, 0.0]])
+        assert f(x0)[0] > 0.5
+
+        grid = linearly_spaced_combinations([(-5.0, 5.0), (-5.0, 5.0)], 25)
+        gp = GPRegression(x0, f(x0)[:, None], kern, noise_var=0.05 ** 2)
+        rgp = RefGP(x0, f(x0)[:, None], rkern, noise_var=0.05 ** 2)
+        opt = SafeOpt(gp, grid, fmin=[0.0], threshold=0.2)
+        ref = RefSafeOpt(rgp, grid, fmin=[0.0], threshold=0.2)
+        run_loop(opt, ref, [f], iters=8)
+        np.testing.assert_array_equal(opt.S, ref.S)
+
+
+class TestContext:
+    """context_example.ipynb: product kernel with one context column,
+    context switched mid-run."""
+
+    def test_trajectory_parity(self):
+        kern = (RBF(1, variance=2.0, active_dims=[0]) *
+                RBF(1, variance=1.0, lengthscale=2.0, active_dims=[1]))
+        rkern = (RefRBF(1, variance=2.0, active_dims=[0]) *
+                 RefRBF(1, variance=1.0, lengthscale=2.0, active_dims=[1]))
+        f = rkhs_fn(rkern.K,
+                    [[0.0, 0.0], [2.0, 0.5], [-3.0, 0.0]],
+                    [2.0, 1.0, -1.0])
+        x0 = np.array([[0.0, 0.0]])  # parameter 0 at context 0
+        assert f(x0)[0] > 0.5
+
+        params = linearly_spaced_combinations([(-5.0, 5.0)], 200)
+        gp = GPRegression(x0, f(x0)[:, None], kern, noise_var=0.05 ** 2)
+        rgp = RefGP(x0, f(x0)[:, None], rkern, noise_var=0.05 ** 2)
+        opt = SafeOpt(gp, params, fmin=[0.0], num_contexts=1, threshold=0.1)
+        ref = RefSafeOpt(rgp, params, fmin=[0.0], num_contexts=1,
+                         threshold=0.1)
+
+        def step(context, iters):
+            for _ in range(iters):
+                x = np.asarray(opt.optimize(context=context))
+                xr = np.asarray(ref.optimize(context=context))
+                assert_allclose(x, xr, atol=1e-9)
+                xc = np.concatenate([x, [context]])
+                y = float(f(xc[None, :])[0])
+                opt.add_new_data_point(x, y, context=context)
+                ref.add_new_data_point(x, y, context=context)
+
+        step(0.0, 4)
+        step(0.1, 4)  # context switch mid-run
+
+        xm, ym = opt.get_maximum(context=0.1)
+        xmr, ymr = ref.get_maximum(context=0.1)
+        assert_allclose(np.asarray(xm), xmr, atol=1e-9)
+        assert_allclose(ym, ymr, rtol=1e-8)
+
+    def test_context_properties(self):
+        kern = (RBF(1, active_dims=[0]) * RBF(1, active_dims=[1]))
+        gp = GPRegression(np.array([[0.0, 0.0]]), np.array([[1.0]]), kern,
+                          noise_var=0.01)
+        params = linearly_spaced_combinations([(-1.0, 1.0)], 10)
+        opt = SafeOpt(gp, params, fmin=[0.0], num_contexts=1)
+        opt.context = 0.5
+        assert_allclose(opt.context, [0.5])
+        assert opt.context_fixed_inputs == [(1, 0.5)]
+        assert opt.inputs.shape == (10, 2)
+        assert opt.parameter_set.shape == (10, 1)
