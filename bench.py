@@ -56,9 +56,11 @@ def main():
     scaling = jnp.asarray([np.sqrt(2.0), 1.0], dtype)
     threshold = jnp.asarray([0.0, 0.0], dtype)
 
+    use_pallas = jax.default_backend() != "cpu"
+
     def step():
         return safeopt_step(kernels, states, grid_dev, fmin, beta, scaling,
-                            threshold, chunk=64)
+                            threshold, chunk=64, use_pallas=use_pallas)
 
     # Warmup / compile.
     result = step()
@@ -83,6 +85,7 @@ def main():
         "num_gps": 2,
         "n_obs": n_obs,
         "device": str(jax.devices()[0]),
+        "pallas": use_pallas,
     }))
 
 

@@ -70,7 +70,7 @@ class SafeOpt(GaussianProcessOptimization):
 
     def __init__(self, gp, parameter_set, fmin, lipschitz=None, beta=2,
                  num_contexts=0, threshold=0, scaling="auto",
-                 expander_chunk: int = 64):
+                 expander_chunk: int = 64, use_pallas=None):
         super().__init__(gp, fmin=fmin, beta=beta,
                          num_contexts=num_contexts, threshold=threshold,
                          scaling=scaling)
@@ -102,6 +102,17 @@ class SafeOpt(GaussianProcessOptimization):
         self._expander_chunk = min(int(expander_chunk), N)
         self._grid_device = None   # lazily shipped device copy of inputs
         self._grid_dirty = True
+
+        if use_pallas is None:
+            # Fused Mosaic path on real TPUs when every kernel supports
+            # it; XLA path on CPU (tests) and for product kernels.
+            import jax
+
+            from ..ops.fused_posterior import supports_kernel
+            use_pallas = (jax.default_backend() not in ("cpu",)
+                          and all(supports_kernel(g.kern)
+                                  for g in self.gps))
+        self._use_pallas = bool(use_pallas)
 
         from ..utils.observability import StatsRecorder
         self.stats = StatsRecorder()
@@ -187,7 +198,7 @@ class SafeOpt(GaussianProcessOptimization):
             None if self.lipschitz is None else jnp.asarray(self.lipschitz,
                                                             dtype),
             ucb=ucb, use_lipschitz=self._use_lipschitz,
-            chunk=self._expander_chunk)
+            chunk=self._expander_chunk, use_pallas=self._use_pallas)
         self.Q = np.asarray(result.Q)
         self.S = np.asarray(result.S)
         if not ucb:

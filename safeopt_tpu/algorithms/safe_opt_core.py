@@ -88,10 +88,25 @@ def _posterior_with_V(kernel: Kernel, state: GPState, grid: jnp.ndarray):
     return mu, var, V
 
 
-def _confidence_intervals(kernels, states, grid, beta):
-    """Q columns, plus per-GP (mu, sigma, V) retained for the expander."""
+def _confidence_intervals(kernels, states, grid, beta, use_pallas=False):
+    """Q columns, plus per-GP (mu, sigma, V) retained for the expander.
+
+    With ``use_pallas`` the interval columns come from the fused Pallas
+    kernel (grid streamed once, no (cap, N) intermediates in HBM;
+    ops/fused_posterior.py) and ``V`` is not materialized — the
+    expander predicate recomputes its cross terms per chunk.
+    """
     mus, sigmas, Vs, cols = [], [], [], []
     for kern, st in zip(kernels, states):
+        if use_pallas:
+            from ..ops.fused_posterior import fused_intervals, supports_kernel
+            if supports_kernel(kern):
+                l, u = fused_intervals(kern, st, grid, beta)
+                mus.append((l + u) * 0.5)
+                sigmas.append((u - l) / (2.0 * beta))
+                Vs.append(None)
+                cols.extend([l, u])
+                continue
         mu, var, V = _posterior_with_V(kern, st, grid)
         sigma = jnp.sqrt(var)
         mus.append(mu)
@@ -133,18 +148,10 @@ def _classify(Q, fmin, scaling, threshold, beta, valid):
             & (scaled_width > max_var)
             & jnp.any(widths > threshold * beta, axis=1))
 
-    # Descending width; ties broken toward the larger grid index (what
-    # reversing an ascending argsort yields, gp_opt.py:542-552).
-    N = Q.shape[0]
-    key = jnp.where(cand, unscaled_width, -jnp.inf)
-    order = jnp.lexsort((-jnp.arange(N), -key))
-    num_cand = jnp.sum(cand)
-
     # Empty safe set zeroes everything (gp_opt.py:504-507).
     M = M & has_safe
     cand = cand & has_safe
-    num_cand = jnp.where(has_safe, num_cand, 0)
-    return S, M, cand, order, num_cand, has_safe
+    return S, M, cand, unscaled_width, has_safe
 
 
 # ---------------------------------------------------------------------------
@@ -180,8 +187,17 @@ def _chunk_expander_predicate(kernels, states, grid, Q, unsafe, mus, sigmas,
             dd = jnp.sqrt(jnp.maximum(dd2, 1e-30))         # (C,)
             gain = (uc - Cm.T @ st.w) / dd                 # (C,)
 
-            # Cross-covariance update for every grid point.
-            E = (kern.K(Xc, grid) - Cm.T @ Vs[i]) / dd[:, None]   # (C, N)
+            # Cross-covariance update for every grid point:
+            # Cm^T V = (Cm^T Linv) @ K(X, grid) — when V was kept from
+            # the interval pass, reuse it; otherwise (Pallas interval
+            # path) fold Cm into Linv first so only a (C, cap) @
+            # (cap, N) matmul touches the grid.
+            if Vs[i] is not None:
+                cross = Cm.T @ Vs[i]                        # (C, N)
+            else:
+                M2 = Cm.T @ (st.Linv * mask[None, :])       # (C, cap)
+                cross = M2 @ (kern.K(st.X, grid) * mask[:, None])
+            E = (kern.K(Xc, grid) - cross) / dd[:, None]    # (C, N)
             mu2 = mus[i][None, :] + E * gain[:, None]
             var2 = jnp.maximum(sigmas[i][None, :] ** 2 - E * E, 0.0)
             l2 = mu2 - beta * jnp.sqrt(var2)
@@ -210,9 +226,37 @@ def _chunk_expander_predicate(kernels, states, grid, Q, unsafe, mus, sigmas,
     return pred & valid
 
 
+def _next_chunk(remaining, width, chunk):
+    """Pop the next ``chunk`` candidates in reference visit order.
+
+    Order is (width descending, grid index descending among exact
+    ties) — exactly what the reference's reversed ascending argsort
+    yields (gp_opt.py:542-552). Implemented as ``chunk`` masked argmax
+    passes instead of a full O(N log N) device sort: the expander
+    search almost always terminates within the first chunk, so sorting
+    the entire million-point key array would dominate the iteration.
+    """
+    N = width.shape[0]
+
+    def pick(rem, _):
+        key = jnp.where(rem, width, -jnp.inf)
+        m = jnp.max(key)
+        has = m > -jnp.inf
+        # largest grid index among the ties (reference tie order)
+        tie = jnp.flip(key == m)
+        idx = N - 1 - jnp.argmax(tie)
+        idx = jnp.where(has, idx, N - 1)
+        rem = rem & ~((jnp.arange(N) == idx) & has)
+        return rem, (idx.astype(jnp.int32), has)
+
+    remaining, (idxs, valids) = jax.lax.scan(pick, remaining, None,
+                                             length=chunk)
+    return remaining, idxs, valids
+
+
 def _find_first_expander(kernels, states, grid, Q, unsafe, mus, sigmas, Vs,
-                         fmin, beta, lipschitz, order, num_cand, chunk):
-    """Walk candidates in sort order, chunk by chunk, early-exiting.
+                         fmin, beta, lipschitz, cand, width, chunk):
+    """Walk candidates in visit order, chunk by chunk, early-exiting.
 
     Replicates the sequential early-exit semantics of
     gp_opt.py:557-612: the selected expander is the first candidate in
@@ -220,31 +264,23 @@ def _find_first_expander(kernels, states, grid, Q, unsafe, mus, sigmas, Vs,
     """
     N = grid.shape[0]
 
-    def predicate_chunk(k):
-        offs = k * chunk + jnp.arange(chunk)
-        valid = offs < num_cand
-        gidx = jnp.take(order, jnp.minimum(offs, N - 1))
-        gidx = jnp.minimum(gidx, N - 1)
+    def cond(carry):
+        remaining, found, _ = carry
+        return (~found) & jnp.any(remaining)
+
+    def body(carry):
+        remaining, _, winner = carry
+        remaining, gidx, valid = _next_chunk(remaining, width, chunk)
         pred = _chunk_expander_predicate(
             kernels, states, grid, Q, unsafe, mus, sigmas, Vs, fmin, beta,
             lipschitz, gidx, valid)
-        return pred, gidx
-
-    def cond(carry):
-        k, found, _ = carry
-        return (~found) & (k * chunk < num_cand)
-
-    def body(carry):
-        k, _, winner = carry
-        pred, gidx = predicate_chunk(k)
         found = jnp.any(pred)
         first = jnp.argmax(pred)                 # first True in chunk order
         winner = jnp.where(found, gidx[first], winner)
-        return k + 1, found, winner
+        return remaining, found, winner
 
     _, found, winner = jax.lax.while_loop(
-        cond, body, (jnp.asarray(0, jnp.int32), jnp.asarray(False),
-                     jnp.zeros((), order.dtype)))
+        cond, body, (cand, jnp.asarray(False), jnp.asarray(0, jnp.int32)))
 
     G = jnp.zeros((N,), dtype=bool).at[winner].set(found)
     return G
@@ -270,13 +306,15 @@ def _select_query(Q, S, M, G, scaling, ucb: bool):
 # public fused steps
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("ucb", "use_lipschitz", "chunk"))
+@partial(jax.jit, static_argnames=("ucb", "use_lipschitz", "chunk",
+                                   "use_pallas"))
 @with_matmul_precision
 def safeopt_step(kernels: Tuple[Kernel, ...], states: Tuple[GPState, ...],
                  grid: jnp.ndarray, fmin: jnp.ndarray, beta: jnp.ndarray,
                  scaling: jnp.ndarray, threshold: jnp.ndarray,
                  lipschitz=None, num_valid=None, *, ucb: bool = False,
-                 use_lipschitz: bool = False, chunk: int = 64) -> StepResult:
+                 use_lipschitz: bool = False, chunk: int = 64,
+                 use_pallas: bool = False) -> StepResult:
     """One full SafeOpt iteration over the candidate grid.
 
     Fuses the reference call stack optimize() -> update_confidence_
@@ -287,8 +325,9 @@ def safeopt_step(kernels: Tuple[Kernel, ...], states: Tuple[GPState, ...],
     N = grid.shape[0]
     valid = (jnp.ones((N,), bool) if num_valid is None
              else jnp.arange(N) < num_valid)
-    Q, mus, sigmas, Vs = _confidence_intervals(kernels, states, grid, beta)
-    S, M, cand, order, num_cand, has_safe = _classify(
+    Q, mus, sigmas, Vs = _confidence_intervals(kernels, states, grid, beta,
+                                               use_pallas=use_pallas)
+    S, M, cand, width, has_safe = _classify(
         Q, fmin, scaling, threshold, beta, valid)
 
     if ucb:
@@ -297,8 +336,8 @@ def safeopt_step(kernels: Tuple[Kernel, ...], states: Tuple[GPState, ...],
     else:
         lip = lipschitz if use_lipschitz else None
         G = _find_first_expander(kernels, states, grid, Q, valid & ~S, mus,
-                                 sigmas, Vs, fmin, beta, lip, order,
-                                 num_cand, chunk)
+                                 sigmas, Vs, fmin, beta, lip, cand, width,
+                                 chunk)
 
     next_idx = _select_query(Q, S, M, G, scaling, ucb)
     return StepResult(Q=Q, S=S, M=M, G=G, next_idx=next_idx,

@@ -30,6 +30,17 @@ from .kernels import Kernel, Matern32, Product, RBF
 __all__ = ["np_kernel", "np_kdiag", "HostFactor"]
 
 
+def _native_kind(kernel: Kernel):
+    """'rbf' / 'matern32' when the C++ gram covers this kernel."""
+    if isinstance(kernel, RBF) and kernel.active_dims == tuple(
+            range(kernel.input_dim)):
+        return "rbf"
+    if isinstance(kernel, Matern32) and kernel.active_dims == tuple(
+            range(kernel.input_dim)):
+        return "matern32"
+    return None
+
+
 def np_kernel(kernel: Kernel, X: np.ndarray,
               X2: Optional[np.ndarray] = None) -> np.ndarray:
     """Evaluate a kernel gram in NumPy float64 (host mirror of
@@ -82,6 +93,20 @@ class HostFactor:
         self.Linv = np.eye(capacity)
         self.w = np.zeros(capacity)
 
+        # Native C++ engine (csrc/host_factor.cpp) when it compiled on
+        # this host and the kernel has a native gram; SciPy otherwise.
+        from .. import native
+        self._native_kind = _native_kind(kernel)
+        self._use_native = native.available()
+        self._native = native if self._use_native else None
+
+    def _gram(self, X: np.ndarray, Z: np.ndarray) -> np.ndarray:
+        if self._use_native and self._native_kind is not None:
+            return self._native.gram(self._native_kind, X, Z,
+                                     np.asarray(self.kernel.lengthscale),
+                                     float(self.kernel.variance))
+        return np_kernel(self.kernel, X, Z)
+
     @property
     def capacity(self) -> int:
         return self.X.shape[0]
@@ -103,13 +128,18 @@ class HostFactor:
         self.w = np.zeros(cap)
         if n == 0:
             return
-        K = (np_kernel(self.kernel, self.X[:n])
+        K = (self._gram(self.X[:n], self.X[:n])
              + self.noise_var * np.eye(n))
-        L = scipy.linalg.cholesky(K, lower=True)
-        Linv = scipy.linalg.solve_triangular(L, np.eye(n), lower=True)
-        self.L[:n, :n] = L
-        self.Linv[:n, :n] = Linv
-        self.w[:n] = Linv @ self.Y[:n, 0]
+        if self._use_native:
+            self.L[:n, :n] = K
+            self._native.cholesky_lower(self.L, n)
+            self._native.tri_inverse_lower(self.L, n, self.Linv)
+        else:
+            L = scipy.linalg.cholesky(K, lower=True)
+            self.L[:n, :n] = L
+            self.Linv[:n, :n] = scipy.linalg.solve_triangular(
+                L, np.eye(n), lower=True)
+        self.w[:n] = self.Linv[:n, :n] @ self.Y[:n, 0]
 
     def append(self, x: np.ndarray, y: float) -> None:
         """Exact O(n^2) Cholesky bordering (float64)."""
@@ -117,19 +147,24 @@ class HostFactor:
         if pos + 1 > self.capacity:
             raise ValueError("capacity exceeded")
         x = np.asarray(x, dtype=np.float64).reshape(-1)
-        kvec = np_kernel(self.kernel, self.X[:pos],
-                         x[None, :])[:, 0] if pos else np.zeros(0)
+        kvec = (self._gram(self.X[:pos], x[None, :])[:, 0]
+                if pos else np.zeros(0))
         kxx = np_kdiag(self.kernel, x[None, :])[0]
-        c = self.Linv[:pos, :pos] @ kvec
-        dd2 = kxx + self.noise_var - c @ c
-        dd = np.sqrt(max(dd2, 1e-300))
 
-        self.L[pos, :pos] = c
-        self.L[pos, pos] = dd
-        self.Linv[pos, :pos] = -(self.Linv[:pos, :pos].T @ c) / dd
-        self.Linv[pos, pos] = 1.0 / dd
-        mu_x = c @ self.w[:pos]
-        self.w[pos] = (float(y) - mu_x) / dd
+        if self._use_native:
+            self._native.border_append(self.L, self.Linv, self.w, pos,
+                                       kvec, kxx + self.noise_var,
+                                       float(y))
+        else:
+            c = self.Linv[:pos, :pos] @ kvec
+            dd2 = kxx + self.noise_var - c @ c
+            dd = np.sqrt(max(dd2, 1e-300))
+            self.L[pos, :pos] = c
+            self.L[pos, pos] = dd
+            self.Linv[pos, :pos] = -(self.Linv[:pos, :pos].T @ c) / dd
+            self.Linv[pos, pos] = 1.0 / dd
+            mu_x = c @ self.w[:pos]
+            self.w[pos] = (float(y) - mu_x) / dd
         self.X[pos] = x
         self.Y[pos, 0] = float(y)
         self.count = pos + 1

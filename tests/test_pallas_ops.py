@@ -1,0 +1,69 @@
+"""Pallas fused-posterior kernel vs the XLA reference path.
+
+Runs in interpret mode on the CPU test mesh; the same kernel compiles
+through Mosaic on real TPUs.
+"""
+
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+from safeopt_tpu.gp import GPRegression, Matern32, RBF
+from safeopt_tpu.gp.regression import gp_predict
+from safeopt_tpu.ops import fused_intervals, supports_kernel
+
+RNG = np.random.default_rng(5)
+
+
+@pytest.mark.parametrize("kern_cls,kw", [
+    (RBF, dict(variance=2.0, lengthscale=0.8)),
+    (RBF, dict(variance=1.5, lengthscale=[0.5, 1.5], ARD=True)),
+    (Matern32, dict(variance=3.0, lengthscale=1.2)),
+])
+def test_fused_matches_xla(kern_cls, kw):
+    d = 2
+    kern = kern_cls(d, **kw)
+    X = RNG.uniform(-2, 2, size=(10, d))
+    Y = RNG.normal(size=(10, 1))
+    gp = GPRegression(X, Y, kern, noise_var=0.01)
+
+    grid = RNG.uniform(-3, 3, size=(300, d))
+    beta = 2.0
+    l, u = fused_intervals(kern, gp.state, np.asarray(grid, float), beta,
+                           block=128)
+    mu, var = gp_predict(kern, gp.state, grid)
+    l_ref = np.asarray(mu) - beta * np.sqrt(np.asarray(var))
+    u_ref = np.asarray(mu) + beta * np.sqrt(np.asarray(var))
+    assert_allclose(np.asarray(l), l_ref, rtol=1e-9, atol=1e-10)
+    assert_allclose(np.asarray(u), u_ref, rtol=1e-9, atol=1e-10)
+
+
+def test_supports_kernel():
+    assert supports_kernel(RBF(2))
+    assert supports_kernel(Matern32(1))
+    assert not supports_kernel(RBF(1, active_dims=[1]))
+    assert not supports_kernel(RBF(1, active_dims=[0]) *
+                               RBF(1, active_dims=[1]))
+
+
+def test_step_with_pallas_matches_default():
+    """The full fused step agrees with the XLA path under use_pallas."""
+    import jax.numpy as jnp
+
+    from safeopt_tpu.algorithms.safe_opt_core import safeopt_step
+
+    kern = RBF(1, variance=2.0)
+    gp = GPRegression(np.array([[0.0], [0.5]]), np.array([[1.2], [0.9]]),
+                      kern, noise_var=0.01)
+    grid = np.linspace(-4, 4, 256)[:, None]
+    args = ((kern,), (gp.state,), jnp.asarray(grid),
+            jnp.asarray([0.0]), jnp.asarray(2.0), jnp.asarray([np.sqrt(2.)]),
+            jnp.asarray([0.0]))
+    r1 = safeopt_step(*args, chunk=16, use_pallas=False)
+    r2 = safeopt_step(*args, chunk=16, use_pallas=True)
+    assert_allclose(np.asarray(r2.Q), np.asarray(r1.Q), rtol=1e-9,
+                    atol=1e-10)
+    np.testing.assert_array_equal(np.asarray(r2.S), np.asarray(r1.S))
+    np.testing.assert_array_equal(np.asarray(r2.M), np.asarray(r1.M))
+    np.testing.assert_array_equal(np.asarray(r2.G), np.asarray(r1.G))
+    assert int(r2.next_idx) == int(r1.next_idx)
