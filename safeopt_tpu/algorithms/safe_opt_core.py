@@ -159,7 +159,8 @@ def _classify(Q, fmin, scaling, threshold, beta, valid):
 # ---------------------------------------------------------------------------
 
 def _chunk_expander_predicate(kernels, states, grid, Q, unsafe, mus, sigmas,
-                              Vs, fmin, beta, lipschitz, grid_idx, valid):
+                              Vs, fmin, beta, lipschitz, grid_idx, valid,
+                              use_pallas=False):
     """Expander predicate for a chunk of candidate grid indices.
 
     GP variant (lipschitz None): closed-form rank-1 conditioning on the
@@ -178,6 +179,17 @@ def _chunk_expander_predicate(kernels, states, grid, Q, unsafe, mus, sigmas,
         for i, (kern, st) in enumerate(zip(kernels, states)):
             fmin_i = fmin[i]
             uc = jnp.take(Q[:, 2 * i + 1], grid_idx)       # (C,)
+
+            if use_pallas:
+                from ..ops.fused_expander import fused_expander_predicate
+                from ..ops.fused_posterior import supports_kernel
+                if supports_kernel(kern):
+                    pred_i = fused_expander_predicate(
+                        kern, st, grid, unsafe, mus[i], sigmas[i], Xc, uc,
+                        valid, beta, fmin_i)
+                    pred &= jnp.where(fmin_i == -jnp.inf, True, pred_i)
+                    continue
+
             cap = st.capacity
             mask = (jnp.arange(cap) < st.count).astype(grid.dtype)
 
@@ -231,31 +243,24 @@ def _next_chunk(remaining, width, chunk):
 
     Order is (width descending, grid index descending among exact
     ties) — exactly what the reference's reversed ascending argsort
-    yields (gp_opt.py:542-552). Implemented as ``chunk`` masked argmax
-    passes instead of a full O(N log N) device sort: the expander
-    search almost always terminates within the first chunk, so sorting
-    the entire million-point key array would dominate the iteration.
+    yields (gp_opt.py:542-552). One ``top_k`` over the *flipped* key
+    array: top_k breaks ties toward the lower index, so flipping makes
+    ties resolve to the larger original grid index — exact reference
+    order in two passes over the grid instead of a full O(N log N)
+    sort (the search almost always ends within the first chunk).
     """
     N = width.shape[0]
-
-    def pick(rem, _):
-        key = jnp.where(rem, width, -jnp.inf)
-        m = jnp.max(key)
-        has = m > -jnp.inf
-        # largest grid index among the ties (reference tie order)
-        tie = jnp.flip(key == m)
-        idx = N - 1 - jnp.argmax(tie)
-        idx = jnp.where(has, idx, N - 1)
-        rem = rem & ~((jnp.arange(N) == idx) & has)
-        return rem, (idx.astype(jnp.int32), has)
-
-    remaining, (idxs, valids) = jax.lax.scan(pick, remaining, None,
-                                             length=chunk)
+    key = jnp.where(remaining, width, -jnp.inf)
+    vals, ridx = jax.lax.top_k(jnp.flip(key), chunk)
+    idxs = (N - 1 - ridx).astype(jnp.int32)
+    valids = vals > -jnp.inf
+    remaining = remaining.at[idxs].set(False)   # already-False for pads
     return remaining, idxs, valids
 
 
 def _find_first_expander(kernels, states, grid, Q, unsafe, mus, sigmas, Vs,
-                         fmin, beta, lipschitz, cand, width, chunk):
+                         fmin, beta, lipschitz, cand, width, chunk,
+                         use_pallas=False):
     """Walk candidates in visit order, chunk by chunk, early-exiting.
 
     Replicates the sequential early-exit semantics of
@@ -273,7 +278,7 @@ def _find_first_expander(kernels, states, grid, Q, unsafe, mus, sigmas, Vs,
         remaining, gidx, valid = _next_chunk(remaining, width, chunk)
         pred = _chunk_expander_predicate(
             kernels, states, grid, Q, unsafe, mus, sigmas, Vs, fmin, beta,
-            lipschitz, gidx, valid)
+            lipschitz, gidx, valid, use_pallas=use_pallas)
         found = jnp.any(pred)
         first = jnp.argmax(pred)                 # first True in chunk order
         winner = jnp.where(found, gidx[first], winner)
@@ -337,7 +342,7 @@ def safeopt_step(kernels: Tuple[Kernel, ...], states: Tuple[GPState, ...],
         lip = lipschitz if use_lipschitz else None
         G = _find_first_expander(kernels, states, grid, Q, valid & ~S, mus,
                                  sigmas, Vs, fmin, beta, lip, cand, width,
-                                 chunk)
+                                 chunk, use_pallas=use_pallas)
 
     next_idx = _select_query(Q, S, M, G, scaling, ucb)
     return StepResult(Q=Q, S=S, M=M, G=G, next_idx=next_idx,

@@ -1,0 +1,197 @@
+"""Pallas TPU kernel: fused expander predicate for a candidate chunk.
+
+The expander test conditions constraint GP i on a virtual observation
+``(x_cand, u_i)`` and asks whether any currently-unsafe grid point's
+lower bound rises above ``fmin_i`` (reference gp_opt.py:577-606; the
+rank-1 form is derived in algorithms/safe_opt_core.py). Per candidate
+chunk the XLA path materializes two (C, N) and one (cap, N) HBM
+intermediates; this kernel streams the grid once per chunk and reduces
+in VMEM:
+
+    per grid block zt (d, B):
+        kmat  (cap, B) = kfun(xs, zt)            gram tile
+        cross (C, B)   = M2 @ kmat               (M2 = Cm^T Lm, C x cap)
+        E     (C, B)   = (kc(Xc, zt) - cross) / dd
+        l2    (C, B)   = mu + E*gain - beta*sqrt(max(var - E^2, 0))
+        acc   (C,)    |= any_B(unsafe & (l2 >= fmin))
+
+    The grid posterior (mu, sigma) rows come in from the interval pass
+    (two (1, B) blocks) instead of being recomputed — that removes the
+    (cap, cap) x (cap, B) whitened-solve matmul, the dominant FLOPs at
+    large capacity under full-f32 precision.
+
+Output is the (C,) boolean predicate, OR-accumulated across grid
+blocks (sequential grid on TPU guarantees accumulation order). The
+candidate-side quantities (M2, dd, gain, kc-scaled candidates) are
+tiny and precomputed by XLA.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from ..gp.kernels import RBF
+from .fused_posterior import supports_kernel
+
+__all__ = ["fused_expander_predicate"]
+
+
+def _expander_kernel(zt_ref, unsafe_ref, mu_ref, sigma_ref, xs_ref,
+                     xc_ref, m2_ref, cvec_ref, scal_ref, out_ref,
+                     *, kind: str):
+    zt = zt_ref[:]                       # (d, B)
+    xs = xs_ref[:]                       # (cap, d)
+    xc = xc_ref[:]                       # (C, d) pre-scaled candidates
+    m2 = m2_ref[:]                       # (C, cap) = Cm^T Lm
+    cvec = cvec_ref[:]                   # (3, C) rows: inv_dd, gain, valid
+    unsafe = unsafe_ref[:]               # (1, B) 0/1 mask
+    mu = mu_ref[:]                       # (1, B) grid posterior mean
+    sigma = sigma_ref[:]                 # (1, B) grid posterior std
+    acc = zt.dtype
+
+    variance = scal_ref[0, 0]
+    beta = scal_ref[0, 2]
+    fmin_i = scal_ref[0, 3]
+
+    def gram(a, b_t):
+        # explicit per-dimension differences (see fused_posterior.py)
+        r2 = jnp.zeros((a.shape[0], b_t.shape[1]), acc)
+        for k in range(a.shape[1]):
+            diff = a[:, k][:, None] - b_t[k, :][None, :]
+            r2 = r2 + diff * diff
+        if kind == "rbf":
+            return variance * jnp.exp(-0.5 * r2)
+        r = jnp.sqrt(r2 + 1e-36)
+        s3r = jnp.sqrt(jnp.asarray(3.0, acc)) * r
+        return variance * (1.0 + s3r) * jnp.exp(-s3r)
+
+    kmat = gram(xs, zt)                                    # (cap, B)
+    var = sigma * sigma
+    kc = gram(xc, zt)                                      # (C, B)
+    cross = jax.lax.dot_general(m2, kmat, (((1,), (0,)), ((), ())),
+                                preferred_element_type=acc)
+    inv_dd = cvec[0, :][:, None]                           # (C, 1)
+    gain = cvec[1, :][:, None]
+    valid = cvec[2, :][:, None]
+
+    E = (kc - cross) * inv_dd                              # (C, B)
+    var2 = jnp.maximum(var - E * E, 0.0)
+    l2 = mu + E * gain - beta * jnp.sqrt(var2)
+
+    hit = (unsafe > 0.5) & (l2 >= fmin_i) & (valid > 0.5)  # (C, B)
+    # f32 0/1 accumulator (bool VMEM tiles are fragile across Mosaic
+    # versions); caller thresholds at 0.5.
+    partial = jnp.any(hit, axis=1).astype(acc)             # (C,)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        out_ref[0, :] = jnp.zeros_like(out_ref[0, :])
+
+    out_ref[0, :] = jnp.maximum(out_ref[0, :], partial)
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "block"))
+def _fused_expander_impl(zt, unsafe_row, mu_row, sigma_row, xs, xc, m2,
+                         cvec, scal, *, kind: str, block: int):
+    from jax.experimental.pallas import tpu as pltpu
+
+    d, n = zt.shape
+    cap = xs.shape[0]
+    C = xc.shape[0]
+    grid = (n // block,)
+    interpret = jax.default_backend() == "cpu"
+
+    out = pl.pallas_call(
+        functools.partial(_expander_kernel, kind=kind),
+        out_shape=jax.ShapeDtypeStruct((1, C), zt.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((d, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cap, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, cap), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, C), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, C), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(zt, unsafe_row, mu_row, sigma_row, xs, xc, m2, cvec, scal)
+    return out[0] > 0.5
+
+
+def fused_expander_predicate(kernel, state, grid, unsafe, mu, sigma, Xc,
+                             uc, valid, beta, fmin_i, block: int = 0):
+    """(C,) expander predicate for constraint GP ``kernel``/``state``.
+
+    Computes the candidate-side rank-1 quantities with XLA (tiny) and
+    streams the grid through the Pallas kernel. ``Xc`` are candidate
+    rows (C, d), ``uc`` their upper bounds for this GP; ``mu``/``sigma``
+    are this GP's grid posterior rows from the interval pass.
+    """
+    if not supports_kernel(kernel):
+        raise TypeError(f"unsupported kernel: {kernel!r}")
+    dtype = grid.dtype
+    cap = state.capacity
+    if not block:
+        from .fused_posterior import _pick_block
+        block = _pick_block(cap, extra_rows=6 * Xc.shape[0])
+
+    ls = jnp.broadcast_to(jnp.asarray(kernel.lengthscale, dtype),
+                          (grid.shape[1],))
+    mask = (jnp.arange(cap) < state.count).astype(dtype)
+    lm = state.Linv * mask[None, :]
+
+    # candidate-side rank-1 terms (all O(C * cap^2))
+    kmat_c = kernel.K(state.X, Xc) * mask[:, None]       # (cap, C)
+    Cm = state.Linv @ kmat_c                             # (cap, C)
+    dd2 = kernel.Kdiag(Xc) + state.noise_var - jnp.sum(Cm * Cm, axis=0)
+    dd = jnp.sqrt(jnp.maximum(dd2, 1e-30))
+    gain = (uc - Cm.T @ state.w) / dd
+    M2 = Cm.T @ lm                                        # (C, cap)
+
+    cvec = jnp.stack([1.0 / dd, gain,
+                      valid.astype(dtype)], axis=0)       # (3, C)
+    scal = jnp.stack([
+        jnp.asarray(kernel.variance, dtype),
+        jnp.asarray(kernel.variance, dtype),
+        jnp.asarray(beta, dtype),
+        jnp.asarray(fmin_i, dtype),
+    ])[None, :]
+
+    n = grid.shape[0]
+    zt = (grid / ls).T
+    xs = state.X / ls
+    xc = Xc / ls
+    unsafe_row = unsafe.astype(dtype)[None, :]
+    mu_row = mu[None, :]
+    sigma_row = sigma[None, :]
+
+    pad = (-n) % block
+    if pad:
+        zpad = jnp.zeros((1, pad), dtype)
+        zt = jnp.concatenate([zt, jnp.zeros((zt.shape[0], pad), dtype)],
+                             axis=1)
+        unsafe_row = jnp.concatenate([unsafe_row, zpad], axis=1)
+        mu_row = jnp.concatenate([mu_row, zpad], axis=1)
+        sigma_row = jnp.concatenate([sigma_row, zpad], axis=1)
+
+    kind = "rbf" if isinstance(kernel, RBF) else "matern32"
+    return _fused_expander_impl(zt, unsafe_row, mu_row, sigma_row, xs,
+                                xc, M2, cvec, scal, kind=kind, block=block)

@@ -3,29 +3,28 @@
 The XLA formulation of the grid posterior materializes two (capacity,
 N) intermediates in HBM per GP — the cross-gram ``K(X, grid)`` and the
 whitened solve ``V = Linv @ K`` — roughly ``2 * cap * N * 4`` bytes of
-round-trip traffic per GP per iteration (512 MB at cap=64, N=1e6,
-times read+write). This kernel streams the grid once: each block
-computes its gram tile, the triangular-inverse matmul, the mean /
-variance reductions and the beta-interval arithmetic entirely in VMEM,
-writing only the (N, 2) interval columns.
+round-trip traffic per GP per iteration. This kernel streams the grid
+once: each block computes its gram tile, the triangular-inverse
+matmul, the mean / variance reductions and the beta-interval
+arithmetic entirely in VMEM, writing only two interval rows.
 
-    per grid block zb (B, d):
-        r2   = |zb/ls|^2 + |xs|^2 - 2 (zb/ls) xs^T      (MXU)
-        kmat = kfun(r2)                                  (VPU)
-        V    = kmat @ Lm^T                               (MXU)
-        mu   = V @ w
-        var  = kdiag - rowsum(V^2)
-        out  = [mu - beta*sqrt(var), mu + beta*sqrt(var)]
+Layout: everything is **features-first** so the large candidate-block
+axis rides the 128 lanes — a (block, d) layout with d=2 would pad every
+tile to 128 lanes and waste ~64x memory bandwidth on the grid reads
+(f32 min tile is 8x128). Shapes inside the kernel:
 
-``Lm = Linv * row_mask`` is pre-masked so padded factor rows vanish
-without an in-kernel mask; ``xs = X / lengthscale`` is pre-scaled so
-ARD costs nothing per block. Supported for the stationary single
-kernels (RBF, Matern-3/2) that dominate real workloads; product /
-context kernels fall back to the XLA path automatically.
+    zt   (d,   B)  grid block, pre-scaled by the lengthscale
+    xs   (cap, d)  pre-scaled training inputs
+    kmat (cap, B) = kfun(|x|^2 + |z|^2 - 2 xs @ zt)     (MXU + VPU)
+    V    (cap, B) = Lm @ kmat                            (MXU)
+    mu   (1, B)   = w @ V
+    out  (2, B)   = mu -+ beta * sqrt(kdiag - colsum(V^2))
 
-Accumulation note: the gram cross term and the V matmul use
-``preferred_element_type=float32`` so the MXU accumulates in f32
-regardless of input precision.
+``Lm = Linv * col_mask`` is pre-masked so padded factor rows vanish
+without an in-kernel mask; inputs are pre-scaled so ARD costs nothing
+per block. Supported for the stationary single kernels (RBF,
+Matern-3/2) that dominate real workloads; product / context kernels
+fall back to the XLA path automatically (``supports_kernel``).
 """
 
 from __future__ import annotations
@@ -48,27 +47,29 @@ def supports_kernel(kernel) -> bool:
         tuple(range(kernel.input_dim))
 
 
-def _interval_kernel(zs_ref, xs_ref, lm_ref, w_ref, scal_ref, out_ref,
-                     *, kind: str, block: int):
+def _interval_kernel(zt_ref, xs_ref, lm_ref, w_ref, scal_ref, out_ref,
+                     *, kind: str):
     """One grid block: gram tile -> whitened solve -> intervals."""
-    import jax.lax as lax
-
-    zs = zs_ref[:]                      # (B, d) pre-scaled grid block
+    zt = zt_ref[:]                      # (d, B) pre-scaled grid block
     xs = xs_ref[:]                      # (cap, d) pre-scaled data
     lm = lm_ref[:]                      # (cap, cap) masked Linv
     w = w_ref[:]                        # (1, cap) whitened targets
-    acc = zs.dtype                      # f32 accum on TPU; f64 in x64 tests
+    acc = zt.dtype                      # f32 accum on TPU; f64 in x64 tests
 
     variance = scal_ref[0, 0]
     kdiag = scal_ref[0, 1]
-    noise_beta = scal_ref[0, 2]         # beta
-    # scaled squared distances: the cross term rides the MXU
-    zn = jnp.sum(zs * zs, axis=1, keepdims=True)          # (B, 1)
-    xn = jnp.sum(xs * xs, axis=1, keepdims=True)          # (cap, 1)
-    cross = jax.lax.dot_general(
-        zs, xs, (((1,), (1,)), ((), ())),
-        preferred_element_type=acc)                       # (B, cap)
-    r2 = jnp.maximum(zn + xn.T - 2.0 * cross, 0.0)
+    beta = scal_ref[0, 2]
+
+    # Scaled squared distances by explicit per-dimension differences:
+    # for the small input dims of BO problems this is a handful of VPU
+    # passes, avoids the catastrophic-cancellation form
+    # |x|^2+|z|^2-2x.z (whose matmul rounding is amplified through the
+    # ill-conditioned factor), and skips the norm precomputations.
+    d = xs.shape[1]
+    r2 = jnp.zeros((xs.shape[0], zt.shape[1]), acc)
+    for k in range(d):
+        diff = xs[:, k][:, None] - zt[k, :][None, :]
+        r2 = r2 + diff * diff
 
     if kind == "rbf":
         kmat = variance * jnp.exp(-0.5 * r2)
@@ -77,27 +78,26 @@ def _interval_kernel(zs_ref, xs_ref, lm_ref, w_ref, scal_ref, out_ref,
         s3r = jnp.sqrt(jnp.asarray(3.0, acc)) * r
         kmat = variance * (1.0 + s3r) * jnp.exp(-s3r)
 
-    # V = kmat @ Lm^T : (B, cap) x (cap, cap)
+    # V = Lm @ kmat : (cap, cap) x (cap, B)
     V = jax.lax.dot_general(
-        kmat, lm, (((1,), (1,)), ((), ())),
+        lm, kmat, (((1,), (0,)), ((), ())),
         preferred_element_type=acc)
 
     mu = jax.lax.dot_general(
-        V, w, (((1,), (1,)), ((), ())),
-        preferred_element_type=acc)[:, 0]                 # (B,)
-    var = jnp.maximum(kdiag - jnp.sum(V * V, axis=1), 0.0)
-    spread = noise_beta * jnp.sqrt(var)
-    out_ref[:, 0] = mu - spread
-    out_ref[:, 1] = mu + spread
+        w, V, (((1,), (0,)), ((), ())),
+        preferred_element_type=acc)[0]                     # (B,)
+    var = jnp.maximum(kdiag - jnp.sum(V * V, axis=0), 0.0)
+    spread = beta * jnp.sqrt(var)
+    out_ref[0, :] = mu - spread
+    out_ref[1, :] = mu + spread
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "block"))
-def _fused_intervals_impl(zs, xs, lm, w_row, scal, *, kind: str, block: int):
+def _fused_intervals_impl(zt, xs, lm, w_row, scal, *, kind: str, block: int):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    n = zs.shape[0]
-    d = zs.shape[1]
+    d, n = zt.shape
     cap = xs.shape[0]
     grid = (n // block,)
 
@@ -106,11 +106,11 @@ def _fused_intervals_impl(zs, xs, lm, w_row, scal, *, kind: str, block: int):
     interpret = jax.default_backend() == "cpu"
 
     return pl.pallas_call(
-        functools.partial(_interval_kernel, kind=kind, block=block),
-        out_shape=jax.ShapeDtypeStruct((n, 2), zs.dtype),
+        functools.partial(_interval_kernel, kind=kind),
+        out_shape=jax.ShapeDtypeStruct((2, n), zt.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((block, d), lambda i: (i, 0),
+            pl.BlockSpec((d, block), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((cap, d), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -121,19 +121,31 @@ def _fused_intervals_impl(zs, xs, lm, w_row, scal, *, kind: str, block: int):
             pl.BlockSpec((1, 4), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((block, 2), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((2, block), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(zs, xs, lm, w_row, scal)
+    )(zt, xs, lm, w_row, scal)
+
+
+def _pick_block(cap: int, extra_rows: int = 0, budget_bytes: int = 6 << 20,
+                cap_block: int = 4096) -> int:
+    """Largest 512-multiple block whose VMEM working set fits.
+
+    Working set per block column: ~(3*cap + extra) f32 values (gram
+    tile, whitened solve, double-buffered input) — sized against a
+    conservative slice of the 16 MB VMEM.
+    """
+    per_col = 4 * (3 * cap + extra_rows + 16)
+    block = min(cap_block, max(512, (budget_bytes // per_col) // 512 * 512))
+    return block
 
 
 def fused_intervals(kernel, state, grid: jnp.ndarray, beta,
-                    block: int = 2048) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                    block: int = 0) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(l, u) interval columns for one GP over the grid, fused.
 
-    Pads the grid to a block multiple; callers slice the result. Falls
-    back to raising for unsupported kernels — guard with
-    ``supports_kernel``.
+    Pads the grid to a block multiple; callers slice the result. Raises
+    for unsupported kernels — guard with ``supports_kernel``.
     """
     if not supports_kernel(kernel):
         raise TypeError(f"unsupported kernel for the fused path: {kernel!r}")
@@ -141,10 +153,12 @@ def fused_intervals(kernel, state, grid: jnp.ndarray, beta,
     dtype = grid.dtype
     n = grid.shape[0]
     cap = state.capacity
+    if not block:
+        block = _pick_block(cap)
 
     ls = jnp.broadcast_to(jnp.asarray(kernel.lengthscale, dtype),
                           (grid.shape[1],))
-    zs = grid / ls
+    zt = (grid / ls).T                              # (d, N) features-first
     xs = state.X / ls
     mask = (jnp.arange(cap) < state.count).astype(dtype)
     lm = state.Linv * mask[None, :]
@@ -158,10 +172,9 @@ def fused_intervals(kernel, state, grid: jnp.ndarray, beta,
 
     pad = (-n) % block
     if pad:
-        zs = jnp.concatenate([zs, jnp.zeros((pad, zs.shape[1]), dtype)])
-    out = _fused_intervals_impl(zs, xs, lm, w_row, scal,
+        zt = jnp.concatenate(
+            [zt, jnp.zeros((zt.shape[0], pad), dtype)], axis=1)
+    out = _fused_intervals_impl(zt, xs, lm, w_row, scal,
                                 kind="rbf" if isinstance(kernel, RBF)
                                 else "matern32", block=block)
-    if pad:
-        out = out[:n]
-    return out[:, 0], out[:, 1]
+    return out[0, :n], out[1, :n]

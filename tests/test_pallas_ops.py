@@ -67,3 +67,49 @@ def test_step_with_pallas_matches_default():
     np.testing.assert_array_equal(np.asarray(r2.M), np.asarray(r1.M))
     np.testing.assert_array_equal(np.asarray(r2.G), np.asarray(r1.G))
     assert int(r2.next_idx) == int(r1.next_idx)
+
+
+def test_fused_expander_matches_xla():
+    """Pallas expander predicate equals the XLA rank-1 path."""
+    import jax.numpy as jnp
+
+    from safeopt_tpu.ops.fused_expander import fused_expander_predicate
+    from safeopt_tpu.gp.regression import gp_predict
+
+    kern = RBF(2, variance=2.0, lengthscale=0.9)
+    X = RNG.uniform(-1, 1, size=(8, 2))
+    Y = RNG.normal(size=(8, 1)) + 1.0
+    gp = GPRegression(X, Y, kern, noise_var=0.01)
+    st = gp.state
+
+    grid = np.asarray(RNG.uniform(-3, 3, size=(256, 2)))
+    beta, fmin_i = 2.0, 0.0
+    mu, var = gp_predict(kern, st, grid)
+    mu, var = np.asarray(mu), np.asarray(var)
+    l = mu - beta * np.sqrt(var)
+    u = mu + beta * np.sqrt(var)
+    unsafe = l < fmin_i
+    cand_idx = np.flatnonzero(~unsafe)[:16]
+    Xc = grid[cand_idx]
+    uc = u[cand_idx]
+    valid = np.ones(len(cand_idx), dtype=bool)
+
+    pred_pallas = np.asarray(fused_expander_predicate(
+        kern, st, jnp.asarray(grid), jnp.asarray(unsafe), jnp.asarray(mu),
+        jnp.asarray(np.sqrt(var)), jnp.asarray(Xc), jnp.asarray(uc),
+        jnp.asarray(valid), jnp.asarray(beta), jnp.asarray(fmin_i),
+        block=128))
+
+    # XLA reference: rank-1 conditioning per candidate
+    import scipy.linalg
+    from reference_impl import RefGP, RefRBF
+    ref = RefGP(X, Y, RefRBF(2, variance=2.0, lengthscale=0.9),
+                noise_var=0.01)
+    expected = np.zeros(len(cand_idx), dtype=bool)
+    for j, gi in enumerate(cand_idx):
+        ref.set_XY(np.vstack([X, grid[[gi]]]), np.vstack([Y, [[uc[j]]]]))
+        mu2, var2 = ref.predict_noiseless(grid[unsafe])
+        l2 = mu2.squeeze() - beta * np.sqrt(var2.squeeze())
+        expected[j] = np.any(np.atleast_1d(l2) >= fmin_i)
+        ref.set_XY(X, Y)
+    np.testing.assert_array_equal(pred_pallas, expected)
