@@ -171,8 +171,6 @@ def _chunk_expander_predicate(kernels, states, grid, Q, unsafe, mus, sigmas,
     """
     C = grid_idx.shape[0]
     Xc = jnp.take(grid, grid_idx, axis=0)                 # (C, d)
-
-    num_constrained = 0
     pred = jnp.ones((C,), dtype=bool)
 
     if lipschitz is None:
@@ -216,7 +214,6 @@ def _chunk_expander_predicate(kernels, states, grid, Q, unsafe, mus, sigmas,
 
             pred_i = jnp.any(unsafe[None, :] & (l2 >= fmin_i), axis=1)
             pred &= jnp.where(fmin_i == -jnp.inf, True, pred_i)
-            num_constrained += 1  # traced check below handles -inf
     else:
         # Pairwise distances candidate -> unsafe grid points.
         d2 = (jnp.sum(Xc * Xc, axis=1)[:, None]

@@ -146,11 +146,16 @@ def _run_swarm_fused(kernels, states, particles, velocities, r_stream,
 
 @jax.jit
 @with_matmul_precision
-def _safe_set_check(kernels, states, points, beta, fmin, scaling):
-    """Safety mask of the stored safe-set points (gp_opt.py:1045)."""
+def _safe_set_check(kernels, states, points, n_valid, beta, fmin, scaling):
+    """Safety mask of the stored safe-set points (gp_opt.py:1045).
+
+    ``points`` is a shape-bucketed padded buffer (the safe set grows
+    every iteration; without bucketing each growth step would trigger
+    a fresh compile); rows at index >= n_valid report unsafe.
+    """
     _, safe = _particle_fitness("safe_set", kernels, states, beta, fmin,
                                 scaling, jnp.asarray(0.0), points)
-    return safe
+    return safe & (jnp.arange(points.shape[0]) < n_valid)
 
 
 @jax.jit
@@ -287,8 +292,28 @@ class SafeOptSwarm(GaussianProcessOptimization):
 
     # -- plumbing -------------------------------------------------------------
 
+    @staticmethod
+    def _host_device():
+        """CPU device for RNG generation.
+
+        PRNG splits/draws are tiny; issuing them on the accelerator
+        costs one dispatch round-trip each (severe over a remote TPU
+        tunnel — measured ~40 round-trips per optimize()). Keys live on
+        the host CPU backend; the streams ship to the accelerator as
+        inputs of the fused swarm call.
+        """
+        try:
+            return jax.devices("cpu")[0]
+        except RuntimeError:
+            return None
+
     def _split(self) -> jax.Array:
-        self._key, sub = jax.random.split(self._key)
+        dev = self._host_device()
+        if dev is not None:
+            with jax.default_device(dev):
+                self._key, sub = jax.random.split(self._key)
+        else:
+            self._key, sub = jax.random.split(self._key)
         return sub
 
     def _model_args(self):
@@ -331,6 +356,15 @@ class SafeOptSwarm(GaussianProcessOptimization):
                                  jnp.asarray(self.best_lower_bound),
                                  jnp.atleast_2d(particles))
 
+    @staticmethod
+    def _padded(arr: np.ndarray, bucket: int = 128) -> np.ndarray:
+        """Pad rows up to the next bucket multiple (stable jit shapes)."""
+        n = arr.shape[0]
+        pad = (-n) % bucket
+        if pad == 0:
+            return arr
+        return np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)])
+
     def _validate_safe_set(self) -> None:
         """Re-check stored safe points; prune model violations.
 
@@ -339,9 +373,11 @@ class SafeOptSwarm(GaussianProcessOptimization):
         """
         kernels, states = self._model_args()
         beta, fmin, scaling = self._common_scalars()
+        padded = self._padded(self.S)
         safe = np.asarray(_safe_set_check(
-            kernels, states, jnp.asarray(self.S, default_dtype()), beta,
-            fmin, scaling))
+            kernels, states, jnp.asarray(padded, default_dtype()),
+            jnp.asarray(self.S.shape[0], jnp.int32), beta,
+            fmin, scaling))[: self.S.shape[0]]
         num_safe = int(safe.sum())
         if num_safe == 0:
             raise RuntimeError("The safe set is empty.")
@@ -363,8 +399,14 @@ class SafeOptSwarm(GaussianProcessOptimization):
             n_random = self.swarm_size - 3
         else:
             n_random = self.swarm_size
-        random_id = np.asarray(jax.random.randint(
-            self._split(), (n_random,), 0, safe_size))
+        dev = self._host_device()
+        if dev is not None:
+            with jax.default_device(dev):
+                random_id = np.asarray(jax.random.randint(
+                    self._split(), (n_random,), 0, safe_size))
+        else:
+            random_id = np.asarray(jax.random.randint(
+                self._split(), (n_random,), 0, safe_size))
         particles = self.S[random_id, :]
         if swarm_type == "greedy":
             X = np.asarray(self.gp.X, dtype=float)
@@ -382,10 +424,14 @@ class SafeOptSwarm(GaussianProcessOptimization):
         at most 0.95.
         """
         dtype = default_dtype()
-        cov = np.asarray(_dedup_covariance(
+        padded = self._padded(self.S)
+        cov_p = np.asarray(_dedup_covariance(
             self.gp.kern, jnp.asarray(best_positions, dtype),
-            jnp.asarray(self.S, dtype),
+            jnp.asarray(padded, dtype),
             jnp.asarray(self.scaling[0], dtype)))
+        # drop padded columns: layout is [S_padded | best_positions]
+        cov = np.concatenate([cov_p[:, : len(self.S)],
+                              cov_p[:, len(padded):]], axis=1)
 
         initial_safe = len(self.S)
         m = cov.shape[1]
@@ -418,13 +464,24 @@ class SafeOptSwarm(GaussianProcessOptimization):
         self._validate_safe_set()
         particles = jnp.asarray(self._init_particles(swarm_type), dtype)
 
-        u = jax.random.uniform(self._split(),
-                               (self.swarm_size, self.gp.input_dim),
-                               dtype=dtype)
-        velocities = u * jnp.asarray(self.optimal_velocities, dtype)
-        r_stream = make_uniform_stream(self._split(), self.max_iters,
-                                       self.swarm_size, self.gp.input_dim,
-                                       dtype)
+        dev = self._host_device()
+        if dev is not None:
+            with jax.default_device(dev):
+                u = jax.random.uniform(
+                    self._split(), (self.swarm_size, self.gp.input_dim),
+                    dtype=dtype)
+                velocities = u * jnp.asarray(self.optimal_velocities, dtype)
+                r_stream = make_uniform_stream(
+                    self._split(), self.max_iters, self.swarm_size,
+                    self.gp.input_dim, dtype)
+        else:
+            u = jax.random.uniform(
+                self._split(), (self.swarm_size, self.gp.input_dim),
+                dtype=dtype)
+            velocities = u * jnp.asarray(self.optimal_velocities, dtype)
+            r_stream = make_uniform_stream(
+                self._split(), self.max_iters, self.swarm_size,
+                self.gp.input_dim, dtype)
 
         result = _run_swarm_fused(
             kernels, states, particles, velocities, r_stream,
@@ -451,10 +508,22 @@ class SafeOptSwarm(GaussianProcessOptimization):
             self.greedy_point = global_best.copy()
         return global_best.copy(), best_val
 
-    def optimize(self, ucb: bool = False) -> np.ndarray:
+    def optimize(self, ucb: bool = False, fused: Optional[bool] = None
+                 ) -> np.ndarray:
         """One SafeOptSwarm iteration: run the three swarms and pick the
         maximizer or expander with the larger scaled uncertainty
-        (reference gp_opt.py:1136-1177)."""
+        (reference gp_opt.py:1136-1177).
+
+        ``fused=True`` (the default) executes the entire iteration as a
+        single device program (one dispatch + one result pull —
+        essential over remote accelerators); ``fused=False`` uses the
+        stepwise ``get_new_query_point`` path, which mirrors the
+        reference's host orchestration call-for-call.
+        """
+        if fused is None:
+            fused = True
+        if fused:
+            return self._optimize_fused(ucb=ucb)
         self.greedy, self.best_lower_bound = self.get_new_query_point(
             "greedy")
 
@@ -478,6 +547,63 @@ class SafeOptSwarm(GaussianProcessOptimization):
         if std_maxi > std_exp:
             return x_maxi
         return x_exp
+
+    def _optimize_fused(self, ucb: bool = False) -> np.ndarray:
+        """Single-dispatch iteration (swarm_opt_fused.py)."""
+        from .swarm_opt_fused import SwarmIterState, fused_swarm_optimize
+
+        dtype = default_dtype()
+        kernels, states = self._model_args()
+        beta, fmin, scaling = self._common_scalars()
+
+        # padded device-resident safe-set buffer with growth headroom
+        need = self.S.shape[0] + 2 * self.swarm_size + 8
+        cap = ((need + 127) // 128) * 128
+        S_buf = np.zeros((cap, self.S.shape[1]))
+        S_buf[: self.S.shape[0]] = self.S
+        dev_state = SwarmIterState(
+            S=jnp.asarray(S_buf, dtype),
+            count=jnp.asarray(self.S.shape[0], jnp.int32),
+            greedy=jnp.asarray(self.greedy_point, dtype))
+
+        threshold = jnp.asarray(
+            np.broadcast_to(np.asarray(self.threshold, dtype=float),
+                            (len(self.gps),)), dtype)
+
+        out = fused_swarm_optimize(
+            kernels, states, dev_state, self._split(),
+            jnp.asarray(self.optimal_velocities, dtype),
+            jnp.asarray(self._bounds_arr, dtype), beta, fmin, scaling,
+            threshold, jnp.asarray(self.best_lower_bound, dtype),
+            swarm_size=self.swarm_size, max_iters=self.max_iters, ucb=ucb)
+
+        out = jax.device_get(out)          # the single host pull
+
+        if (np.asarray(out.num_safe) == 0).any():
+            raise RuntimeError("The safe set is empty.")
+        for pruned in np.asarray(out.num_pruned):
+            if pruned > 0:
+                logging.warning(
+                    "Warning: %d unsafe points removed. "
+                    "Model might be violated", int(pruned))
+
+        count = int(out.state.count)
+        self.S = np.asarray(out.state.S[:count], dtype=float)
+        self.greedy_point = np.asarray(out.state.greedy, dtype=float)
+        self.greedy = np.asarray(out.x_greedy, dtype=float)
+        self.best_lower_bound = float(out.best_lower_bound)
+
+        if ucb:
+            logging.info("Using ucb criterion.")
+            return np.asarray(out.x_maxi, dtype=float)
+
+        logging.info("The best maximizer has std. dev. %f",
+                     float(out.std_maxi))
+        logging.info("The best expander has std. dev. %f",
+                     float(out.std_exp))
+        logging.info("The greedy estimate of lower bound has value %f",
+                     self.best_lower_bound)
+        return np.asarray(out.x_next, dtype=float)
 
     def get_maximum(self):
         """Best *observed* point (argmax over the objective's data,

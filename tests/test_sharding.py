@@ -1,0 +1,122 @@
+"""Multi-chip sharding: partitioned step equals the single-device step.
+
+Runs on the virtual 8-device CPU mesh from conftest. The same fused
+``safeopt_step`` executes with the grid row-sharded over the data axis
+and GP factors row-sharded over the model axis; GSPMD inserts the
+collectives. Results must be identical to the unsharded run.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+from safeopt_tpu import linearly_spaced_combinations
+from safeopt_tpu.algorithms.safe_opt_core import safeopt_step
+from safeopt_tpu.gp import GPRegression, Matern32, RBF
+from safeopt_tpu.parallel import (GRID_AXIS, MODEL_AXIS, make_mesh,
+                                  replicate, shard_grid, shard_state)
+
+RNG = np.random.default_rng(3)
+
+
+def _problem(n_grid=333):  # deliberately not divisible by 8
+    X = RNG.uniform(-1.0, 1.0, size=(6, 2))
+    Yf = (2.0 * np.exp(-0.5 * np.sum(X ** 2, axis=1)))[:, None]
+    Yg = (1.0 - 0.2 * np.sum(X ** 2, axis=1))[:, None]
+    gp_f = GPRegression(X, Yf, RBF(2, variance=2.0), noise_var=0.01,
+                        capacity=16)
+    gp_g = GPRegression(X, Yg, Matern32(2, variance=1.0, lengthscale=1.5),
+                        noise_var=0.01, capacity=16)
+    side = int(np.ceil(np.sqrt(n_grid)))
+    grid = linearly_spaced_combinations([(-3.0, 3.0), (-3.0, 3.0)],
+                                        side)[:n_grid]
+    dtype = gp_f.state.X.dtype
+    args = dict(
+        kernels=(gp_f.kern, gp_g.kern),
+        states=(gp_f.state, gp_g.state),
+        grid=np.asarray(grid),
+        fmin=jnp.asarray([0.2, 0.4], dtype),
+        beta=jnp.asarray(2.0, dtype),
+        scaling=jnp.asarray([np.sqrt(2.0), 1.0], dtype),
+        threshold=jnp.asarray([0.0, 0.0], dtype),
+    )
+    return args
+
+
+@pytest.fixture(scope="module")
+def problem():
+    return _problem()
+
+
+def _run(a, grid, states, num_valid=None, **kw):
+    return safeopt_step(a["kernels"], states, grid, a["fmin"], a["beta"],
+                        a["scaling"], a["threshold"], num_valid=num_valid,
+                        chunk=16, **kw)
+
+
+def test_eight_device_mesh_available():
+    assert len(jax.devices()) >= 8
+
+
+@pytest.mark.parametrize("model_parallel", [1, 2])
+def test_sharded_step_matches_single_device(problem, model_parallel):
+    a = problem
+    ref = _run(a, jnp.asarray(a["grid"]), a["states"])
+
+    mesh = make_mesh(n_devices=8, model_parallel=model_parallel)
+    grid_sharded, pad = shard_grid(a["grid"], mesh)
+    assert pad > 0  # exercises the padding mask
+    num_valid = jnp.asarray(a["grid"].shape[0], jnp.int32)
+    states = tuple(shard_state(s, mesh) for s in a["states"])
+    kernels = replicate(a["kernels"], mesh)
+
+    res = safeopt_step(kernels, states, grid_sharded, a["fmin"], a["beta"],
+                       a["scaling"], a["threshold"], num_valid=num_valid,
+                       chunk=16)
+
+    n = a["grid"].shape[0]
+    assert_allclose(np.asarray(res.Q)[:n], np.asarray(ref.Q), rtol=1e-12,
+                    atol=1e-13)
+    np.testing.assert_array_equal(np.asarray(res.S)[:n], np.asarray(ref.S))
+    np.testing.assert_array_equal(np.asarray(res.M)[:n], np.asarray(ref.M))
+    np.testing.assert_array_equal(np.asarray(res.G)[:n], np.asarray(ref.G))
+    assert int(res.next_idx) == int(ref.next_idx)
+    # padding rows are never classified
+    assert not np.asarray(res.S)[n:].any()
+
+
+def test_sharded_ucb_and_lipschitz(problem):
+    a = problem
+    mesh = make_mesh(n_devices=8, model_parallel=2)
+    grid_sharded, _ = shard_grid(a["grid"], mesh)
+    num_valid = jnp.asarray(a["grid"].shape[0], jnp.int32)
+    states = tuple(shard_state(s, mesh) for s in a["states"])
+    kernels = replicate(a["kernels"], mesh)
+    dtype = a["fmin"].dtype
+
+    ref_ucb = _run(a, jnp.asarray(a["grid"]), a["states"], ucb=True)
+    res_ucb = safeopt_step(kernels, states, grid_sharded, a["fmin"],
+                           a["beta"], a["scaling"], a["threshold"],
+                           num_valid=num_valid, chunk=16, ucb=True)
+    assert int(res_ucb.next_idx) == int(ref_ucb.next_idx)
+
+    lip = jnp.asarray([1.5, 1.5], dtype)
+    ref_lip = _run(a, jnp.asarray(a["grid"]), a["states"], lipschitz=lip,
+                   use_lipschitz=True)
+    res_lip = safeopt_step(kernels, states, grid_sharded, a["fmin"],
+                           a["beta"], a["scaling"], a["threshold"],
+                           lipschitz=lip, num_valid=num_valid, chunk=16,
+                           use_lipschitz=True)
+    n = a["grid"].shape[0]
+    np.testing.assert_array_equal(np.asarray(res_lip.G)[:n],
+                                  np.asarray(ref_lip.G))
+
+
+def test_mesh_construction_validation():
+    with pytest.raises(ValueError):
+        make_mesh(n_devices=7, model_parallel=2)
+    mesh = make_mesh(n_devices=8, model_parallel=4)
+    assert mesh.shape[GRID_AXIS] == 2
+    assert mesh.shape[MODEL_AXIS] == 4

@@ -200,3 +200,34 @@ class TestSafeOptSwarm:
         opt = SafeOptSwarm(gp, fmin=[0.0], bounds=[[-3.0, 3.0]])
         x = opt.optimize(ucb=True)
         assert x.shape == (1,)
+
+
+class TestFusedVsStepwise:
+    def test_stepwise_path_still_works(self):
+        """optimize(fused=False) exercises the reference-shaped host
+        orchestration; both paths maintain the same invariants."""
+        rkern = RefRBF(1, variance=2.0)
+
+        def f(x):
+            return rkern.K(np.atleast_2d(x), [[0.0], [2.0]]) @ np.array(
+                [2.0, 1.0])
+
+        x0 = np.array([[0.0]])
+        gp = GPRegression(x0, f(x0)[:, None], RBF(1, variance=2.0),
+                          noise_var=0.05 ** 2)
+        opt = SafeOptSwarm(gp, fmin=[0.0], bounds=[[-5.0, 5.0]],
+                           key=jax.random.key(1))
+        for _ in range(3):
+            x = opt.optimize(fused=False)
+            assert -5.0 <= float(x[0]) <= 5.0
+            opt.add_new_data_point(x, float(f(x[None, :])[0]))
+
+    def test_fused_empty_safe_set_keeps_state(self):
+        """A failed fused iteration must not corrupt the safe set."""
+        gp = GPRegression(np.array([[0.0]]), np.array([[-1.0]]),
+                          noise_var=0.01 ** 2)
+        opt = SafeOptSwarm(gp, fmin=[0.0], bounds=[[-1.0, 1.0]])
+        S_before = opt.S.copy()
+        with pytest.raises(RuntimeError):
+            opt.optimize()
+        np.testing.assert_array_equal(opt.S, S_before)
