@@ -23,7 +23,7 @@ the ``GPRegression`` wrappers.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Union
+from typing import List, Optional, Sequence
 
 import numpy as np
 

@@ -15,8 +15,6 @@ device between posterior, classification and selection.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax.numpy as jnp
 import numpy as np
 
@@ -94,10 +92,16 @@ class SafeOpt(GaussianProcessOptimization):
 
         N = self.inputs.shape[0]
         num_gps = len(self.gps)
-        self.Q = np.zeros((N, 2 * num_gps))
-        self.S = np.zeros(N, dtype=bool)
-        self.M = np.zeros(N, dtype=bool)
-        self.G = np.zeros(N, dtype=bool)
+        # Host mirrors of the device results are materialized lazily:
+        # Q alone is 16 MB at a 1e6-point grid, and pulling it every
+        # iteration would dominate wall-clock on remote accelerators.
+        self._dev = None
+        self._host_cache = {
+            "Q": np.zeros((N, 2 * num_gps)),
+            "S": np.zeros(N, dtype=bool),
+            "M": np.zeros(N, dtype=bool),
+            "G": np.zeros(N, dtype=bool),
+        }
 
         self._expander_chunk = min(int(expander_chunk), N)
         self._grid_device = None   # lazily shipped device copy of inputs
@@ -166,6 +170,25 @@ class SafeOpt(GaussianProcessOptimization):
             self.inputs[:, -self.num_contexts:] = context
             self._grid_dirty = True
 
+    # -- lazy host mirrors of device results -----------------------------------
+
+    def _mirror(self, name: str) -> np.ndarray:
+        if self._host_cache[name] is None:
+            self._host_cache[name] = np.asarray(getattr(self._dev, name))
+        return self._host_cache[name]
+
+    def _set_mirror(self, name: str, value) -> None:
+        self._host_cache[name] = np.asarray(value)
+
+    Q = property(lambda self: self._mirror("Q"),
+                 lambda self, v: self._set_mirror("Q", v))
+    S = property(lambda self: self._mirror("S"),
+                 lambda self, v: self._set_mirror("S", v))
+    M = property(lambda self: self._mirror("M"),
+                 lambda self, v: self._set_mirror("M", v))
+    G = property(lambda self: self._mirror("G"),
+                 lambda self, v: self._set_mirror("G", v))
+
     # -- device plumbing ------------------------------------------------------
 
     def _grid(self) -> jnp.ndarray:
@@ -199,11 +222,12 @@ class SafeOpt(GaussianProcessOptimization):
                                                             dtype),
             ucb=ucb, use_lipschitz=self._use_lipschitz,
             chunk=self._expander_chunk, use_pallas=self._use_pallas)
-        self.Q = np.asarray(result.Q)
-        self.S = np.asarray(result.S)
+        self._dev = result
+        self._host_cache["Q"] = None
+        self._host_cache["S"] = None
         if not ucb:
-            self.M = np.asarray(result.M)
-            self.G = np.asarray(result.G)
+            self._host_cache["M"] = None
+            self._host_cache["G"] = None
         return result
 
     # -- reference API ---------------------------------------------------------
@@ -236,10 +260,9 @@ class SafeOpt(GaussianProcessOptimization):
                 chunk=self._expander_chunk)
         else:
             result = self._run_step(ucb=False)
-        self.Q = np.asarray(result.Q)
-        self.S = np.asarray(result.S)
-        self.M = np.asarray(result.M)
-        self.G = np.asarray(result.G)
+        self._dev = result
+        for name in ("Q", "S", "M", "G"):
+            self._host_cache[name] = None
 
     def get_new_query_point(self, ucb: bool = False) -> np.ndarray:
         """Next evaluation point from the current S/M/G/Q state."""
@@ -271,9 +294,9 @@ class SafeOpt(GaussianProcessOptimization):
         idx = int(result.next_idx)
         self.stats.record(IterationStats(
             t=self.t, duration_s=time.perf_counter() - start,
-            safe_count=int(self.S.sum()),
-            maximizer_count=int(self.M.sum()),
-            expander_found=bool(self.G.any()),
+            safe_count=int(result.safe_count),
+            maximizer_count=int(result.maximizer_count),
+            expander_found=bool(result.expander_found),
             next_index=idx, beta=float(self.beta(self.t))))
         x = self.inputs[idx, :]
         if self.num_contexts:
@@ -293,8 +316,8 @@ class SafeOpt(GaussianProcessOptimization):
             kernels, states, self._grid(),
             jnp.asarray(self.fmin, dtype),
             jnp.asarray(self.beta(self.t), dtype))
-        self.Q = np.asarray(Q)
-        self.S = np.asarray(S)
+        self._set_mirror("Q", Q)
+        self._set_mirror("S", S)
         if not bool(has_safe):
             return None
         x = self.inputs[int(idx), : -self.num_contexts or None]

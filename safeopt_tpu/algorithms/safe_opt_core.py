@@ -49,7 +49,7 @@ state is a fixed-shape pytree and the whole step compiles once per
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Sequence, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -71,6 +71,10 @@ class StepResult(NamedTuple):
     G: jnp.ndarray          # (N,) expanders (<=1 True unless full_sets)
     next_idx: jnp.ndarray   # () index of the next query point
     has_safe: jnp.ndarray   # () bool — host raises if False
+    # tiny scalars so per-iteration stats never pull the O(N) masks
+    safe_count: jnp.ndarray
+    maximizer_count: jnp.ndarray
+    expander_found: jnp.ndarray
 
 
 # ---------------------------------------------------------------------------
@@ -343,7 +347,9 @@ def safeopt_step(kernels: Tuple[Kernel, ...], states: Tuple[GPState, ...],
 
     next_idx = _select_query(Q, S, M, G, scaling, ucb)
     return StepResult(Q=Q, S=S, M=M, G=G, next_idx=next_idx,
-                      has_safe=has_safe)
+                      has_safe=has_safe, safe_count=jnp.sum(S),
+                      maximizer_count=jnp.sum(M),
+                      expander_found=jnp.any(G))
 
 
 @jax.jit
@@ -399,5 +405,8 @@ def full_expander_sets(kernels, states, grid, fmin, beta, scaling,
 
     G = jax.lax.fori_loop(0, num_chunks, body,
                           jnp.zeros((N,), dtype=bool))
-    return StepResult(Q=Q, S=S, M=M, G=G & has_safe,
-                      next_idx=jnp.asarray(0, jnp.int32), has_safe=has_safe)
+    G = G & has_safe
+    return StepResult(Q=Q, S=S, M=M, G=G,
+                      next_idx=jnp.asarray(0, jnp.int32), has_safe=has_safe,
+                      safe_count=jnp.sum(S), maximizer_count=jnp.sum(M),
+                      expander_found=jnp.any(G))

@@ -37,14 +37,14 @@ from __future__ import annotations
 
 import logging
 from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..config import default_dtype, with_matmul_precision
-from ..gp.regression import GPState, gp_predict
+from ..gp.regression import gp_predict
 from .base import GaussianProcessOptimization
 from .swarm import SwarmOptimization
 from .swarm_core import make_uniform_stream, swarm_scan

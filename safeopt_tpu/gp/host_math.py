@@ -20,7 +20,7 @@ Used by ``GPRegression``; the pure-JAX device functions in
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 import scipy.linalg

@@ -28,7 +28,7 @@ order; global max/argmax are order-independent).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional
 
 import jax
 import numpy as np

@@ -16,8 +16,6 @@ aux + parameter arrays).
 from __future__ import annotations
 
 import json
-from typing import Union
-
 import jax
 import numpy as np
 
