@@ -342,6 +342,32 @@ class GPRegression:
         self._host.set_data(X, Y)
         self._state = self._device_state()
 
+    def optimize_hyperparameters(self, steps: int = 200,
+                                 learning_rate: float = 0.05,
+                                 optimize_noise: bool = True) -> float:
+        """Fit kernel hyperparameters (and optionally the noise) by
+        maximizing the exact log marginal likelihood (Adam in log
+        space; see gp/hyperopt.py). GPy exposes this as
+        ``gp.optimize()``; the reference never calls it, so this is
+        new capability, not parity surface.
+
+        Returns the final log marginal likelihood.
+        """
+        from .hyperopt import fit_hyperparameters
+
+        n = self.num_data
+        kern, noise, lml = fit_hyperparameters(
+            self.kern, self._host.X[:n], self._host.Y[:n],
+            self.noise_var, steps=steps, learning_rate=learning_rate,
+            optimize_noise=optimize_noise)
+        self.kern = kern
+        self._host.kernel = kern
+        self._host.noise_var = noise
+        from .host_math import _native_kind
+        self._host._native_kind = _native_kind(kern)
+        self.refit()
+        return lml
+
     def refit(self) -> None:
         """Refactorize from scratch (numerical hygiene escape hatch)."""
         self._host.set_data(self._host.X[: self.num_data].copy(),

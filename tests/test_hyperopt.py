@@ -1,0 +1,78 @@
+"""Marginal-likelihood hyperparameter fitting."""
+
+import numpy as np
+from numpy.testing import assert_allclose
+
+from safeopt_tpu.gp import GPRegression, RBF
+from safeopt_tpu.gp.hyperopt import fit_hyperparameters, \
+    log_marginal_likelihood
+
+RNG = np.random.default_rng(9)
+
+
+def _data(lengthscale=1.5, variance=2.0, noise=0.05, n=40):
+    X = np.sort(RNG.uniform(-5, 5, size=(n, 1)), axis=0)
+    K = variance * np.exp(-0.5 * ((X - X.T) / lengthscale) ** 2)
+    L = np.linalg.cholesky(K + 1e-10 * np.eye(n))
+    f = L @ RNG.normal(size=n)
+    Y = (f + noise * RNG.normal(size=n))[:, None]
+    return X, Y
+
+
+def test_lml_matches_direct_formula():
+    import jax.numpy as jnp
+
+    X, Y = _data()
+    kern = RBF(1, variance=2.0, lengthscale=1.5)
+    lml = float(log_marginal_likelihood(kern, jnp.asarray(X),
+                                        jnp.asarray(Y), 0.05 ** 2))
+    # direct dense formula
+    K = 2.0 * np.exp(-0.5 * ((X - X.T) / 1.5) ** 2) + 0.05 ** 2 * np.eye(
+        len(X))
+    sign, logdet = np.linalg.slogdet(K)
+    expected = (-0.5 * Y[:, 0] @ np.linalg.solve(K, Y[:, 0])
+                - 0.5 * logdet - 0.5 * len(X) * np.log(2 * np.pi))
+    assert_allclose(lml, expected, rtol=1e-8)
+
+
+def test_fit_improves_lml_and_recovers_scale():
+    X, Y = _data(lengthscale=1.5, variance=2.0, noise=0.05)
+    kern0 = RBF(1, variance=0.3, lengthscale=0.3)   # deliberately off
+    import jax.numpy as jnp
+
+    lml0 = float(log_marginal_likelihood(kern0, jnp.asarray(X),
+                                         jnp.asarray(Y), 0.3))
+    kern, noise, lml = fit_hyperparameters(kern0, X, Y, 0.3, steps=300,
+                                           learning_rate=0.05)
+    assert lml > lml0 + 5.0
+    assert 0.5 < float(kern.lengthscale) < 4.0
+    assert noise < 0.05  # learned noise variance shrinks toward truth
+
+
+def test_gp_method_updates_model():
+    X, Y = _data()
+    gp = GPRegression(X, Y, RBF(1, variance=0.5, lengthscale=0.5),
+                      noise_var=0.2)
+    mu_before, _ = gp.predict_noiseless(X[:5])
+    lml = gp.optimize_hyperparameters(steps=200)
+    assert np.isfinite(lml)
+    # the refit model interpolates the data better
+    mu_after, _ = gp.predict_noiseless(X[:5])
+    err_before = np.abs(np.asarray(mu_before) - Y[:5]).mean()
+    err_after = np.abs(np.asarray(mu_after) - Y[:5]).mean()
+    assert err_after <= err_before + 1e-6
+
+
+def test_fit_ard_and_product():
+    from safeopt_tpu.gp import Matern32
+
+    X = RNG.uniform(-2, 2, size=(30, 2))
+    Y = np.sin(X[:, :1]) + 0.1 * RNG.normal(size=(30, 1))
+    kern = RBF(2, variance=1.0, lengthscale=[1.0, 1.0], ARD=True)
+    k2, noise, lml = fit_hyperparameters(kern, X, Y, 0.1, steps=100)
+    assert np.isfinite(lml)
+    assert k2.lengthscale.shape == (2,)
+
+    prod = (RBF(1, active_dims=[0]) * Matern32(1, active_dims=[1]))
+    k3, _, lml2 = fit_hyperparameters(prod, X, Y, 0.1, steps=50)
+    assert np.isfinite(lml2)

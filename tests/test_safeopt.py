@@ -230,3 +230,51 @@ class TestContext:
         assert opt.context_fixed_inputs == [(1, 0.5)]
         assert opt.inputs.shape == (10, 2)
         assert opt.parameter_set.shape == (10, 1)
+
+
+class TestEdgeCases:
+    def test_threshold_as_list(self):
+        """Per-GP threshold list (reference gp_opt.py:536 broadcast)."""
+        kern_f = RBF(1, variance=2.0)
+        kern_g = RBF(1, variance=1.0)
+        rkern_f = RefRBF(1, variance=2.0)
+        rkern_g = RefRBF(1, variance=1.0)
+        f = rkhs_fn(rkern_f.K, [[0.0], [2.0]], [2.0, 1.0])
+        g = rkhs_fn(rkern_g.K, [[0.0], [-2.0]], [1.5, 1.0])
+        x0 = np.array([[0.0]])
+        grid = linearly_spaced_combinations([(-6.0, 6.0)], 200)
+        gps = [GPRegression(x0, f(x0)[:, None], kern_f, noise_var=1e-4),
+               GPRegression(x0, g(x0)[:, None], kern_g, noise_var=1e-4)]
+        rgps = [RefGP(x0, f(x0)[:, None], rkern_f, noise_var=1e-4),
+                RefGP(x0, g(x0)[:, None], rkern_g, noise_var=1e-4)]
+        opt = SafeOpt(gps, grid, fmin=[-np.inf, 0.0], threshold=[0.1, 0.3])
+        ref = RefSafeOpt(rgps, grid, fmin=[-np.inf, 0.0],
+                         threshold=np.array([0.1, 0.3]))
+        run_loop(opt, ref, [f, g], iters=6)
+
+    def test_remove_last_data_point_in_loop(self):
+        kern = RBF(1, variance=2.0)
+        gp = GPRegression(np.array([[0.0]]), np.array([[1.5]]), kern,
+                          noise_var=1e-3)
+        grid = linearly_spaced_combinations([(-4.0, 4.0)], 100)
+        opt = SafeOpt(gp, grid, fmin=[0.0])
+        x1 = np.asarray(opt.optimize())
+        opt.add_new_data_point(x1, 1.0)
+        x2 = np.asarray(opt.optimize())
+        opt.remove_last_data_point()
+        x1_again = np.asarray(opt.optimize())
+        assert_allclose(x1_again, x1, atol=1e-12)
+        assert not np.allclose(x1, x2) or True  # x2 may differ
+
+    def test_beta_callable_parity(self):
+        kern = RBF(1, variance=2.0)
+        rkern = RefRBF(1, variance=2.0)
+        f = rkhs_fn(rkern.K, [[0.0], [1.5]], [2.0, 1.0])
+        x0 = np.array([[0.0]])
+        grid = linearly_spaced_combinations([(-4.0, 4.0)], 150)
+        beta = lambda t: 2.0 + 0.5 * np.log(max(t, 1))  # noqa: E731
+        gp = GPRegression(x0, f(x0)[:, None], kern, noise_var=1e-3)
+        rgp = RefGP(x0, f(x0)[:, None], rkern, noise_var=1e-3)
+        opt = SafeOpt(gp, grid, fmin=[0.0], beta=beta)
+        ref = RefSafeOpt(rgp, grid, fmin=[0.0], beta=beta)
+        run_loop(opt, ref, [f], iters=5)
