@@ -87,9 +87,12 @@ def main():
     points_per_sec = grid.shape[0] / elapsed
     target_ms = 10.0
 
-    # Secondary: SafeOptSwarm full iteration in 10D (3 swarms x 101
-    # fused fitness evaluations, single device dispatch). Never lets a
-    # secondary failure break the primary metric.
+    # Secondary metrics; never let their failure break the primary line.
+    try:
+        loop_ms = _fused_loop_secondary(kernels, states, grid_dev, fmin,
+                                        beta, scaling, threshold)
+    except Exception:
+        loop_ms = None
     try:
         swarm_ms = _swarm_secondary()
     except Exception:
@@ -105,8 +108,43 @@ def main():
         "n_obs": n_obs,
         "device": str(jax.devices()[0]),
         "pallas": use_pallas,
+        "fused_loop_ms_per_iter": loop_ms,
         "swarm_10d_iteration_ms": swarm_ms,
     }))
+
+
+def _fused_loop_secondary(kernels, states, grid_dev, fmin, beta, scaling,
+                          threshold):
+    """Complete BO iterations (step + observe + model update) under one
+    lax.scan dispatch — the zero-host-round-trip serving path."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from safeopt_tpu.algorithms.runner import run_safeopt_loop
+
+    def f_dev(x):
+        return 2.0 * jnp.exp(-0.5 * jnp.sum(x * x))
+
+    def g_dev(x):
+        return 1.0 - 0.1 * jnp.sum(x * x)
+
+    n_iter = 10
+
+    def call(key):
+        return run_safeopt_loop(
+            kernels, states, grid_dev, fmin, beta, scaling, threshold,
+            key, objectives=(f_dev, g_dev), n_iter=n_iter,
+            noise_std=0.02, chunk=64, use_pallas=True)
+
+    r = call(jax.random.key(0))
+    jax.block_until_ready(r)
+    t0 = time.perf_counter()
+    for i in range(3):
+        r = call(jax.random.key(i + 1))
+    jax.block_until_ready(r)
+    return round((time.perf_counter() - t0) / 3 / n_iter * 1e3, 2)
 
 
 def _swarm_secondary():

@@ -278,3 +278,52 @@ class TestEdgeCases:
         opt = SafeOpt(gp, grid, fmin=[0.0], beta=beta)
         ref = RefSafeOpt(rgp, grid, fmin=[0.0], beta=beta)
         run_loop(opt, ref, [f], iters=5)
+
+
+class TestMultipleContexts:
+    def test_two_context_columns(self):
+        """num_contexts=2: both trailing columns pinned per round."""
+        kern = (RBF(1, variance=2.0, active_dims=[0]) *
+                RBF(2, variance=1.0, lengthscale=2.0, active_dims=[1, 2]))
+        rkern = (RefRBF(1, variance=2.0, active_dims=[0]) *
+                 RefRBF(2, variance=1.0, lengthscale=2.0,
+                        active_dims=[1, 2]))
+        f = rkhs_fn(rkern.K, [[0.0, 0.0, 0.0], [1.5, 0.3, -0.2]],
+                    [2.0, 1.0])
+        x0 = np.array([[0.0, 0.0, 0.0]])
+        assert f(x0)[0] > 0.5
+
+        params = linearly_spaced_combinations([(-3.0, 3.0)], 120)
+        gp = GPRegression(x0, f(x0)[:, None], kern, noise_var=1e-3)
+        rgp = RefGP(x0, f(x0)[:, None], rkern, noise_var=1e-3)
+        opt = SafeOpt(gp, params, fmin=[0.0], num_contexts=2)
+        ref = RefSafeOpt(rgp, params, fmin=[0.0], num_contexts=2)
+
+        ctx = np.array([0.2, -0.1])
+        for _ in range(4):
+            x = np.asarray(opt.optimize(context=ctx))
+            xr = np.asarray(ref.optimize(context=ctx))
+            assert_allclose(x, xr, atol=1e-9)
+            joint = np.concatenate([x, ctx])
+            y = float(f(joint[None, :])[0])
+            opt.add_new_data_point(x, y, context=ctx)
+            ref.add_new_data_point(x, y, context=ctx)
+        assert opt.inputs.shape[1] == 3
+        assert_allclose(opt.context, ctx)
+
+
+class TestObservability:
+    def test_stats_recorded_per_iteration(self):
+        kern = RBF(1, variance=2.0)
+        gp = GPRegression(np.array([[0.0]]), np.array([[1.5]]), kern,
+                          noise_var=1e-3)
+        grid = linearly_spaced_combinations([(-3.0, 3.0)], 80)
+        opt = SafeOpt(gp, grid, fmin=[0.0])
+        for _ in range(3):
+            x = opt.optimize()
+            opt.add_new_data_point(x, 1.0)
+        assert len(opt.stats.history) == 3
+        last = opt.stats.last
+        assert last.safe_count > 0
+        assert last.duration_s > 0
+        assert opt.stats.summary()["iterations"] == 3

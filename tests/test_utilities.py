@@ -130,3 +130,16 @@ class TestPlotting:
         grid = linearly_spaced_combinations([(-2.0, 2.0)], 30)
         opt = SafeOpt(gp, grid, fmin=[0.0])
         opt.plot(n_samples=20)
+
+
+def test_plot_with_contexts():
+    from safeopt_tpu import SafeOpt
+    from safeopt_tpu.gp import Product
+
+    kern = RBF(1, active_dims=[0]) * RBF(1, active_dims=[1])
+    gp = GPRegression(np.array([[0.0, 0.0]]), np.array([[1.0]]), kern,
+                      noise_var=0.01)
+    params = linearly_spaced_combinations([(-1.0, 1.0)], 15)
+    opt = SafeOpt(gp, params, fmin=[0.0], num_contexts=1)
+    opt.context = 0.25
+    opt.plot(n_samples=10)   # pins the context via context_fixed_inputs
