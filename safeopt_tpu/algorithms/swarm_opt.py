@@ -10,8 +10,11 @@ TPU-first redesign of the hot path: the reference runs 3 swarms x 101
 Python-level fitness evaluations per ``optimize()`` (~300+ GPy posterior
 calls, SURVEY.md section 3.3). Here each swarm run — PSO dynamics plus
 the multi-GP posterior fitness — is ONE fused ``lax.scan`` program
-(``swarm_core.swarm_scan`` with the fitness inlined), so an entire
-``optimize()`` is three device dispatches plus small host glue.
+(``swarm_core.swarm_scan`` with the fitness inlined), and by default
+the ENTIRE ``optimize()`` — all three swarms plus safe-set maintenance
+— is a single device program (swarm_opt_fused.py): one dispatch, one
+result pull. ``optimize(fused=False)`` keeps the stepwise
+reference-shaped orchestration.
 
 Semantics preserved from the reference:
 - particle fitness per swarm type (gp_opt.py:901-1013): greedy = lower

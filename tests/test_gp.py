@@ -175,3 +175,27 @@ class TestGPRegression:
         assert_allclose(np.asarray(mu), rmu[:, 0], rtol=1e-9)
         assert_allclose(np.asarray(var), rvar[:, 0], rtol=1e-9)
         assert int(st3.count) == 1
+
+
+class TestNumericalStability:
+    def test_no_drift_over_many_appends_and_pops(self):
+        """150 interleaved appends/pops: incremental factors stay
+        within float64 noise of a from-scratch refactorization."""
+        rng = np.random.default_rng(21)
+        kern = RBF(2, variance=2.0, lengthscale=0.8)
+        gp = GPRegression(np.zeros((1, 2)), np.ones((1, 1)), kern,
+                          noise_var=1e-4)
+        for i in range(150):
+            gp.append_data(rng.uniform(-3, 3, size=2), float(rng.normal()))
+            if i % 3 == 2:
+                gp.pop_data()
+
+        Xq = rng.uniform(-3, 3, size=(20, 2))
+        mu_inc, var_inc = gp.predict_noiseless(Xq)
+
+        gp.refit()
+        mu_ref, var_ref = gp.predict_noiseless(Xq)
+        assert_allclose(np.asarray(mu_inc), np.asarray(mu_ref),
+                        rtol=1e-9, atol=1e-11)
+        assert_allclose(np.asarray(var_inc), np.asarray(var_ref),
+                        rtol=1e-8, atol=1e-11)

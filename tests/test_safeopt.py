@@ -327,3 +327,31 @@ class TestObservability:
         assert last.safe_count > 0
         assert last.duration_s > 0
         assert opt.stats.summary()["iterations"] == 3
+
+
+class TestFullSets:
+    def test_full_sets_parity(self):
+        """compute_sets(full_sets=True) evaluates every safe point
+        without early exit (reference gp_opt.py:527-555)."""
+        kern = RBF(1, variance=2.0)
+        rkern = RefRBF(1, variance=2.0)
+        f = rkhs_fn(rkern.K, [[-2.0], [0.0], [2.0]], [1.0, 2.0, -0.5])
+        x0 = np.array([[0.0]])
+        grid = linearly_spaced_combinations([(-5.0, 5.0)], 150)
+        gp = GPRegression(x0, f(x0)[:, None], kern, noise_var=1e-3)
+        rgp = RefGP(x0, f(x0)[:, None], rkern, noise_var=1e-3)
+        opt = SafeOpt(gp, grid, fmin=[0.0], threshold=0.05)
+        ref = RefSafeOpt(rgp, grid, fmin=[0.0], threshold=0.05)
+
+        # accumulate a few observations first
+        run_loop(opt, ref, [f], iters=4)
+
+        opt.update_confidence_intervals()
+        opt.compute_sets(full_sets=True)
+        ref.update_confidence_intervals()
+        ref.compute_sets(full_sets=True)
+
+        np.testing.assert_array_equal(opt.S, ref.S)
+        np.testing.assert_array_equal(opt.M, ref.M)
+        np.testing.assert_array_equal(opt.G, ref.G)
+        assert opt.G.sum() >= 1
