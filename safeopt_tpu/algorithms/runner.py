@@ -17,7 +17,7 @@ express this — every GPy refit is a host-side object mutation.
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, NamedTuple, Sequence, Tuple
+from typing import Callable, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

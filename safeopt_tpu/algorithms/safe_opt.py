@@ -287,16 +287,24 @@ class SafeOpt(GaussianProcessOptimization):
 
         from ..utils.observability import IterationStats
 
+        import jax
+
         start = time.perf_counter()
         result = self._run_step(context=context, ucb=ucb)
-        if not bool(result.has_safe):
+        # one host pull for every scalar (each separate conversion is a
+        # full round trip on remote accelerators)
+        has_safe, idx, safe_count, maximizer_count, expander_found = \
+            jax.device_get((result.has_safe, result.next_idx,
+                            result.safe_count, result.maximizer_count,
+                            result.expander_found))
+        if not bool(has_safe):
             raise EnvironmentError("There are no safe points to evaluate.")
-        idx = int(result.next_idx)
+        idx = int(idx)
         self.stats.record(IterationStats(
             t=self.t, duration_s=time.perf_counter() - start,
-            safe_count=int(result.safe_count),
-            maximizer_count=int(result.maximizer_count),
-            expander_found=bool(result.expander_found),
+            safe_count=int(safe_count),
+            maximizer_count=int(maximizer_count),
+            expander_found=bool(expander_found),
             next_index=idx, beta=float(self.beta(self.t))))
         x = self.inputs[idx, :]
         if self.num_contexts:

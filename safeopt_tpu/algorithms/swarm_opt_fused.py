@@ -161,8 +161,6 @@ def fused_swarm_optimize(kernels, states, state: SwarmIterState,
     """One complete SafeOptSwarm optimize() as a single device program."""
     dtype = state.S.dtype
     d = state.S.shape[1]
-    num_gps = len(kernels)
-    max_velocity_bounds = bounds
 
     S, count, greedy_point = state.S, state.count, state.greedy
     num_safe = []
@@ -185,7 +183,7 @@ def fused_swarm_optimize(kernels, states, state: SwarmIterState,
         fitness = partial(_particle_fitness, swarm_type, kernels, states,
                           beta, fmin, scaling, blb)
         result = swarm_scan(fitness, particles, velocities, r_stream,
-                            velocity_scale, max_velocity_bounds)
+                            velocity_scale, bounds)
         return (S, count, n_safe, pruned, has_safe, result)
 
     key_g, key_m, key_e = jax.random.split(key, 3)
