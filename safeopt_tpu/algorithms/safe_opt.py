@@ -233,8 +233,18 @@ class SafeOpt(GaussianProcessOptimization):
     # -- reference API ---------------------------------------------------------
 
     def update_confidence_intervals(self, context=None) -> None:
-        """Recompute Q (and S) from the current GP posteriors."""
+        """Recompute Q from the current GP posteriors.
+
+        Like the reference (gp_opt.py:453-476) this refreshes only the
+        intervals: S/M/G keep their previous values until
+        ``compute_safe_set`` / ``compute_sets`` run.
+        """
+        S_old = self.S
+        M_old, G_old = self.M, self.G
         self._run_step(context=context, ucb=True)
+        self._host_cache["S"] = S_old
+        self._host_cache["M"] = M_old
+        self._host_cache["G"] = G_old
 
     def compute_safe_set(self) -> None:
         """Recompute only the safe set from current Q."""

@@ -70,7 +70,7 @@ class SwarmIterOut(NamedTuple):
     x_maxi: jnp.ndarray        # (d,)
     x_exp: jnp.ndarray
     x_greedy: jnp.ndarray      # (d,) greedy swarm's best (reference
-                               # stores it as ``self.greedy``)         # (d,)
+                               # stores it as ``self.greedy``)
 
 
 def _validate_and_prune(kernels, states, S, count, swarm_size, beta, fmin,

@@ -355,3 +355,23 @@ class TestFullSets:
         np.testing.assert_array_equal(opt.M, ref.M)
         np.testing.assert_array_equal(opt.G, ref.G)
         assert opt.G.sum() >= 1
+
+
+def test_update_confidence_intervals_preserves_sets():
+    """Reference semantics: update_confidence_intervals refreshes Q
+    only; S stays until compute_safe_set runs (gp_opt.py:453-481)."""
+    kern = RBF(1, variance=2.0)
+    gp = GPRegression(np.array([[0.0]]), np.array([[1.5]]), kern,
+                      noise_var=1e-3)
+    grid = linearly_spaced_combinations([(-3.0, 3.0)], 60)
+    opt = SafeOpt(gp, grid, fmin=[0.0])
+
+    assert not opt.S.any()                 # initial S is empty
+    opt.update_confidence_intervals()
+    assert opt.Q.any()                     # intervals computed
+    assert not opt.S.any()                 # ...but S untouched
+    with pytest.raises(EnvironmentError):
+        opt.get_new_query_point()          # reference would raise too
+    opt.compute_safe_set()
+    assert opt.S.any()
+    opt.get_new_query_point(ucb=True)      # now fine
