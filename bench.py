@@ -70,7 +70,7 @@ def main():
 
     def step():
         return safeopt_step(kernels, states, grid_dev, fmin, beta, scaling,
-                            threshold, chunk=64, use_pallas=use_pallas)
+                            threshold, chunk=32, use_pallas=use_pallas)
 
     # Warmup / compile.
     result = step()

@@ -68,7 +68,7 @@ class SafeOpt(GaussianProcessOptimization):
 
     def __init__(self, gp, parameter_set, fmin, lipschitz=None, beta=2,
                  num_contexts=0, threshold=0, scaling="auto",
-                 expander_chunk: int = 64, use_pallas=None):
+                 expander_chunk: int = 32, use_pallas=None):
         super().__init__(gp, fmin=fmin, beta=beta,
                          num_contexts=num_contexts, threshold=threshold,
                          scaling=scaling)

@@ -101,16 +101,29 @@ def _confidence_intervals(kernels, states, grid, beta, use_pallas=False):
     expander predicate recomputes its cross terms per chunk.
     """
     mus, sigmas, Vs, cols = [], [], [], []
-    for kern, st in zip(kernels, states):
-        if use_pallas:
-            from ..ops.fused_posterior import fused_intervals, supports_kernel
-            if supports_kernel(kern):
-                l, u = fused_intervals(kern, st, grid, beta)
+
+    if use_pallas:
+        from ..ops.fused_posterior import (fused_intervals,
+                                           fused_intervals_batched,
+                                           supports_batched, supports_kernel)
+        if supports_batched(kernels, states):
+            # one grid pass for every GP
+            for l, u in fused_intervals_batched(kernels, states, grid,
+                                                beta):
                 mus.append((l + u) * 0.5)
                 sigmas.append((u - l) / (2.0 * beta))
                 Vs.append(None)
                 cols.extend([l, u])
-                continue
+            return jnp.stack(cols, axis=1), mus, sigmas, Vs
+
+    for kern, st in zip(kernels, states):
+        if use_pallas and supports_kernel(kern):
+            l, u = fused_intervals(kern, st, grid, beta)
+            mus.append((l + u) * 0.5)
+            sigmas.append((u - l) / (2.0 * beta))
+            Vs.append(None)
+            cols.extend([l, u])
+            continue
         mu, var, V = _posterior_with_V(kern, st, grid)
         sigma = jnp.sqrt(var)
         mus.append(mu)

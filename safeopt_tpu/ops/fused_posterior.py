@@ -178,3 +178,135 @@ def fused_intervals(kernel, state, grid: jnp.ndarray, beta,
                                 kind="rbf" if isinstance(kernel, RBF)
                                 else "matern32", block=block)
     return out[0, :n], out[1, :n]
+
+
+# ---------------------------------------------------------------------------
+# multi-GP batched variant: one grid pass for all GPs
+# ---------------------------------------------------------------------------
+
+def _interval_kernel_multi(zt_ref, ils_ref, xs_ref, lm_ref, w_ref, scal_ref,
+                           out_ref, *, kind: str, num_gps: int):
+    """All GPs' interval rows from one pass over the grid block.
+
+    Identical math to ``_interval_kernel`` unrolled over a leading GP
+    axis; the raw grid block is scaled per GP in-kernel (inv
+    lengthscales in ``ils``), so the grid is read from HBM once instead
+    of once per GP.
+    """
+    zt = zt_ref[:]                      # (d, B) raw grid block
+    acc = zt.dtype
+    d = zt.shape[0]
+
+    for g in range(num_gps):
+        variance = scal_ref[g, 0]
+        kdiag = scal_ref[g, 1]
+        beta = scal_ref[g, 2]
+        xs = xs_ref[g]                  # (cap, d) pre-scaled data
+
+        r2 = jnp.zeros((xs.shape[0], zt.shape[1]), acc)
+        for k in range(d):
+            diff = xs[:, k][:, None] - (zt[k, :] * ils_ref[g, k])[None, :]
+            r2 = r2 + diff * diff
+
+        if kind == "rbf":
+            kmat = variance * jnp.exp(-0.5 * r2)
+        else:
+            r = jnp.sqrt(r2 + 1e-36)
+            s3r = jnp.sqrt(jnp.asarray(3.0, acc)) * r
+            kmat = variance * (1.0 + s3r) * jnp.exp(-s3r)
+
+        V = jax.lax.dot_general(lm_ref[g], kmat, (((1,), (0,)), ((), ())),
+                                preferred_element_type=acc)
+        mu = jax.lax.dot_general(w_ref[g][None, :], V,
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=acc)[0]
+        var = jnp.maximum(kdiag - jnp.sum(V * V, axis=0), 0.0)
+        spread = beta * jnp.sqrt(var)
+        out_ref[g, 0, :] = mu - spread
+        out_ref[g, 1, :] = mu + spread
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "block", "num_gps"))
+def _fused_intervals_multi_impl(zt, ils, xs, lm, w, scal, *, kind: str,
+                                block: int, num_gps: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    d, n = zt.shape
+    cap = xs.shape[1]
+    grid = (n // block,)
+    interpret = jax.default_backend() == "cpu"
+
+    return pl.pallas_call(
+        functools.partial(_interval_kernel_multi, kind=kind,
+                          num_gps=num_gps),
+        out_shape=jax.ShapeDtypeStruct((num_gps, 2, n), zt.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((d, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_gps, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_gps, cap, d), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_gps, cap, cap), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_gps, cap), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_gps, 4), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((num_gps, 2, block), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(zt, ils, xs, lm, w, scal)
+
+
+def supports_batched(kernels, states) -> bool:
+    """One fused call for all GPs: same kernel family and capacity."""
+    if len(kernels) < 2:
+        return False
+    if not all(supports_kernel(k) for k in kernels):
+        return False
+    if len({type(k) for k in kernels}) != 1:
+        return False
+    if len({s.capacity for s in states}) != 1:
+        return False
+    return len({k.input_dim for k in kernels}) == 1
+
+
+def fused_intervals_batched(kernels, states, grid: jnp.ndarray, beta,
+                            block: int = 0):
+    """Per-GP (l, u) interval rows, one grid pass for every GP."""
+    dtype = grid.dtype
+    n, d = grid.shape
+    cap = states[0].capacity
+    num_gps = len(kernels)
+    if not block:
+        block = _pick_block(cap, extra_rows=cap * (num_gps - 1))
+
+    ils_rows, xs_rows, lm_rows, w_rows, scal_rows = [], [], [], [], []
+    for kern, st in zip(kernels, states):
+        ls = jnp.broadcast_to(jnp.asarray(kern.lengthscale, dtype), (d,))
+        ils_rows.append(1.0 / ls)
+        xs_rows.append(st.X / ls)
+        mask = (jnp.arange(cap) < st.count).astype(dtype)
+        lm_rows.append(st.Linv * mask[None, :])
+        w_rows.append(st.w)
+        scal_rows.append(jnp.stack([
+            jnp.asarray(kern.variance, dtype),
+            jnp.asarray(kern.variance, dtype),
+            jnp.asarray(beta, dtype),
+            jnp.zeros((), dtype)]))
+
+    zt = grid.T
+    pad = (-n) % block
+    if pad:
+        zt = jnp.concatenate([zt, jnp.zeros((d, pad), dtype)], axis=1)
+
+    out = _fused_intervals_multi_impl(
+        zt, jnp.stack(ils_rows), jnp.stack(xs_rows), jnp.stack(lm_rows),
+        jnp.stack(w_rows), jnp.stack(scal_rows),
+        kind="rbf" if isinstance(kernels[0], RBF) else "matern32",
+        block=block, num_gps=num_gps)
+    return [(out[g, 0, :n], out[g, 1, :n]) for g in range(num_gps)]

@@ -113,3 +113,33 @@ def test_fused_expander_matches_xla():
         expected[j] = np.any(np.atleast_1d(l2) >= fmin_i)
         ref.set_XY(X, Y)
     np.testing.assert_array_equal(pred_pallas, expected)
+
+
+def test_batched_intervals_match_single():
+    import jax.numpy as jnp
+
+    from safeopt_tpu.ops.fused_posterior import (fused_intervals,
+                                                 fused_intervals_batched,
+                                                 supports_batched)
+
+    k1 = RBF(2, variance=2.0, lengthscale=0.8)
+    k2 = RBF(2, variance=1.0, lengthscale=[1.5, 0.6], ARD=True)
+    X = RNG.uniform(-2, 2, size=(9, 2))
+    gp1 = GPRegression(X, RNG.normal(size=(9, 1)), k1, noise_var=0.01)
+    gp2 = GPRegression(X, RNG.normal(size=(9, 1)), k2, noise_var=0.02)
+    assert supports_batched((k1, k2), (gp1.state, gp2.state))
+    assert not supports_batched((k1,), (gp1.state,))
+    assert not supports_batched((k1, Matern32(2)),
+                                (gp1.state, gp2.state))
+
+    grid = jnp.asarray(RNG.uniform(-3, 3, size=(300, 2)), float)
+    beta = 2.0
+    batched = fused_intervals_batched((k1, k2), (gp1.state, gp2.state),
+                                      grid, beta, block=128)
+    for g, (kern, gp) in enumerate(((k1, gp1), (k2, gp2))):
+        l_ref, u_ref = fused_intervals(kern, gp.state, grid, beta,
+                                       block=128)
+        assert_allclose(np.asarray(batched[g][0]), np.asarray(l_ref),
+                        rtol=1e-10, atol=1e-12)
+        assert_allclose(np.asarray(batched[g][1]), np.asarray(u_ref),
+                        rtol=1e-10, atol=1e-12)
