@@ -191,6 +191,22 @@ def _chunk_expander_predicate(kernels, states, grid, Q, unsafe, mus, sigmas,
     pred = jnp.ones((C,), dtype=bool)
 
     if lipschitz is None:
+        if use_pallas:
+            from ..ops.fused_expander import (
+                fused_expander_predicate_batched)
+            from ..ops.fused_posterior import supports_batched
+            if supports_batched(kernels, states):
+                # one grid pass per chunk for every GP
+                ucs = jnp.stack([jnp.take(Q[:, 2 * i + 1], grid_idx)
+                                 for i in range(len(kernels))])
+                preds = fused_expander_predicate_batched(
+                    kernels, states, grid, unsafe, mus, sigmas, Xc, ucs,
+                    valid, beta, fmin)
+                for i in range(len(kernels)):
+                    pred &= jnp.where(fmin[i] == -jnp.inf, True, preds[i])
+                pred &= jnp.any(fmin > -jnp.inf)
+                return pred & valid
+
         for i, (kern, st) in enumerate(zip(kernels, states)):
             fmin_i = fmin[i]
             uc = jnp.take(Q[:, 2 * i + 1], grid_idx)       # (C,)

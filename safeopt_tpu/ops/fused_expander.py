@@ -195,3 +195,173 @@ def fused_expander_predicate(kernel, state, grid, unsafe, mu, sigma, Xc,
     kind = "rbf" if isinstance(kernel, RBF) else "matern32"
     return _fused_expander_impl(zt, unsafe_row, mu_row, sigma_row, xs,
                                 xc, M2, cvec, scal, kind=kind, block=block)
+
+
+# ---------------------------------------------------------------------------
+# multi-GP batched variant: one grid pass per candidate chunk
+# ---------------------------------------------------------------------------
+
+def _expander_kernel_multi(zt_ref, unsafe_ref, mu_ref, sigma_ref, ils_ref,
+                           xs_ref, xc_ref, m2_ref, cvec_ref, scal_ref,
+                           out_ref, *, kind: str, num_gps: int):
+    """(G, C) expander predicates from one pass over the grid block."""
+    zt = zt_ref[:]                       # (d, B) raw grid block
+    unsafe = unsafe_ref[:]               # (1, B)
+    acc = zt.dtype
+    d = zt.shape[0]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref[:])
+
+    for g in range(num_gps):
+        variance = scal_ref[g, 0]
+        beta = scal_ref[g, 2]
+        fmin_i = scal_ref[g, 3]
+        mu = mu_ref[g][None, :]          # (1, B)
+        sigma = sigma_ref[g][None, :]
+        xs = xs_ref[g]                   # (cap, d)
+        xc = xc_ref[g]                   # (C, d)
+        m2 = m2_ref[g]                   # (C, cap)
+        cvec = cvec_ref[g]               # (3, C)
+
+        def gram(a, scale_grid=True):
+            r2 = jnp.zeros((a.shape[0], zt.shape[1]), acc)
+            for k in range(d):
+                zk = zt[k, :] * ils_ref[g, k]
+                diff = a[:, k][:, None] - zk[None, :]
+                r2 = r2 + diff * diff
+            if kind == "rbf":
+                return variance * jnp.exp(-0.5 * r2)
+            r = jnp.sqrt(r2 + 1e-36)
+            s3r = jnp.sqrt(jnp.asarray(3.0, acc)) * r
+            return variance * (1.0 + s3r) * jnp.exp(-s3r)
+
+        kmat = gram(xs)                                  # (cap, B)
+        kc = gram(xc)                                    # (C, B)
+        cross = jax.lax.dot_general(m2, kmat, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=acc)
+        inv_dd = cvec[0, :][:, None]
+        gain = cvec[1, :][:, None]
+        valid = cvec[2, :][:, None]
+
+        E = (kc - cross) * inv_dd
+        var2 = jnp.maximum(sigma * sigma - E * E, 0.0)
+        l2 = mu + E * gain - beta * jnp.sqrt(var2)
+        hit = (unsafe > 0.5) & (l2 >= fmin_i) & (valid > 0.5)
+        partial = jnp.any(hit, axis=1).astype(acc)       # (C,)
+        out_ref[g, :] = jnp.maximum(out_ref[g, :], partial)
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "block", "num_gps"))
+def _fused_expander_multi_impl(zt, unsafe_row, mu_rows, sigma_rows, ils,
+                               xs, xc, m2, cvec, scal, *, kind: str,
+                               block: int, num_gps: int):
+    from jax.experimental.pallas import tpu as pltpu
+
+    d, n = zt.shape
+    cap = xs.shape[1]
+    C = xc.shape[1]
+    grid = (n // block,)
+    interpret = jax.default_backend() == "cpu"
+
+    out = pl.pallas_call(
+        functools.partial(_expander_kernel_multi, kind=kind,
+                          num_gps=num_gps),
+        out_shape=jax.ShapeDtypeStruct((num_gps, C), zt.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((d, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_gps, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_gps, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_gps, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_gps, cap, d), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_gps, C, d), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_gps, C, cap), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_gps, 3, C), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_gps, 4), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((num_gps, C), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(zt, unsafe_row, mu_rows, sigma_rows, ils, xs, xc, m2, cvec, scal)
+    return out > 0.5
+
+
+def fused_expander_predicate_batched(kernels, states, grid, unsafe, mus,
+                                     sigmas, Xc, ucs, valid, beta, fmin,
+                                     block: int = 0):
+    """(G, C) expander predicates, one grid pass per chunk for all GPs.
+
+    ``ucs`` is (G, C): per-GP upper bounds of the candidates; ``mus`` /
+    ``sigmas`` are the per-GP grid posterior rows from the interval
+    pass. A GP with ``fmin_i = -inf`` still gets a row (the caller
+    masks it out) — its predicate is computed against ``-inf`` and is
+    trivially True wherever any unsafe point exists.
+    """
+    dtype = grid.dtype
+    n, d = grid.shape
+    cap = states[0].capacity
+    num_gps = len(kernels)
+    C = Xc.shape[0]
+    if not block:
+        from .fused_posterior import _pick_block
+        block = _pick_block(cap, extra_rows=(cap + 6 * C) * (num_gps - 1)
+                            + 6 * C)
+
+    ils_r, xs_r, xc_r, m2_r, cvec_r, scal_r, mu_r, sg_r = \
+        [], [], [], [], [], [], [], []
+    for g, (kern, st) in enumerate(zip(kernels, states)):
+        ls = jnp.broadcast_to(jnp.asarray(kern.lengthscale, dtype), (d,))
+        mask = (jnp.arange(cap) < st.count).astype(dtype)
+        lm = st.Linv * mask[None, :]
+
+        kmat_c = kern.K(st.X, Xc) * mask[:, None]
+        Cm = st.Linv @ kmat_c
+        dd2 = kern.Kdiag(Xc) + st.noise_var - jnp.sum(Cm * Cm, axis=0)
+        dd = jnp.sqrt(jnp.maximum(dd2, 1e-30))
+        gain = (ucs[g] - Cm.T @ st.w) / dd
+
+        ils_r.append(1.0 / ls)
+        xs_r.append(st.X / ls)
+        xc_r.append(Xc / ls)
+        m2_r.append(Cm.T @ lm)
+        cvec_r.append(jnp.stack([1.0 / dd, gain, valid.astype(dtype)]))
+        scal_r.append(jnp.stack([
+            jnp.asarray(kern.variance, dtype),
+            jnp.asarray(kern.variance, dtype),
+            jnp.asarray(beta, dtype),
+            jnp.asarray(fmin[g], dtype)]))
+        mu_r.append(mus[g])
+        sg_r.append(sigmas[g])
+
+    zt = grid.T
+    unsafe_row = unsafe.astype(dtype)[None, :]
+    mu_rows = jnp.stack(mu_r)
+    sigma_rows = jnp.stack(sg_r)
+    pad = (-n) % block
+    if pad:
+        zp = jnp.zeros((1, pad), dtype)
+        zt = jnp.concatenate([zt, jnp.zeros((d, pad), dtype)], axis=1)
+        unsafe_row = jnp.concatenate([unsafe_row, zp], axis=1)
+        gp_pad = jnp.zeros((num_gps, pad), dtype)
+        mu_rows = jnp.concatenate([mu_rows, gp_pad], axis=1)
+        sigma_rows = jnp.concatenate([sigma_rows, gp_pad], axis=1)
+
+    kind = "rbf" if isinstance(kernels[0], RBF) else "matern32"
+    return _fused_expander_multi_impl(
+        zt, unsafe_row, mu_rows, sigma_rows, jnp.stack(ils_r),
+        jnp.stack(xs_r), jnp.stack(xc_r), jnp.stack(m2_r),
+        jnp.stack(cvec_r), jnp.stack(scal_r), kind=kind, block=block,
+        num_gps=num_gps)

@@ -143,3 +143,30 @@ def test_batched_intervals_match_single():
                         rtol=1e-10, atol=1e-12)
         assert_allclose(np.asarray(batched[g][1]), np.asarray(u_ref),
                         rtol=1e-10, atol=1e-12)
+
+
+def test_batched_expander_in_full_step():
+    """Pallas step with two same-family GPs (batched interval +
+    expander kernels) equals the XLA path exactly."""
+    import jax.numpy as jnp
+
+    from safeopt_tpu.algorithms.safe_opt_core import safeopt_step
+
+    k1 = RBF(1, variance=2.0)
+    k2 = RBF(1, variance=1.5, lengthscale=1.4)
+    X = np.array([[0.0], [0.6], [-0.5]])
+    gp1 = GPRegression(X, np.array([[1.5], [1.1], [0.9]]), k1,
+                       noise_var=0.01)
+    gp2 = GPRegression(X, np.array([[0.8], [0.9], [0.6]]), k2,
+                       noise_var=0.01)
+    grid = np.linspace(-4, 4, 256)[:, None]
+    args = ((k1, k2), (gp1.state, gp2.state), jnp.asarray(grid),
+            jnp.asarray([0.0, 0.2]), jnp.asarray(2.0),
+            jnp.asarray([np.sqrt(2.0), np.sqrt(1.5)]),
+            jnp.asarray([0.0, 0.0]))
+    r1 = safeopt_step(*args, chunk=16, use_pallas=False)
+    r2 = safeopt_step(*args, chunk=16, use_pallas=True)
+    assert_allclose(np.asarray(r2.Q), np.asarray(r1.Q), rtol=1e-9,
+                    atol=1e-10)
+    np.testing.assert_array_equal(np.asarray(r2.G), np.asarray(r1.G))
+    assert int(r2.next_idx) == int(r1.next_idx)
