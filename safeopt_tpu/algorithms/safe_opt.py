@@ -333,7 +333,8 @@ class SafeOpt(GaussianProcessOptimization):
         idx, lb, has_safe, Q, S = safe_maximum(
             kernels, states, self._grid(),
             jnp.asarray(self.fmin, dtype),
-            jnp.asarray(self.beta(self.t), dtype))
+            jnp.asarray(self.beta(self.t), dtype),
+            use_pallas=self._use_pallas)
         self._set_mirror("Q", Q)
         self._set_mirror("S", S)
         if not bool(has_safe):

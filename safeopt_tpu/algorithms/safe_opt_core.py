@@ -381,9 +381,10 @@ def safeopt_step(kernels: Tuple[Kernel, ...], states: Tuple[GPState, ...],
                       expander_found=jnp.any(G))
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("use_pallas",))
 @with_matmul_precision
-def safe_maximum(kernels, states, grid, fmin, beta, num_valid=None):
+def safe_maximum(kernels, states, grid, fmin, beta, num_valid=None, *,
+                 use_pallas: bool = False):
     """Best safe point by objective lower bound (gp_opt.py:677-712).
 
     Returns (idx, lower_bound, has_safe); host strips context columns.
@@ -391,7 +392,8 @@ def safe_maximum(kernels, states, grid, fmin, beta, num_valid=None):
     N = grid.shape[0]
     valid = (jnp.ones((N,), bool) if num_valid is None
              else jnp.arange(N) < num_valid)
-    Q, _, _, _ = _confidence_intervals(kernels, states, grid, beta)
+    Q, _, _, _ = _confidence_intervals(kernels, states, grid, beta,
+                                       use_pallas=use_pallas)
     l = Q[:, 0::2]
     S = jnp.all(l > fmin, axis=1) & valid
     value = jnp.where(S, Q[:, 0], -jnp.inf)
