@@ -375,3 +375,47 @@ def test_update_confidence_intervals_preserves_sets():
     opt.compute_safe_set()
     assert opt.S.any()
     opt.get_new_query_point(ucb=True)      # now fine
+
+
+class TestMaternObjective:
+    def test_matern_objective_trajectory(self):
+        """Matern-3/2 objective GP end to end (both engine code paths:
+        native gram + device kernel + fused step)."""
+        kern = Matern32(1, variance=2.0, lengthscale=1.2)
+        rkern = RefMatern32(1, variance=2.0, lengthscale=1.2)
+        f = rkhs_fn(rkern.K, [[-2.0], [0.0], [3.0]], [1.0, 1.8, -0.8])
+        x0 = np.array([[0.0]])
+        assert f(x0)[0] > 0.5
+        grid = linearly_spaced_combinations([(-6.0, 6.0)], 250)
+        gp = GPRegression(x0, f(x0)[:, None], kern, noise_var=1e-3)
+        rgp = RefGP(x0, f(x0)[:, None], rkern, noise_var=1e-3)
+        opt = SafeOpt(gp, grid, fmin=[0.0], threshold=0.1)
+        ref = RefSafeOpt(rgp, grid, fmin=[0.0], threshold=0.1)
+        run_loop(opt, ref, [f], iters=8)
+        np.testing.assert_array_equal(opt.S, ref.S)
+
+
+class TestThreeGPs:
+    def test_three_gp_trajectory(self):
+        """Objective + two safety constraints."""
+        ks = [RBF(1, variance=2.0), RBF(1, variance=1.0, lengthscale=1.5),
+              Matern32(1, variance=1.5)]
+        rks = [RefRBF(1, variance=2.0),
+               RefRBF(1, variance=1.0, lengthscale=1.5),
+               RefMatern32(1, variance=1.5)]
+        f = rkhs_fn(rks[0].K, [[0.0], [2.0]], [2.0, 1.0])
+        g1 = rkhs_fn(rks[1].K, [[0.0], [-3.0]], [1.5, 1.0])
+        g2 = rkhs_fn(rks[2].K, [[0.5], [4.0]], [1.8, -1.0])
+        x0 = np.array([[0.0]])
+        assert g1(x0)[0] > 0.1 and g2(x0)[0] > 0.1
+
+        grid = linearly_spaced_combinations([(-6.0, 6.0)], 200)
+        gps = [GPRegression(x0, fn(x0)[:, None], k, noise_var=1e-4)
+               for k, fn in zip(ks, (f, g1, g2))]
+        rgps = [RefGP(x0, fn(x0)[:, None], k, noise_var=1e-4)
+                for k, fn in zip(rks, (f, g1, g2))]
+        opt = SafeOpt(gps, grid, fmin=[-np.inf, 0.0, 0.0], threshold=0.1)
+        ref = RefSafeOpt(rgps, grid, fmin=[-np.inf, 0.0, 0.0],
+                         threshold=0.1)
+        run_loop(opt, ref, [f, g1, g2], iters=6)
+        np.testing.assert_array_equal(opt.S, ref.S)
