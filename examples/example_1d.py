@@ -6,6 +6,13 @@ Run with --algo swarm for SafeOptSwarm (the notebook's default) or
 --algo grid for exact SafeOpt.
 """
 
+import os
+import sys
+
+# allow running straight from a repo checkout: python examples/<name>.py
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 import argparse
 
 import jax

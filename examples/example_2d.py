@@ -1,5 +1,12 @@
 """2-D safe optimization (port of the reference 2d_example notebook)."""
 
+import os
+import sys
+
+# allow running straight from a repo checkout: python examples/<name>.py
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 import argparse
 
 import jax

@@ -2,6 +2,13 @@
 notebook): kernel = RBF(parameter) x RBF(context) via active_dims, one
 context column, context switched 0 -> 0.1 mid-run."""
 
+import os
+import sys
+
+# allow running straight from a repo checkout: python examples/<name>.py
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 import argparse
 
 import jax

@@ -3,6 +3,13 @@
 the objective is unconstrained (fmin = -inf), safety comes entirely
 from a second GP with fmin = 0."""
 
+import os
+import sys
+
+# allow running straight from a repo checkout: python examples/<name>.py
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 import argparse
 
 import jax
