@@ -34,7 +34,6 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..gp.kernels import RBF, Matern32
 
