@@ -419,3 +419,24 @@ class TestThreeGPs:
                          threshold=0.1)
         run_loop(opt, ref, [f, g1, g2], iters=6)
         np.testing.assert_array_equal(opt.S, ref.S)
+
+
+class TestLongTrajectory:
+    def test_thirty_iterations_with_capacity_growth(self):
+        """30 lockstep iterations: crosses the padded-factor capacity
+        boundary (64 -> 128 at n = 64... here 31 observations exercise
+        repeated incremental updates) and keeps exact query parity."""
+        kern = RBF(1, variance=2.0)
+        rkern = RefRBF(1, variance=2.0)
+        f = rkhs_fn(rkern.K, [[-4.0], [-1.5], [0.0], [1.5], [4.0]],
+                    [1.0, -0.8, 2.0, 1.2, -1.5])
+        x0 = np.array([[0.0]])
+        grid = linearly_spaced_combinations([(-8.0, 8.0)], 160)
+        gp = GPRegression(x0, f(x0)[:, None], kern, noise_var=1e-3,
+                          capacity=16)   # forces two capacity growths
+        rgp = RefGP(x0, f(x0)[:, None], rkern, noise_var=1e-3)
+        opt = SafeOpt(gp, grid, fmin=[0.0], threshold=0.05)
+        ref = RefSafeOpt(rgp, grid, fmin=[0.0], threshold=0.05)
+        run_loop(opt, ref, [f], iters=30)
+        assert gp.num_data == 31
+        assert gp.state.capacity >= 32   # grew past the initial 16

@@ -231,3 +231,12 @@ class TestFusedVsStepwise:
         with pytest.raises(RuntimeError):
             opt.optimize()
         np.testing.assert_array_equal(opt.S, S_before)
+
+
+def test_stepwise_ucb_mode():
+    gp = GPRegression(np.array([[0.0]]), np.array([[1.0]]),
+                      RBF(1, variance=2.0), noise_var=0.01)
+    opt = SafeOptSwarm(gp, fmin=[0.0], bounds=[[-3.0, 3.0]])
+    x = opt.optimize(ucb=True, fused=False)
+    assert x.shape == (1,)
+    assert -3.0 <= float(x[0]) <= 3.0
