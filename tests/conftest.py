@@ -7,6 +7,11 @@ reference's GPy/float64 numerics).
 """
 
 import os
+import sys
+
+# Make the suite runnable from any working directory.
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 # Force CPU: the ambient environment pins JAX_PLATFORMS=axon (the real
 # TPU tunnel), which must not leak into the test suite — TPU matmuls
