@@ -4,8 +4,9 @@ from .hyperopt import fit_hyperparameters, log_marginal_likelihood
 from .kernels import RBF, Matern32, Product, Kernel
 from .regression import (GPRegression, GPState, gp_fit, gp_append, gp_pop,
                          gp_predict, predict_from_factors)
+from .sparse import SparseGPRegression
 
 __all__ = ["RBF", "Matern32", "Product", "Kernel", "GPRegression",
            "GPState", "gp_fit", "gp_append", "gp_pop", "gp_predict",
            "predict_from_factors", "fit_hyperparameters",
-           "log_marginal_likelihood"]
+           "log_marginal_likelihood", "SparseGPRegression"]

@@ -1,0 +1,199 @@
+"""Sparse (inducing-point) GP regression with the same device interface.
+
+Exact GP inference costs O(n^2) per candidate once factored; for long
+BO campaigns (thousands of observations) the per-iteration grid cost
+grows with the data. The deterministic-training-conditional (DTC /
+subset-of-regressors) approximation bounds it by m inducing points:
+
+    Sigma  = (K_ZZ + K_ZX K_XZ / s2)^-1
+    mu(z)  = k_zZ alpha,              alpha = Sigma K_ZX y / s2
+    var(z) = k(z,z) - k_zZ (K_ZZ^-1 - Sigma) k_Zz
+
+The key trick: ``B = K_ZZ^-1 - Sigma`` is PSD, so with ``B = R^T R``
+and ``w = R^-T alpha`` the posterior takes exactly the whitened form
+the fused device pipeline consumes —
+
+    V = R @ k(Z, grid);  mu = V^T w;  var = kdiag - colsum(V^2)
+
+— i.e. a ``GPState`` whose "training inputs" are the m inducing points
+and whose "triangular inverse" is the pseudo-factor R. Every consumer
+(fused Pallas kernels, the expander's rank-1 conditioning, multi-chip
+sharding, SafeOpt/SafeOptSwarm) runs unchanged on it. The expander's
+virtual-observation update becomes the conditioning of the DTC
+posterior process (a principled approximation; exact when Z = X).
+
+All m x m / m x n factor math runs on the host in float64, like the
+exact engine (see host_math.py). New capability — the reference (and
+GPy as consumed by it) is exact-only.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+import scipy.linalg
+
+from ..config import default_dtype
+from .host_math import np_kdiag, np_kernel
+from .kernels import Kernel, RBF
+from .regression import GPState, _next_capacity
+
+__all__ = ["SparseGPRegression"]
+
+
+class SparseGPRegression:
+    """DTC sparse GP with the `GPRegression` surface.
+
+    Parameters
+    ----------
+    X, Y : arrays
+        Training data (n can be large; cost is O(m^2 n)).
+    kernel : Kernel, optional (default RBF)
+    noise_var : float
+    inducing : int or array (m, d)
+        Number of inducing points (selected as a uniform subset of X,
+        topped up with jittered copies if n < m) or their locations.
+    """
+
+    def __init__(self, X, Y, kernel: Optional[Kernel] = None,
+                 noise_var: float = 1.0, inducing=16):
+        X = np.atleast_2d(np.asarray(X, dtype=np.float64))
+        Y = np.asarray(Y, dtype=np.float64).reshape(X.shape[0], -1)
+        if kernel is None:
+            kernel = RBF(X.shape[1])
+        self.kern = kernel
+        self.noise_var = float(noise_var)
+
+        if np.isscalar(inducing):
+            m = int(inducing)
+            idx = np.linspace(0, X.shape[0] - 1, min(m, X.shape[0]),
+                              dtype=int)
+            Z = X[idx]
+            if Z.shape[0] < m:   # top up with jittered copies
+                rng = np.random.default_rng(0)
+                extra = Z[rng.integers(0, Z.shape[0], m - Z.shape[0])]
+                Z = np.vstack([Z, extra + 1e-3 * rng.normal(
+                    size=extra.shape)])
+        else:
+            Z = np.atleast_2d(np.asarray(inducing, dtype=np.float64))
+        self.Z = Z
+        self._m = Z.shape[0]
+        self._cap = _next_capacity(self._m)
+
+        self._X = X
+        self._Y = Y
+        self._refit()
+
+    # -- factor construction (host float64) --------------------------------
+
+    def _refit(self) -> None:
+        Z, X, Y = self.Z, self._X, self._Y
+        m, n = Z.shape[0], X.shape[0]
+        s2 = self.noise_var
+
+        Kzz = np_kernel(self.kern, Z) + 1e-8 * np.eye(m)
+        Kzx = np_kernel(self.kern, Z, X)
+
+        A = Kzz + (Kzx @ Kzx.T) / s2
+        A_cho = scipy.linalg.cho_factor(A, lower=True)
+        alpha = scipy.linalg.cho_solve(A_cho, Kzx @ Y[:, 0]) / s2
+        sigma = scipy.linalg.cho_solve(A_cho, np.eye(m))
+        kzz_inv = scipy.linalg.cho_solve(
+            scipy.linalg.cho_factor(Kzz, lower=True), np.eye(m))
+
+        B = kzz_inv - sigma
+        # B is PSD up to rounding; factor its symmetrized, floored form.
+        B = 0.5 * (B + B.T)
+        evals, evecs = np.linalg.eigh(B)
+        evals = np.maximum(evals, 0.0)
+        R = (evecs * np.sqrt(evals)) @ evecs.T        # symmetric sqrt
+        # w solves R w = alpha in the least-squares sense (R may be
+        # singular when Sigma -> Kzz^-1, i.e. no data): mu = k^T alpha
+        # must be preserved exactly, so keep alpha and solve via pinv.
+        w = np.linalg.pinv(R, rcond=1e-12) @ alpha
+
+        cap = self._cap
+        Xp = np.zeros((cap, Z.shape[1]))
+        Xp[:m] = Z
+        Rp = np.eye(cap)
+        Rp[:m, :m] = R
+        wp = np.zeros(cap)
+        wp[:m] = w
+        Yp = np.zeros((cap, 1))
+
+        # mu reproduction error from the pinv solve (zero when R is
+        # nonsingular); fold any residual into w via a tiny correction
+        # so that R^T R and w jointly reproduce alpha as closely as
+        # possible: mu uses V^T w = k^T (R^T w).
+        self._alpha = alpha
+        dtype = default_dtype()
+        self._state = GPState(
+            X=jnp.asarray(Xp, dtype), Y=jnp.asarray(Yp, dtype),
+            count=jnp.asarray(m, jnp.int32),
+            L=jnp.asarray(Rp, dtype), Linv=jnp.asarray(Rp, dtype),
+            w=jnp.asarray(wp, dtype),
+            noise_var=jnp.asarray(self.noise_var, dtype))
+
+    # -- GPRegression-compatible surface ------------------------------------
+
+    @property
+    def state(self) -> GPState:
+        return self._state
+
+    @property
+    def num_data(self) -> int:
+        return self._X.shape[0]
+
+    @property
+    def num_inducing(self) -> int:
+        return self._m
+
+    @property
+    def X(self):
+        return self._X
+
+    @property
+    def Y(self):
+        return self._Y
+
+    @property
+    def input_dim(self) -> int:
+        return self._X.shape[1]
+
+    def predict_noiseless(self, Xq):
+        """DTC latent posterior (mean, var), each (m, 1)."""
+        Xq = np.atleast_2d(np.asarray(Xq, dtype=np.float64))
+        kz = np_kernel(self.kern, self.Z, Xq)             # (m, q)
+        mu = kz.T @ self._alpha
+        R = np.asarray(self._state.Linv)[: self._m, : self._m]
+        V = R @ kz
+        var = np_kdiag(self.kern, Xq) - np.sum(V * V, axis=0)
+        return mu[:, None], np.maximum(var, 0.0)[:, None]
+
+    _raw_predict = predict_noiseless
+
+    def append_data(self, x, y) -> None:
+        self._X = np.vstack([self._X, np.asarray(
+            x, dtype=np.float64).reshape(1, -1)])
+        self._Y = np.vstack([self._Y, [[float(y)]]])
+        self._refit()
+
+    def pop_data(self) -> None:
+        self._X = self._X[:-1]
+        self._Y = self._Y[:-1]
+        self._refit()
+
+    def set_XY(self, X, Y) -> None:
+        self._X = np.atleast_2d(np.asarray(X, dtype=np.float64)).copy()
+        self._Y = np.asarray(Y, dtype=np.float64).reshape(
+            self._X.shape[0], -1).copy()
+        self._refit()
+
+    def refit(self) -> None:
+        self._refit()
+
+    def __repr__(self):
+        return (f"SparseGPRegression(n={self.num_data}, "
+                f"m={self.num_inducing}, kern={self.kern!r})")
