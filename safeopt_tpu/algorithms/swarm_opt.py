@@ -573,11 +573,19 @@ class SafeOptSwarm(GaussianProcessOptimization):
             np.broadcast_to(np.asarray(self.threshold, dtype=float),
                             (len(self.gps),)), dtype)
 
+        # greedy specials from the host data store: most recent and
+        # best observations (device GP state may be a sparse
+        # pseudo-factor whose X/Y are not the observations)
+        Xh = np.asarray(self.gp.X, dtype=float)
+        Yh = np.asarray(self.gp.Y, dtype=float)
+        specials = jnp.asarray(
+            np.stack([Xh[-1], Xh[int(np.argmax(Yh[:, 0]))]]), dtype)
+
         out = fused_swarm_optimize(
             kernels, states, dev_state, self._split(),
             jnp.asarray(self.optimal_velocities, dtype),
             jnp.asarray(self._bounds_arr, dtype), beta, fmin, scaling,
-            threshold, jnp.asarray(self.best_lower_bound, dtype),
+            threshold, jnp.asarray(self.best_lower_bound, dtype), specials,
             swarm_size=self.swarm_size, max_iters=self.max_iters, ucb=ucb)
 
         out = jax.device_get(out)          # the single host pull

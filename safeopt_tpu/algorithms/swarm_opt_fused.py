@@ -94,21 +94,21 @@ def _validate_and_prune(kernels, states, S, count, swarm_size, beta, fmin,
 
 
 def _init_particles(key, S, count, swarm_size, swarm_type, greedy_point,
-                    gp_state):
-    """Reference gp_opt.py:1064-1081 in traced form."""
+                    specials):
+    """Reference gp_opt.py:1064-1081 in traced form.
+
+    ``specials`` is (2, d): the most recent observation and the best
+    observation, computed by the host from the data store (the device
+    GP state's X/Y are inducing points / unused for sparse models, so
+    they cannot be read here).
+    """
     n_random = swarm_size - 3 if swarm_type == "greedy" else swarm_size
     idx = jax.random.randint(key, (n_random,), 0, jnp.maximum(count, 1))
     particles = jnp.take(S, idx, axis=0)
     if swarm_type != "greedy":
         return particles
-    cap = gp_state.capacity
-    active = jnp.arange(cap) < gp_state.count
-    last_x = gp_state.X[gp_state.count - 1]
-    best_idx = jnp.argmax(jnp.where(active, gp_state.Y[:, 0], -jnp.inf))
-    best_x = gp_state.X[best_idx]
     return jnp.concatenate(
-        [particles, greedy_point[None, :], last_x[None, :],
-         best_x[None, :]], axis=0)
+        [particles, greedy_point[None, :], specials], axis=0)
 
 
 def _grow_safe_set(kernel0, scaling0, S, count, best_positions):
@@ -155,7 +155,7 @@ def _grow_safe_set(kernel0, scaling0, S, count, best_positions):
 @with_matmul_precision
 def fused_swarm_optimize(kernels, states, state: SwarmIterState,
                          key, velocity_scale, bounds, beta, fmin, scaling,
-                         threshold, best_lower_bound_init, *,
+                         threshold, best_lower_bound_init, specials, *,
                          swarm_size: int, max_iters: int,
                          ucb: bool = False) -> SwarmIterOut:
     """One complete SafeOptSwarm optimize() as a single device program."""
@@ -174,7 +174,7 @@ def fused_swarm_optimize(kernels, states, state: SwarmIterState,
         has_safe = n_safe > 0
 
         particles = _init_particles(k1, S, count, swarm_size, swarm_type,
-                                    greedy_point, states[0])
+                                    greedy_point, specials)
         velocities = jax.random.uniform(
             k2, (swarm_size, d), dtype=dtype) * velocity_scale
         r_stream = jax.random.uniform(

@@ -91,3 +91,26 @@ def test_safeopt_runs_on_sparse_gp():
     assert gp.num_inducing == 8      # factor size bounded
     x_best, lb = opt.get_maximum()
     assert np.isfinite(lb)
+
+
+def test_safeoptswarm_runs_on_sparse_gp():
+    """SafeOptSwarm (fused path) on a sparse model: greedy specials
+    must come from the observation store, not the inducing points."""
+    import jax
+
+    from safeopt_tpu import SafeOptSwarm
+
+    rng = np.random.default_rng(3)
+    X0 = rng.uniform(-0.5, 0.5, size=(6, 2))
+    Y0 = (2.0 * np.exp(-0.5 * np.sum(X0 ** 2, axis=1)))[:, None]
+    gp = SparseGPRegression(X0, Y0, RBF(2, variance=2.0), noise_var=1e-3,
+                            inducing=5)
+    opt = SafeOptSwarm(gp, fmin=[0.0], bounds=[(-2.0, 2.0)] * 2,
+                       swarm_size=10, key=jax.random.key(1))
+    for _ in range(3):
+        x = opt.optimize()
+        assert np.all(np.abs(x) <= 2.0)
+        y = float(2.0 * np.exp(-0.5 * np.sum(x ** 2)))
+        opt.add_new_data_point(x, y)
+    assert gp.num_data == 9
+    assert gp.num_inducing == 5
