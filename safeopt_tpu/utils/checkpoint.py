@@ -11,6 +11,9 @@ few hundred points is microseconds).
 
 Kernels are reconstructed from their pytree spec (class name + static
 aux + parameter arrays).
+
+Covers exact `GPRegression` models; sparse (inducing-point) models are
+cheap to rebuild from their own (X, Y, Z) and are not serialized here.
 """
 
 from __future__ import annotations
