@@ -240,3 +240,78 @@ def test_stepwise_ucb_mode():
     x = opt.optimize(ucb=True, fused=False)
     assert x.shape == (1,)
     assert -3.0 <= float(x[0]) <= 3.0
+
+
+class TestFusedComponentsMatchStepwise:
+    """The fused iteration's traced state ops must reproduce the
+    stepwise (reference-shaped) host logic on identical inputs."""
+
+    def _model(self):
+        X = np.array([[0.0], [0.5], [-0.8], [1.5]])
+        Y = np.array([[1.2], [0.9], [-0.4], [0.7]])
+        return GPRegression(X, Y, RBF(1, variance=2.0), noise_var=1e-3)
+
+    def test_validate_and_prune_matches_host(self):
+        import jax.numpy as jnp
+
+        from safeopt_tpu.algorithms.swarm_opt_fused import \
+            _validate_and_prune
+
+        gp = self._model()
+        # safe set with some points that the model now marks unsafe
+        S = np.array([[0.0], [0.5], [-0.8], [1.5], [0.2], [-0.2]])
+        cap = 8
+        S_buf = np.zeros((cap, 1))
+        S_buf[: len(S)] = S
+        swarm_size = 2
+
+        kernels, states = (gp.kern,), (gp.state,)
+        beta = jnp.asarray(2.0)
+        fmin = jnp.asarray([0.0])
+        scaling = jnp.asarray([np.sqrt(2.0)])
+
+        S_new, count_new, n_safe, pruned = _validate_and_prune(
+            kernels, states, jnp.asarray(S_buf, float),
+            jnp.asarray(len(S), jnp.int32), swarm_size, beta, fmin,
+            scaling)
+
+        # host reference: same fitness, same pruning rule
+        from safeopt_tpu.algorithms.swarm_opt import _safe_set_check
+        safe = np.asarray(_safe_set_check(
+            kernels, states, jnp.asarray(S_buf, float),
+            jnp.asarray(len(S), jnp.int32), beta, fmin, scaling))[:len(S)]
+        num_safe = int(safe.sum())
+        assert int(n_safe) == num_safe
+        if num_safe >= swarm_size and num_safe != len(S):
+            expected = S[safe]       # order-preserving compaction
+            got = np.asarray(S_new)[: int(count_new)]
+            assert_allclose(got, expected)
+            assert int(pruned) == len(S) - num_safe
+
+    def test_grow_safe_set_matches_host(self):
+        import jax.numpy as jnp
+
+        from safeopt_tpu.algorithms.swarm_opt_fused import _grow_safe_set
+
+        gp = self._model()
+        rng = np.random.default_rng(17)
+        S = rng.uniform(-2, 2, size=(5, 1))
+        best = np.vstack([S[0] + 1e-4,          # redundant (cov ~ 1)
+                          rng.uniform(5, 9, size=(4, 1))])  # far => new
+        cap = 16
+        S_buf = np.zeros((cap, 1))
+        S_buf[:5] = S
+
+        S_new, count_new, added = _grow_safe_set(
+            gp.kern, jnp.asarray(np.sqrt(2.0)), jnp.asarray(S_buf, float),
+            jnp.asarray(5, jnp.int32), jnp.asarray(best, float))
+
+        # host reference: the stepwise class logic on the same inputs
+        from safeopt_tpu import SafeOptSwarm
+        opt = SafeOptSwarm(gp, fmin=[0.0], bounds=[(-10.0, 10.0)])
+        opt.S = S.copy()
+        opt._grow_safe_set(best)
+
+        got = np.asarray(S_new)[: int(count_new)]
+        assert_allclose(got, opt.S)
+        assert int(added) == len(opt.S) - 5
