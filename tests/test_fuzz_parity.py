@@ -1,0 +1,132 @@
+"""Randomized lockstep parity: random configurations vs the reference.
+
+Each case draws a random problem — kernel family, hyperparameters,
+number of GPs, thresholds, grid, seed data, RKHS test functions — and
+runs several full BO iterations in lockstep with the sequential NumPy
+float64 reference, requiring identical query points and identical
+S/M/G sets at the end. This is the broadest evidence that the fused
+device pipeline is decision-equivalent to the reference algorithm, not
+just on the four curated configurations.
+
+Degenerate forks are tolerated: when a configuration produces two
+candidates whose selection values agree to ~1e-13 (e.g. symmetric
+near-duplicate posteriors), float64 implementations with different op
+orders may legitimately pick either; the harness verifies the fork IS
+such a near-tie (both implementations value both choices identically
+to 1e-9) and ends the case there. Anything else fails.
+"""
+
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+from safeopt_tpu import SafeOpt, linearly_spaced_combinations
+from safeopt_tpu.gp import GPRegression, Matern32, RBF
+
+from reference_impl import RefGP, RefMatern32, RefRBF, RefSafeOpt
+
+
+def _random_case(rng):
+    d = int(rng.integers(1, 3))          # 1-2 input dims
+    num_gps = int(rng.integers(1, 4))    # 1-3 GPs
+    grid_n = int(rng.integers(80, 200))
+    side = int(np.ceil(grid_n ** (1.0 / d)))
+    bounds = [(-5.0, 5.0)] * d
+    grid = linearly_spaced_combinations(bounds, side)
+
+    kerns, rkerns, fns = [], [], []
+    for g in range(num_gps):
+        variance = float(rng.uniform(0.8, 3.0))
+        if d == 1:
+            ls = float(rng.uniform(0.6, 2.0))
+        else:
+            ls = rng.uniform(0.6, 2.0, size=d).tolist()
+        ard = d > 1
+        if rng.random() < 0.5:
+            kerns.append(RBF(d, variance=variance, lengthscale=ls, ARD=ard))
+            rkerns.append(RefRBF(d, variance=variance, lengthscale=ls,
+                                 ARD=ard))
+        else:
+            kerns.append(Matern32(d, variance=variance, lengthscale=ls,
+                                  ARD=ard))
+            rkerns.append(RefMatern32(d, variance=variance, lengthscale=ls,
+                                      ARD=ard))
+        centers = rng.uniform(-4, 4, size=(4, d))
+        weights = rng.uniform(-1.0, 1.5, size=4)
+        rk = rkerns[-1]
+
+        def fn(x, rk=rk, centers=centers.copy(), weights=weights.copy(),
+               bias=0.0):
+            return rk.K(np.atleast_2d(x), centers) @ weights + bias
+
+        fns.append(fn)
+
+    # seed at an actual grid point so its tight posterior certifies it
+    x0 = grid[[int(np.argmin(np.sum(grid ** 2, axis=1)))]]
+    # shift each function so the seed is comfortably safe even for the
+    # largest beta draws
+    safe_level = 1.0 + 0.5 * 3.0 * np.sqrt(3.0)
+    fns = [
+        (lambda x, fn=fn, off=(safe_level - float(fn(x0)[0])): fn(x) + off)
+        for fn in fns
+    ]
+
+    fmin = [0.0] * num_gps
+    if num_gps > 1 and rng.random() < 0.5:
+        fmin[0] = -np.inf                # unconstrained objective
+    threshold = float(rng.uniform(0.0, 0.3))
+    noise = float(10 ** rng.uniform(-5, -2.5))
+    beta = float(rng.uniform(1.5, 3.0))
+    return grid, kerns, rkerns, fns, fmin, threshold, noise, beta, x0
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_random_config_lockstep(seed):
+    rng = np.random.default_rng(1000 + seed)
+    (grid, kerns, rkerns, fns, fmin, threshold, noise, beta,
+     x0) = _random_case(rng)
+
+    y0 = np.array([[float(f(x0)[0]) for f in fns]])
+    gps = [GPRegression(x0, y0[:, [i]], k, noise_var=noise)
+           for i, k in enumerate(kerns)]
+    rgps = [RefGP(x0, y0[:, [i]], k, noise_var=noise)
+            for i, k in enumerate(rkerns)]
+    gp_arg = gps if len(gps) > 1 else gps[0]
+    rgp_arg = rgps if len(rgps) > 1 else rgps[0]
+
+    opt = SafeOpt(gp_arg, grid, fmin=list(fmin), beta=beta,
+                  threshold=threshold)
+    ref = RefSafeOpt(rgp_arg, grid, fmin=list(fmin), beta=beta,
+                     threshold=threshold)
+
+    forked = False
+    for it in range(5):
+        x = np.asarray(opt.optimize())
+        xr = np.asarray(ref.optimize())
+        if not np.allclose(x, xr, atol=1e-9):
+            # legitimate only if the two choices are a float near-tie
+            # of the selection criterion in the REFERENCE's arithmetic
+            l = ref.Q[:, ::2]
+            u = ref.Q[:, 1::2]
+            value = np.max((u - l) / ref.scaling, axis=1)
+            io = int(np.argmin(np.sum((ref.inputs - x) ** 2, axis=1)))
+            ir = int(np.argmin(np.sum((ref.inputs - xr) ** 2, axis=1)))
+            tie_gap = abs(value[io] - value[ir])
+            assert tie_gap < 1e-9 * max(abs(value[ir]), 1e-12), (
+                f"seed {seed} truly diverged at iteration {it}: "
+                f"{x} vs {xr}, selection gap {tie_gap:.3e}")
+            forked = True
+            break
+        y = [float(f(x)[0]) for f in fns]
+        opt.add_new_data_point(x, np.array([y]))
+        ref.add_new_data_point(x, np.array([y]))
+
+    if not forked:
+        np.testing.assert_array_equal(opt.S, ref.S)
+        np.testing.assert_array_equal(opt.M, ref.M)
+        np.testing.assert_array_equal(opt.G, ref.G)
+        m = opt.get_maximum()
+        mr = ref.get_maximum()
+        assert (m is None) == (mr is None)
+        if m is not None:
+            assert_allclose(np.asarray(m[0]), mr[0], atol=1e-9)
