@@ -130,3 +130,91 @@ def test_random_config_lockstep(seed):
         assert (m is None) == (mr is None)
         if m is not None:
             assert_allclose(np.asarray(m[0]), mr[0], atol=1e-9)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_random_lipschitz_lockstep(seed):
+    """Random configs through the Lipschitz expander variant."""
+    rng = np.random.default_rng(2000 + seed)
+    (grid, kerns, rkerns, fns, fmin, threshold, noise, beta,
+     x0) = _random_case(rng)
+    lip = float(rng.uniform(0.5, 3.0))
+
+    y0 = np.array([[float(f(x0)[0]) for f in fns]])
+    gps = [GPRegression(x0, y0[:, [i]], k, noise_var=noise)
+           for i, k in enumerate(kerns)]
+    rgps = [RefGP(x0, y0[:, [i]], k, noise_var=noise)
+            for i, k in enumerate(rkerns)]
+    gp_arg = gps if len(gps) > 1 else gps[0]
+    rgp_arg = rgps if len(rgps) > 1 else rgps[0]
+
+    opt = SafeOpt(gp_arg, grid, fmin=list(fmin), beta=beta,
+                  threshold=threshold, lipschitz=lip)
+    ref = RefSafeOpt(rgp_arg, grid, fmin=list(fmin), beta=beta,
+                     threshold=threshold, lipschitz=lip)
+    assert opt.use_lipschitz and ref.use_lipschitz
+
+    for it in range(4):
+        x = np.asarray(opt.optimize())
+        xr = np.asarray(ref.optimize())
+        if not np.allclose(x, xr, atol=1e-9):
+            l = ref.Q[:, ::2]
+            u = ref.Q[:, 1::2]
+            value = np.max((u - l) / ref.scaling, axis=1)
+            io = int(np.argmin(np.sum((ref.inputs - x) ** 2, axis=1)))
+            ir = int(np.argmin(np.sum((ref.inputs - xr) ** 2, axis=1)))
+            assert abs(value[io] - value[ir]) < 1e-9, \
+                f"lipschitz seed {seed} diverged at iteration {it}"
+            return
+        y = [float(f(x)[0]) for f in fns]
+        opt.add_new_data_point(x, np.array([y]))
+        ref.add_new_data_point(x, np.array([y]))
+    np.testing.assert_array_equal(opt.G, ref.G)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_random_context_lockstep(seed):
+    """Random contextual configs (product kernel, 1 context column)."""
+    rng = np.random.default_rng(3000 + seed)
+    var_p = float(rng.uniform(1.0, 3.0))
+    ls_p = float(rng.uniform(0.7, 2.0))
+    ls_c = float(rng.uniform(0.8, 2.5))
+    kern = (RBF(1, variance=var_p, lengthscale=ls_p, active_dims=[0]) *
+            RBF(1, variance=1.0, lengthscale=ls_c, active_dims=[1]))
+    rkern = (RefRBF(1, variance=var_p, lengthscale=ls_p, active_dims=[0]) *
+             RefRBF(1, variance=1.0, lengthscale=ls_c, active_dims=[1]))
+
+    centers = np.column_stack([rng.uniform(-4, 4, size=4),
+                               rng.uniform(-0.5, 0.5, size=4)])
+    weights = rng.uniform(-1.0, 1.5, size=4)
+
+    def raw(x):
+        return rkern.K(np.atleast_2d(x), centers) @ weights
+
+    x0 = np.array([[0.0, 0.0]])
+    off = 1.0 + 0.5 * 3.0 * np.sqrt(var_p) - float(raw(x0)[0])
+
+    def f(x):
+        return raw(x) + off
+
+    params = linearly_spaced_combinations([(-5.0, 5.0)],
+                                          int(rng.integers(80, 150)))
+    noise = float(10 ** rng.uniform(-5, -3))
+    beta = float(rng.uniform(1.5, 3.0))
+    gp = GPRegression(x0, f(x0)[:, None], kern, noise_var=noise)
+    rgp = RefGP(x0, f(x0)[:, None], rkern, noise_var=noise)
+    opt = SafeOpt(gp, params, fmin=[0.0], num_contexts=1, beta=beta,
+                  threshold=0.1)
+    ref = RefSafeOpt(rgp, params, fmin=[0.0], num_contexts=1, beta=beta,
+                     threshold=0.1)
+
+    contexts = [0.0, 0.0, float(rng.uniform(-0.3, 0.3)), 0.1]
+    for it, ctx in enumerate(contexts):
+        x = np.asarray(opt.optimize(context=np.array([ctx])))
+        xr = np.asarray(ref.optimize(context=np.array([ctx])))
+        assert_allclose(x, xr, atol=1e-9,
+                        err_msg=f"context seed {seed} iteration {it}")
+        joint = np.concatenate([x, [ctx]])
+        y = float(f(joint[None, :])[0])
+        opt.add_new_data_point(x, y, context=np.array([ctx]))
+        ref.add_new_data_point(x, y, context=np.array([ctx]))
