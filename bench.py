@@ -11,6 +11,20 @@ publishes no numbers; the driver-set north star is a 1e6-point grid
 iteration in < 10 ms on one v5e chip. ``vs_baseline`` is the speedup
 against that 10 ms target (>1 = faster than target).
 
+Round-2 additions (VERDICT.md):
+- ``pallas_parity``: the identical 1e6-grid step with use_pallas=True
+  and False must produce the same S/M/G/next_idx (the interval
+  comparisons of reference gp_opt.py:453-481) — gates the compiled
+  Mosaic kernels against the XLA path ON REAL HARDWARE, where bf16
+  passes / tile padding / accumulator dtype bugs live.
+- ``safeopt_cap512_ms``: capacity-512 (500 obs) hard mode — the
+  (cap,cap)x(cap,B) whitened solve dominates.
+- ``expander_stress_ms``: a config where no candidate passes the
+  expander test, forcing the chunked while_loop to walk every
+  candidate (the worst case of reference gp_opt.py:557-612).
+- ``swarm_*``: 10-d SafeOptSwarm iteration attributed into device
+  compute vs host+tunnel, for 1-GP and 2-GP configs.
+
 Prints ONE JSON line.
 """
 
@@ -18,6 +32,35 @@ import json
 import time
 
 import numpy as np
+
+TARGET_MS = 10.0
+
+
+def _build_gps(rng, n_obs, capacity, d=2, spread=1.5):
+    from safeopt_tpu.gp import GPRegression, RBF
+
+    X = rng.uniform(-spread, spread, size=(n_obs, d))
+    Yf = (2.0 * np.exp(-0.5 * np.sum(X ** 2, axis=1))
+          + 0.05 * rng.normal(size=n_obs))[:, None]
+    Yg = (1.0 - 0.1 * np.sum(X ** 2, axis=1)
+          + 0.05 * rng.normal(size=n_obs))[:, None]
+    gp_f = GPRegression(X, Yf, RBF(d, variance=2.0, lengthscale=1.0),
+                        noise_var=0.05 ** 2, capacity=capacity)
+    gp_g = GPRegression(X, Yg, RBF(d, variance=1.0, lengthscale=1.5),
+                        noise_var=0.05 ** 2, capacity=capacity)
+    return gp_f, gp_g
+
+
+def _time_step(step_fn, reps):
+    import jax
+
+    result = step_fn()                     # warmup / compile
+    jax.block_until_ready(result)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        result = step_fn()
+    jax.block_until_ready(result)
+    return (time.perf_counter() - t0) / reps, result
 
 
 def main():
@@ -44,17 +87,7 @@ def main():
     # (objective + one safety constraint), ~50 observations.
     n_obs = 50
     grid = linearly_spaced_combinations([(-5.0, 5.0), (-5.0, 5.0)], 1000)
-
-    X = rng.uniform(-1.5, 1.5, size=(n_obs, 2))
-    Yf = (2.0 * np.exp(-0.5 * np.sum(X ** 2, axis=1))
-          + 0.05 * rng.normal(size=n_obs))[:, None]
-    Yg = (1.0 - 0.1 * np.sum(X ** 2, axis=1)
-          + 0.05 * rng.normal(size=n_obs))[:, None]
-
-    gp_f = GPRegression(X, Yf, RBF(2, variance=2.0, lengthscale=1.0),
-                        noise_var=0.05 ** 2, capacity=64)
-    gp_g = GPRegression(X, Yg, RBF(2, variance=1.0, lengthscale=1.5),
-                        noise_var=0.05 ** 2, capacity=64)
+    gp_f, gp_g = _build_gps(rng, n_obs, capacity=64)
 
     kernels = (gp_f.kern, gp_g.kern)
     states = (gp_f.state, gp_g.state)
@@ -68,57 +101,174 @@ def main():
 
     use_pallas = jax.default_backend() != "cpu"
 
-    def step():
+    def step(pallas=use_pallas):
         return safeopt_step(kernels, states, grid_dev, fmin, beta, scaling,
-                            threshold, chunk=32, use_pallas=use_pallas)
+                            threshold, chunk=32, use_pallas=pallas)
 
-    # Warmup / compile.
-    result = step()
-    jax.block_until_ready(result)
+    elapsed, result = _time_step(step, reps=20)
     assert bool(result.has_safe), "bench config must have safe points"
-
-    reps = 20
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        result = step()
-    jax.block_until_ready(result)
-    elapsed = (time.perf_counter() - t0) / reps
-
     points_per_sec = grid.shape[0] / elapsed
-    target_ms = 10.0
 
-    # Secondary metrics; never let their failure break the primary line.
-    try:
-        loop_ms = _fused_loop_secondary(kernels, states, grid_dev, fmin,
-                                        beta, scaling, threshold)
-    except Exception:
-        loop_ms = None
-    try:
-        swarm_ms = _swarm_secondary()
-    except Exception:
-        swarm_ms = None
-
-    print(json.dumps({
+    out = {
         "metric": "safeopt_1e6_grid_iteration",
         "value": round(elapsed * 1e3, 3),
         "unit": "ms",
-        "vs_baseline": round(target_ms / (elapsed * 1e3), 3),
+        "vs_baseline": round(TARGET_MS / (elapsed * 1e3), 3),
         "points_per_sec": round(points_per_sec),
         "num_gps": 2,
         "n_obs": n_obs,
         "device": str(jax.devices()[0]),
         "pallas": use_pallas,
-        "fused_loop_ms_per_iter": loop_ms,
-        "swarm_10d_iteration_ms": swarm_ms,
-    }))
+    }
 
+    # Secondary metrics; never let their failure break the primary line.
+    extras = [
+        ("pallas-parity", lambda: _pallas_parity_gate(step, result)),
+        ("cap512", lambda: _cap512_secondary(rng, grid_dev)),
+        ("expander-stress", lambda: _expander_stress_secondary()),
+        ("fused-loop", lambda: _fused_loop_secondary(
+            kernels, states, grid_dev, fmin, beta, scaling, threshold)),
+        ("swarm", lambda: _swarm_secondary()),
+    ]
+    for name, fn in extras:
+        try:
+            out.update(fn())
+        except Exception as e:  # pragma: no cover - diagnostics only
+            out[f"{name}_error"] = f"{type(e).__name__}: {e}"
+
+    print(json.dumps(out))
+
+
+# ---------------------------------------------------------------------------
+# VERDICT item 2: Pallas-vs-XLA decision parity on the real chip
+# ---------------------------------------------------------------------------
+
+def _pallas_parity_gate(step, result_pallas):
+    """Same step, XLA path: S/M/G/next_idx must match bit-for-bit.
+
+    Protects the interval comparisons of reference gp_opt.py:453-481
+    against the Mosaic-kernel bug class (bf16 passes, tile padding,
+    accumulator dtype) that only exists on real hardware.
+    """
+    import jax
+
+    elapsed_xla, result_xla = _time_step(lambda: step(pallas=False), reps=5)
+
+    a = jax.device_get((result_pallas.S, result_pallas.M, result_pallas.G,
+                        result_pallas.next_idx, result_pallas.Q))
+    b = jax.device_get((result_xla.S, result_xla.M, result_xla.G,
+                        result_xla.next_idx, result_xla.Q))
+    mism = {
+        "S": int(np.count_nonzero(a[0] != b[0])),
+        "M": int(np.count_nonzero(a[1] != b[1])),
+        "G": int(np.count_nonzero(a[2] != b[2])),
+        "next_idx": int(a[3] != b[3]),
+    }
+    q_close = bool(np.allclose(a[4], b[4], rtol=1e-5, atol=1e-5))
+    parity = all(v == 0 for v in mism.values()) and q_close
+    return {
+        "pallas_parity": parity,
+        "pallas_mismatches": mism,
+        "q_within_tol": q_close,
+        "xla_ms": round(elapsed_xla * 1e3, 3),
+    }
+
+
+# ---------------------------------------------------------------------------
+# VERDICT item 4a: capacity-512 hard mode
+# ---------------------------------------------------------------------------
+
+def _cap512_secondary(rng, grid_dev):
+    """1e6-grid iteration at capacity 512 (500 observations): the
+    (cap,cap)x(cap,B) whitened solve dominates the interval pass."""
+    import jax
+    import jax.numpy as jnp
+
+    from safeopt_tpu.algorithms.safe_opt_core import safeopt_step
+
+    gp_f, gp_g = _build_gps(rng, n_obs=500, capacity=512, spread=4.0)
+    kernels = (gp_f.kern, gp_g.kern)
+    states = (gp_f.state, gp_g.state)
+    dtype = states[0].X.dtype
+    fmin = jnp.asarray([0.2, 0.5], dtype)
+    use_pallas = jax.default_backend() != "cpu"
+
+    def step():
+        return safeopt_step(kernels, states, grid_dev, fmin,
+                            jnp.asarray(2.0, dtype),
+                            jnp.asarray([np.sqrt(2.0), 1.0], dtype),
+                            jnp.asarray([0.0, 0.0], dtype),
+                            chunk=32, use_pallas=use_pallas)
+
+    elapsed, result = _time_step(step, reps=10)
+    assert bool(result.has_safe)
+    return {
+        "safeopt_cap512_ms": round(elapsed * 1e3, 3),
+        "cap512_under_target": elapsed * 1e3 < TARGET_MS,
+    }
+
+
+# ---------------------------------------------------------------------------
+# VERDICT item 4b: expander-stress (many chunks through the while_loop)
+# ---------------------------------------------------------------------------
+
+def _expander_stress_secondary():
+    """A config where NO candidate passes the expander test: a compact
+    safe island whose virtual observations cannot certify the distant
+    unsafe points (lengthscale 0.5 on a [-5,5]^2 grid), so the chunked
+    search walks every candidate — the reference's worst case
+    (gp_opt.py:557-612, all safe points qualify, none pass)."""
+    import jax
+    import jax.numpy as jnp
+
+    from safeopt_tpu import linearly_spaced_combinations
+    from safeopt_tpu.algorithms.safe_opt_core import safeopt_step
+    from safeopt_tpu.gp import GPRegression, RBF
+
+    rng = np.random.default_rng(1)
+    n_obs = 50
+    X = rng.uniform(-1.0, 1.0, size=(n_obs, 2))
+    Yf = (2.0 * np.exp(-0.2 * np.sum(X ** 2, axis=1))
+          + 0.02 * rng.normal(size=n_obs))[:, None]
+    gp = GPRegression(X, Yf, RBF(2, variance=2.0, lengthscale=0.5),
+                      noise_var=0.05 ** 2, capacity=64)
+    grid = linearly_spaced_combinations([(-5.0, 5.0), (-5.0, 5.0)], 1000)
+    dtype = gp.state.X.dtype
+    grid_dev = jnp.asarray(grid, dtype)
+    chunk = 32
+    use_pallas = jax.default_backend() != "cpu"
+
+    def step():
+        return safeopt_step((gp.kern,), (gp.state,), grid_dev,
+                            jnp.asarray([0.2], dtype),
+                            jnp.asarray(3.0, dtype),
+                            jnp.asarray([np.sqrt(2.0)], dtype),
+                            jnp.asarray([0.0], dtype),
+                            chunk=chunk, use_pallas=use_pallas)
+
+    elapsed, result = _time_step(step, reps=5)
+    S, M, G, Q = jax.device_get((result.S, result.M, result.G, result.Q))
+    # reconstruct the candidate count host-side (mirrors _classify)
+    width = Q[:, 1] - Q[:, 0]
+    max_var = np.max(width[M]) / np.sqrt(2.0) if M.any() else np.inf
+    cand = S & ~M & (width / np.sqrt(2.0) > max_var)
+    n_chunks = int(np.ceil(cand.sum() / chunk))
+    return {
+        "expander_stress_ms": round(elapsed * 1e3, 3),
+        "expander_stress_chunks": n_chunks,
+        "expander_stress_found": bool(G.any()),
+        "expander_stress_under_target": elapsed * 1e3 < TARGET_MS,
+    }
+
+
+# ---------------------------------------------------------------------------
+# on-device BO loop (scan) secondary
+# ---------------------------------------------------------------------------
 
 def _fused_loop_secondary(kernels, states, grid_dev, fmin, beta, scaling,
                           threshold):
     """Complete BO iterations (step + observe + model update) under one
     lax.scan dispatch — the zero-host-round-trip serving path."""
-    import time
-
     import jax
     import jax.numpy as jnp
 
@@ -144,31 +294,85 @@ def _fused_loop_secondary(kernels, states, grid_dev, fmin, beta, scaling,
     for i in range(3):
         r = call(jax.random.key(i + 1))
     jax.block_until_ready(r)
-    return round((time.perf_counter() - t0) / 3 / n_iter * 1e3, 2)
+    ms = round((time.perf_counter() - t0) / 3 / n_iter * 1e3, 2)
+    return {"fused_loop_ms_per_iter": ms}
 
 
-def _swarm_secondary():
-    import time
+# ---------------------------------------------------------------------------
+# VERDICT item 3: swarm iteration, attributed (compute vs host+tunnel)
+# ---------------------------------------------------------------------------
 
+def _swarm_config(num_gps):
     import jax
 
     from safeopt_tpu import SafeOptSwarm
-    from safeopt_tpu.gp import GPRegression, RBF
+    from safeopt_tpu.gp import GPRegression, Matern32, RBF
 
     rng = np.random.default_rng(0)
     d, n0 = 10, 5
     X = rng.uniform(-0.5, 0.5, size=(n0, d))
-    Y = (2.0 * np.exp(-0.5 * np.sum(X ** 2, axis=1)))[:, None]
-    gp = GPRegression(X, Y, RBF(d, variance=2.0, lengthscale=2.0),
-                      noise_var=0.01)
-    opt = SafeOptSwarm(gp, fmin=[0.0], bounds=[(-3.0, 3.0)] * d,
-                       swarm_size=20, key=jax.random.key(0))
-    opt.optimize()  # compile
+    Yf = (2.0 * np.exp(-0.5 * np.sum(X ** 2, axis=1)))[:, None]
+    gps = [GPRegression(X, Yf, RBF(d, variance=2.0, lengthscale=2.0),
+                        noise_var=0.01)]
+    fmin = [0.0]
+    if num_gps == 2:
+        Yg = (1.0 - 0.05 * np.sum(X ** 2, axis=1))[:, None]
+        gps.append(GPRegression(X, Yg,
+                                Matern32(d, variance=1.0, lengthscale=3.0),
+                                noise_var=0.01))
+        fmin = [-np.inf, 0.0]
+    gp_arg = gps if num_gps == 2 else gps[0]
+    return SafeOptSwarm(gp_arg, fmin=fmin, bounds=[(-3.0, 3.0)] * d,
+                        swarm_size=20, key=jax.random.key(0))
+
+
+def _swarm_attributed(opt):
+    """(total_ms, compute_ms): end-to-end optimize() vs back-to-back
+    re-dispatch of the compiled fused program on fixed operands.
+
+    total includes host orchestration + the single device->host pull
+    (~40-45 ms through the remote tunnel, swarm_opt.py:299-307);
+    compute is the device program itself (dispatches pipeline, so the
+    amortized per-call time is the true execution time)."""
+    import jax
+
+    from safeopt_tpu.algorithms.swarm_opt_fused import fused_swarm_optimize
+
+    opt.optimize()                         # compile + state warm
     reps = 5
     t0 = time.perf_counter()
     for _ in range(reps):
         opt.optimize()
-    return round((time.perf_counter() - t0) / reps * 1e3, 1)
+    total_ms = (time.perf_counter() - t0) / reps * 1e3
+
+    args, kwargs = opt._fused_args()
+    out = fused_swarm_optimize(*args, **kwargs)
+    jax.block_until_ready(out)
+    reps = 20
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fused_swarm_optimize(*args, **kwargs)
+    jax.block_until_ready(out)
+    compute_ms = (time.perf_counter() - t0) / reps * 1e3
+    return total_ms, compute_ms
+
+
+def _swarm_secondary():
+    """10-d swarm iteration, 1-GP and 2-GP, attributed. Target
+    (VERDICT item 3): < 50 ms total including the tunnel pull."""
+    out = {}
+    opt1 = _swarm_config(num_gps=1)
+    total, compute = _swarm_attributed(opt1)
+    out["swarm_10d_total_ms"] = round(total, 1)
+    out["swarm_10d_compute_ms"] = round(compute, 2)
+    out["swarm_10d_host_tunnel_ms"] = round(total - compute, 1)
+    out["swarm_target_met"] = total < 50.0
+
+    opt2 = _swarm_config(num_gps=2)
+    total2, compute2 = _swarm_attributed(opt2)
+    out["swarm_10d_2gp_total_ms"] = round(total2, 1)
+    out["swarm_10d_2gp_compute_ms"] = round(compute2, 2)
+    return out
 
 
 if __name__ == "__main__":

@@ -63,6 +63,7 @@ class GaussianProcessOptimization:
         fmin = fmin if isinstance(fmin, list) else [fmin] * len(self.gps)
         self.fmin = np.atleast_1d(np.asarray(fmin, dtype=float).squeeze())
 
+        self._beta_is_callable = callable(beta)
         if callable(beta):
             self.beta = beta
         else:

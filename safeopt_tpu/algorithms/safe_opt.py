@@ -24,6 +24,12 @@ from .safe_opt_core import full_expander_sets, safe_maximum, safeopt_step
 
 __all__ = ["SafeOpt"]
 
+# Sentinel distinguishing "keep the current context" (compute_sets,
+# reference gp_opt.py:483 never touches the context) from an explicit
+# ``context=None`` (which, with num_contexts > 0, is an error exactly
+# like the reference setter's, gp_opt.py:445-447).
+_KEEP_CONTEXT = object()
+
 
 class SafeOpt(GaussianProcessOptimization):
     """Safe Bayesian optimization over a discrete candidate set.
@@ -207,9 +213,10 @@ class SafeOpt(GaussianProcessOptimization):
         th = np.asarray(self.threshold, dtype=float)
         return np.broadcast_to(th, (len(self.gps),))
 
-    def _run_step(self, context=None, ucb: bool = False):
+    def _run_step(self, context=_KEEP_CONTEXT, ucb: bool = False):
         """Execute the fused device step and mirror results host-side."""
-        self.context = context
+        if context is not _KEEP_CONTEXT:
+            self.context = context
         kernels, states = self._model_args()
         dtype = default_dtype()
         result = safeopt_step(
@@ -222,6 +229,13 @@ class SafeOpt(GaussianProcessOptimization):
                                                             dtype),
             ucb=ucb, use_lipschitz=self._use_lipschitz,
             chunk=self._expander_chunk, use_pallas=self._use_pallas)
+        if ucb and self._dev is not None:
+            # ucb never recomputes M/G (reference leaves them stale,
+            # gp_opt.py:670-675); pin any unmaterialized mirrors to the
+            # *previous* device result before it is replaced, or a later
+            # read would resolve against the new all-zero masks.
+            self._host_cache["M"] = self._mirror("M")
+            self._host_cache["G"] = self._mirror("G")
         self._dev = result
         self._host_cache["Q"] = None
         self._host_cache["S"] = None
@@ -267,7 +281,8 @@ class SafeOpt(GaussianProcessOptimization):
                 None if self.lipschitz is None else
                 jnp.asarray(self.lipschitz, dtype),
                 use_lipschitz=self._use_lipschitz,
-                chunk=self._expander_chunk)
+                chunk=self._expander_chunk,
+                use_pallas=self._use_pallas)
         else:
             result = self._run_step(ucb=False)
         self._dev = result

@@ -401,37 +401,44 @@ def safe_maximum(kernels, states, grid, fmin, beta, num_valid=None, *,
     return idx, value[idx], jnp.any(S), Q, S
 
 
-@partial(jax.jit, static_argnames=("use_lipschitz", "chunk"))
+@partial(jax.jit, static_argnames=("use_lipschitz", "chunk", "use_pallas"))
 @with_matmul_precision
 def full_expander_sets(kernels, states, grid, fmin, beta, scaling,
-                       lipschitz=None, *, use_lipschitz: bool = False,
-                       chunk: int = 64):
+                       lipschitz=None, num_valid=None, *,
+                       use_lipschitz: bool = False, chunk: int = 64,
+                       use_pallas: bool = False):
     """Plotting variant: evaluate the predicate for every safe point.
 
     Reference ``compute_sets(full_sets=True)`` (gp_opt.py:527-555): the
     candidate set is all of S (including M), unfiltered and unsorted.
+    Accepts the same ``num_valid`` padding mask and ``use_pallas``
+    toggle as ``safeopt_step`` so the fused entry points stay
+    consistent on sharded grids and on TPU.
     """
-    Q, mus, sigmas, Vs = _confidence_intervals(kernels, states, grid, beta)
+    N = grid.shape[0]
+    valid = (jnp.ones((N,), bool) if num_valid is None
+             else jnp.arange(N) < num_valid)
+    Q, mus, sigmas, Vs = _confidence_intervals(kernels, states, grid, beta,
+                                               use_pallas=use_pallas)
     l = Q[:, 0::2]
     u = Q[:, 1::2]
-    S = jnp.all(l > fmin, axis=1)
+    S = jnp.all(l > fmin, axis=1) & valid
     has_safe = jnp.any(S)
     l0, u0 = l[:, 0], u[:, 0]
     best_l0 = jnp.max(jnp.where(S, l0, -jnp.inf))
     M = S & (u0 >= best_l0) & has_safe
 
-    N = grid.shape[0]
     lip = lipschitz if use_lipschitz else None
     num_chunks = -(-N // chunk)
-    unsafe = ~S
+    unsafe = valid & ~S
 
     def body(k, G):
         offs = k * chunk + jnp.arange(chunk)
-        valid = (offs < N) & jnp.take(S, jnp.minimum(offs, N - 1))
+        in_range = (offs < N) & jnp.take(S, jnp.minimum(offs, N - 1))
         gidx = jnp.minimum(offs, N - 1)
         pred = _chunk_expander_predicate(
             kernels, states, grid, Q, unsafe, mus, sigmas, Vs, fmin, beta,
-            lip, gidx, valid)
+            lip, gidx, in_range, use_pallas=use_pallas)
         return G.at[gidx].set(pred | G[gidx])
 
     G = jax.lax.fori_loop(0, num_chunks, body,

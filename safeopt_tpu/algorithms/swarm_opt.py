@@ -50,7 +50,7 @@ from ..config import default_dtype, with_matmul_precision
 from ..gp.regression import gp_predict
 from .base import GaussianProcessOptimization
 from .swarm import SwarmOptimization
-from .swarm_core import make_uniform_stream, swarm_scan
+from .swarm_core import swarm_scan
 
 __all__ = ["SafeOptSwarm"]
 
@@ -319,6 +319,25 @@ class SafeOptSwarm(GaussianProcessOptimization):
             self._key, sub = jax.random.split(self._key)
         return sub
 
+    def _draw_uniform(self, shape) -> np.ndarray:
+        """U[0,1) host draw — the single gate for stepwise randomness.
+
+        Every stochastic choice of the stepwise path (particle-init
+        indices, initial velocities, the PSO r1/r2 stream) flows
+        through here, in a fixed per-swarm order (idx, vel, r), so
+        lockstep parity tests can override it with recorded streams
+        shared with ``RefSafeOptSwarm`` and the fused program. The
+        reference's equivalent is the unseeded global NumPy RNG
+        (SURVEY.md section 3.5).
+        """
+        dev = self._host_device()
+        if dev is not None:
+            with jax.default_device(dev):
+                return np.asarray(jax.random.uniform(
+                    self._split(), shape, dtype=default_dtype()))
+        return np.asarray(jax.random.uniform(self._split(), shape,
+                                             dtype=default_dtype()))
+
     def _model_args(self):
         return (tuple(g.kern for g in self.gps),
                 tuple(g.state for g in self.gps))
@@ -402,14 +421,11 @@ class SafeOptSwarm(GaussianProcessOptimization):
             n_random = self.swarm_size - 3
         else:
             n_random = self.swarm_size
-        dev = self._host_device()
-        if dev is not None:
-            with jax.default_device(dev):
-                random_id = np.asarray(jax.random.randint(
-                    self._split(), (n_random,), 0, safe_size))
-        else:
-            random_id = np.asarray(jax.random.randint(
-                self._split(), (n_random,), 0, safe_size))
+        # floor(u * size): the index convention shared with the fused
+        # program and RefSafeOptSwarm so identical uniform streams give
+        # identical particle seeds on all three paths.
+        u = self._draw_uniform((n_random,))
+        random_id = np.minimum((u * safe_size).astype(int), safe_size - 1)
         particles = self.S[random_id, :]
         if swarm_type == "greedy":
             X = np.asarray(self.gp.X, dtype=float)
@@ -467,24 +483,12 @@ class SafeOptSwarm(GaussianProcessOptimization):
         self._validate_safe_set()
         particles = jnp.asarray(self._init_particles(swarm_type), dtype)
 
-        dev = self._host_device()
-        if dev is not None:
-            with jax.default_device(dev):
-                u = jax.random.uniform(
-                    self._split(), (self.swarm_size, self.gp.input_dim),
-                    dtype=dtype)
-                velocities = u * jnp.asarray(self.optimal_velocities, dtype)
-                r_stream = make_uniform_stream(
-                    self._split(), self.max_iters, self.swarm_size,
-                    self.gp.input_dim, dtype)
-        else:
-            u = jax.random.uniform(
-                self._split(), (self.swarm_size, self.gp.input_dim),
-                dtype=dtype)
-            velocities = u * jnp.asarray(self.optimal_velocities, dtype)
-            r_stream = make_uniform_stream(
-                self._split(), self.max_iters, self.swarm_size,
-                self.gp.input_dim, dtype)
+        d = self.gp.input_dim
+        u = jnp.asarray(self._draw_uniform((self.swarm_size, d)), dtype)
+        velocities = u * jnp.asarray(self.optimal_velocities, dtype)
+        r_stream = jnp.asarray(
+            self._draw_uniform((self.max_iters, 2, self.swarm_size, d)),
+            dtype)
 
         result = _run_swarm_fused(
             kernels, states, particles, velocities, r_stream,
@@ -551,9 +555,24 @@ class SafeOptSwarm(GaussianProcessOptimization):
             return x_maxi
         return x_exp
 
-    def _optimize_fused(self, ucb: bool = False) -> np.ndarray:
-        """Single-dispatch iteration (swarm_opt_fused.py)."""
-        from .swarm_opt_fused import SwarmIterState, fused_swarm_optimize
+    def _fused_streams(self, ucb: bool = False):
+        """Uniform streams for the fused program, or None.
+
+        Default None: the fused program draws its randomness on device
+        from the split key. Parity tests override this to inject the
+        streams shared with the stepwise path and ``RefSafeOptSwarm``
+        (dict keys ``{greedy,maximizers,expanders}_{idx,vel,r}``).
+        """
+        return None
+
+    def _fused_args(self, ucb: bool = False):
+        """Assemble the operands of one fused iteration.
+
+        Split out of ``_optimize_fused`` so benchmarks can re-dispatch
+        the compiled program on fixed operands to measure device
+        compute without the host orchestration / tunnel pull.
+        """
+        from .swarm_opt_fused import SwarmIterState
 
         dtype = default_dtype()
         kernels, states = self._model_args()
@@ -581,12 +600,21 @@ class SafeOptSwarm(GaussianProcessOptimization):
         specials = jnp.asarray(
             np.stack([Xh[-1], Xh[int(np.argmax(Yh[:, 0]))]]), dtype)
 
-        out = fused_swarm_optimize(
-            kernels, states, dev_state, self._split(),
-            jnp.asarray(self.optimal_velocities, dtype),
-            jnp.asarray(self._bounds_arr, dtype), beta, fmin, scaling,
-            threshold, jnp.asarray(self.best_lower_bound, dtype), specials,
-            swarm_size=self.swarm_size, max_iters=self.max_iters, ucb=ucb)
+        args = (kernels, states, dev_state, self._split(),
+                jnp.asarray(self.optimal_velocities, dtype),
+                jnp.asarray(self._bounds_arr, dtype), beta, fmin, scaling,
+                threshold, jnp.asarray(self.best_lower_bound, dtype),
+                specials, self._fused_streams(ucb=ucb))
+        kwargs = dict(swarm_size=self.swarm_size, max_iters=self.max_iters,
+                      ucb=ucb)
+        return args, kwargs
+
+    def _optimize_fused(self, ucb: bool = False) -> np.ndarray:
+        """Single-dispatch iteration (swarm_opt_fused.py)."""
+        from .swarm_opt_fused import fused_swarm_optimize
+
+        args, kwargs = self._fused_args(ucb=ucb)
+        out = fused_swarm_optimize(*args, **kwargs)
 
         out = jax.device_get(out)          # the single host pull
 

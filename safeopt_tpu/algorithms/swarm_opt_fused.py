@@ -93,17 +93,19 @@ def _validate_and_prune(kernels, states, S, count, swarm_size, beta, fmin,
     return S_new, count_new, num_safe, pruned
 
 
-def _init_particles(key, S, count, swarm_size, swarm_type, greedy_point,
-                    specials):
+def _init_particles(u_idx, S, count, swarm_type, greedy_point, specials):
     """Reference gp_opt.py:1064-1081 in traced form.
 
-    ``specials`` is (2, d): the most recent observation and the best
-    observation, computed by the host from the data store (the device
-    GP state's X/Y are inducing points / unused for sparse models, so
-    they cannot be read here).
+    ``u_idx`` is a U[0,1) vector mapped to indices via
+    ``floor(u * count)`` — the convention shared with the stepwise
+    path and ``RefSafeOptSwarm`` so identical uniform streams seed
+    identical particles. ``specials`` is (2, d): the most recent
+    observation and the best observation, computed by the host from
+    the data store (the device GP state's X/Y are inducing points /
+    unused for sparse models, so they cannot be read here).
     """
-    n_random = swarm_size - 3 if swarm_type == "greedy" else swarm_size
-    idx = jax.random.randint(key, (n_random,), 0, jnp.maximum(count, 1))
+    cnt = jnp.maximum(count, 1)
+    idx = jnp.minimum((u_idx * cnt).astype(jnp.int32), cnt - 1)
     particles = jnp.take(S, idx, axis=0)
     if swarm_type != "greedy":
         return particles
@@ -155,10 +157,19 @@ def _grow_safe_set(kernel0, scaling0, S, count, best_positions):
 @with_matmul_precision
 def fused_swarm_optimize(kernels, states, state: SwarmIterState,
                          key, velocity_scale, bounds, beta, fmin, scaling,
-                         threshold, best_lower_bound_init, specials, *,
-                         swarm_size: int, max_iters: int,
+                         threshold, best_lower_bound_init, specials,
+                         streams=None, *, swarm_size: int, max_iters: int,
                          ucb: bool = False) -> SwarmIterOut:
-    """One complete SafeOptSwarm optimize() as a single device program."""
+    """One complete SafeOptSwarm optimize() as a single device program.
+
+    ``streams`` (optional) injects the per-swarm uniform randomness —
+    a dict with keys ``{greedy,maximizers,expanders}_{idx,vel,r}`` —
+    instead of drawing from ``key`` on device; lockstep parity tests
+    feed the identical streams to the stepwise path and
+    ``RefSafeOptSwarm``. Default (None) keeps on-device generation:
+    shipping ~1 MB of host-drawn uniforms through a remote-TPU tunnel
+    every iteration would cost more than the three on-device draws.
+    """
     dtype = state.S.dtype
     d = state.S.shape[1]
 
@@ -168,17 +179,25 @@ def fused_swarm_optimize(kernels, states, state: SwarmIterState,
     num_added = []
 
     def run_one(S, count, greedy_point, blb, key, swarm_type):
-        k1, k2, k3 = jax.random.split(key, 3)
+        n_random = swarm_size - 3 if swarm_type == "greedy" else swarm_size
+        if streams is None:
+            k1, k2, k3 = jax.random.split(key, 3)
+            u_idx = jax.random.uniform(k1, (n_random,), dtype=dtype)
+            u_vel = jax.random.uniform(k2, (swarm_size, d), dtype=dtype)
+            r_stream = jax.random.uniform(
+                k3, (max_iters, 2, swarm_size, d), dtype=dtype)
+        else:
+            u_idx = streams[swarm_type + "_idx"]
+            u_vel = streams[swarm_type + "_vel"]
+            r_stream = streams[swarm_type + "_r"]
+
         S, count, n_safe, pruned = _validate_and_prune(
             kernels, states, S, count, swarm_size, beta, fmin, scaling)
         has_safe = n_safe > 0
 
-        particles = _init_particles(k1, S, count, swarm_size, swarm_type,
+        particles = _init_particles(u_idx, S, count, swarm_type,
                                     greedy_point, specials)
-        velocities = jax.random.uniform(
-            k2, (swarm_size, d), dtype=dtype) * velocity_scale
-        r_stream = jax.random.uniform(
-            k3, (max_iters, 2, swarm_size, d), dtype=dtype)
+        velocities = u_vel * velocity_scale
 
         fitness = partial(_particle_fitness, swarm_type, kernels, states,
                           beta, fmin, scaling, blb)

@@ -9,10 +9,12 @@ kernel pytree (including ARD vectors and product compositions)
 without per-kernel code.
 
 Numerics: the objective factorizes the (tiny) n x n gram, so the whole
-optimization runs on the host CPU backend in the default dtype — an
-f32 Cholesky of an ill-conditioned gram is garbage (see
-host_math.py), and accelerator round trips per Adam step would
-dominate anyway.
+optimization runs on the host CPU backend **in float64**, forced via
+``jax.enable_x64`` regardless of the session's x64 flag —
+an f32 Cholesky of an ill-conditioned gram (repeated query points push
+kappa to ~1e7) NaNs out and silently corrupts the fit (see
+host_math.py and CLAUDE.md's invariant). Non-finite results are
+rejected: the input hyperparameters are returned unchanged.
 """
 
 from __future__ import annotations
@@ -52,59 +54,86 @@ def fit_hyperparameters(kernel, X, Y, noise_var: float, *,
     All kernel pytree leaves (variances, lengthscales — scalar or ARD,
     through product compositions) are optimized in log space with Adam.
 
-    Returns ``(kernel, noise_var, final_lml)``.
+    Returns ``(kernel, noise_var, final_lml)``. If the optimization
+    produces a non-finite marginal likelihood or non-finite parameters
+    (e.g. a degenerate gram collapsed the Cholesky), the input
+    hyperparameters are returned unchanged together with their own LML.
     """
+    import logging
+
     import optax
 
-    X = jnp.asarray(np.asarray(X, dtype=float))
-    Y = jnp.asarray(np.asarray(Y, dtype=float).reshape(-1, 1))
+    # Float64 island (CLAUDE.md invariant): the whole optimization —
+    # gram, Cholesky, Adam state — runs in f64 even when the session
+    # default is f32 (TPU sessions leave jax_enable_x64 off).
+    with jax.enable_x64(True):
+        X = jnp.asarray(np.asarray(X, dtype=np.float64), jnp.float64)
+        Y = jnp.asarray(np.asarray(Y, dtype=np.float64).reshape(-1, 1),
+                        jnp.float64)
 
-    leaves, treedef = jax.tree_util.tree_flatten(kernel)
-    params = {
-        "kern": [jnp.log(jnp.maximum(leaf, 1e-10)) for leaf in leaves],
-        "noise": jnp.log(jnp.asarray(max(noise_var, noise_floor),
-                                     X.dtype)),
-    }
+        leaves, treedef = jax.tree_util.tree_flatten(kernel)
+        params = {
+            "kern": [jnp.log(jnp.maximum(jnp.asarray(leaf, jnp.float64),
+                                         1e-10)) for leaf in leaves],
+            "noise": jnp.log(jnp.asarray(max(noise_var, noise_floor),
+                                         jnp.float64)),
+        }
 
-    def unpack(p):
-        kern = jax.tree_util.tree_unflatten(
-            treedef, [jnp.exp(v) for v in p["kern"]])
-        nv = (jnp.exp(p["noise"]) + noise_floor if optimize_noise
-              else jnp.asarray(noise_var, X.dtype))
-        return kern, nv
+        def unpack(p):
+            kern = jax.tree_util.tree_unflatten(
+                treedef, [jnp.exp(v) for v in p["kern"]])
+            nv = (jnp.exp(p["noise"]) + noise_floor if optimize_noise
+                  else jnp.asarray(noise_var, X.dtype))
+            return kern, nv
 
-    def loss(p):
-        kern, nv = unpack(p)
-        return -log_marginal_likelihood(kern, X, Y, nv)
+        def loss(p):
+            kern, nv = unpack(p)
+            return -log_marginal_likelihood(kern, X, Y, nv)
 
-    opt = optax.adam(learning_rate)
+        opt = optax.adam(learning_rate)
 
-    @jax.jit
-    def run(params):
-        state = opt.init(params)
+        @jax.jit
+        def run(params):
+            state = opt.init(params)
 
-        def step(carry, _):
-            params, state = carry
-            val, grads = jax.value_and_grad(loss)(params)
-            updates, state = opt.update(grads, state)
-            params = optax.apply_updates(params, updates)
-            return (params, state), val
+            def step(carry, _):
+                params, state = carry
+                val, grads = jax.value_and_grad(loss)(params)
+                updates, state = opt.update(grads, state)
+                params = optax.apply_updates(params, updates)
+                return (params, state), val
 
-        (params, _), vals = jax.lax.scan(step, (params, state), None,
-                                         length=steps)
-        return params, -loss(params)
+            (params, _), vals = jax.lax.scan(step, (params, state), None,
+                                             length=steps)
+            return params, -loss(params)
 
-    # Tiny problem; host CPU avoids f32 factorization and per-step
-    # accelerator round trips.
-    try:
-        cpu = jax.devices("cpu")[0]
-    except RuntimeError:
-        cpu = None
-    if cpu is not None:
-        with jax.default_device(cpu):
+        # Tiny problem; host CPU avoids per-step accelerator round trips.
+        try:
+            cpu = jax.devices("cpu")[0]
+        except RuntimeError:
+            cpu = None
+        if cpu is not None:
+            with jax.default_device(cpu):
+                params, lml = run(params)
+        else:
             params, lml = run(params)
-    else:
-        params, lml = run(params)
 
-    kern, nv = unpack(jax.device_get(params))
-    return kern, float(nv), float(lml)
+        params = jax.device_get(params)
+        lml = float(lml)
+        finite = np.isfinite(lml) and all(
+            np.all(np.isfinite(np.asarray(v)))
+            for v in jax.tree_util.tree_leaves(params))
+        if not finite:
+            logging.warning(
+                "hyperparameter fit produced non-finite LML/params; "
+                "keeping the input hyperparameters")
+            lml0 = float(log_marginal_likelihood(
+                kernel, X, Y, jnp.asarray(noise_var, jnp.float64)))
+            return kernel, float(noise_var), lml0
+
+        kern, nv = unpack(params)
+        # Hand back host numpy leaves: the caller's device state casts
+        # them to the session dtype; live f64 jnp leaves would clash
+        # with an f32 session once the x64 context exits.
+        kern = jax.tree_util.tree_map(lambda v: np.asarray(v), kern)
+    return kern, float(nv), lml

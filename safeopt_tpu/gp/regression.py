@@ -310,7 +310,10 @@ class GPRegression:
         Detects the reference's two access patterns — append rows
         (/root/reference/safeopt/gp_opt.py:227-228) and drop-last
         (/root/reference/safeopt/gp_opt.py:267,275) — and uses the exact
-        incremental updates; anything else is a full refit.
+        incremental updates for *any* pure-append / pure-truncate delta
+        (k bordering steps are O(k n^2), which beats the O(n^3) refit
+        for every k < n); anything else is a full refit, logged at
+        debug level so silent slow paths are diagnosable.
         """
         X = np.atleast_2d(np.asarray(X, dtype=np.float64))
         Y = np.asarray(Y, dtype=np.float64).reshape(X.shape[0], -1)
@@ -320,18 +323,23 @@ class GPRegression:
         if X.shape[1] == self.input_dim:
             X_cur = self._host.X[:n_old]
             Y_cur = self._host.Y[:n_old]
-            if (n_new > n_old and n_new - n_old <= 4
+            if (n_new > n_old
                     and np.array_equal(X[:n_old], X_cur)
                     and np.array_equal(Y[:n_old], Y_cur)):
                 for i in range(n_old, n_new):
                     self.append_data(X[i], Y[i, 0])
                 return
-            if (n_new < n_old and n_old - n_new <= 4
+            if (n_new < n_old
                     and np.array_equal(X, X_cur[:n_new])
                     and np.array_equal(Y, Y_cur[:n_new])):
                 for _ in range(n_old - n_new):
                     self.pop_data()
                 return
+
+        import logging
+        logging.getLogger(__name__).debug(
+            "set_XY: data is not a pure append/truncate of the current "
+            "set (%d -> %d rows); full O(n^3) refit", n_old, n_new)
 
         cap = self._host.capacity
         if n_new + 1 > cap or X.shape[1] != self.input_dim:

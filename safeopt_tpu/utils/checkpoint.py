@@ -2,28 +2,34 @@
 
 The reference has no persistence at all (SURVEY.md section 5): an
 experiment "resumes" by manually reconstructing objects from data.
-Here the complete algorithm state — per-GP data, the global
-observation store, safe-set points, swarm estimates, and the PRNG key
-— serializes to a single ``.npz`` file, and ``load`` rebuilds a
-functionally identical optimizer (Cholesky factors are recomputed
-rather than stored: they are derived state, and refactorizing n <= a
-few hundred points is microseconds).
+Here the complete algorithm state — per-GP data (exact and sparse
+models), the global observation store, safe-set points, swarm
+estimates, algorithm settings (``expander_chunk``, ``use_pallas``,
+``use_lipschitz``, ``max_iters``), and the PRNG key — serializes to a
+single ``.npz`` file, and ``load`` rebuilds a functionally identical
+optimizer (Cholesky factors are recomputed rather than stored: they
+are derived state, and refactorizing n <= a few hundred points is
+microseconds).
 
 Kernels are reconstructed from their pytree spec (class name + static
 aux + parameter arrays).
 
-Covers exact `GPRegression` models; sparse (inducing-point) models are
-cheap to rebuild from their own (X, Y, Z) and are not serialized here.
+Callable ``beta`` schedules cannot be serialized; ``save`` warns
+loudly and stores the *current* value — pass the schedule back via
+``load(path, beta=...)`` to resume exactly.
 """
 
 from __future__ import annotations
 
 import json
+import logging
+
 import jax
 import numpy as np
 
 from ..gp import kernels as _kernels
 from ..gp.regression import GPRegression
+from ..gp.sparse import SparseGPRegression
 
 __all__ = ["save", "load"]
 
@@ -61,22 +67,36 @@ def save(opt, path: str) -> None:
     from ..algorithms.safe_opt import SafeOpt
     from ..algorithms.swarm_opt import SafeOptSwarm
 
+    if getattr(opt, "_beta_is_callable", False):
+        logging.warning(
+            "checkpoint: beta is a callable schedule and cannot be "
+            "serialized; storing the current value beta(t=%d)=%s. Pass "
+            "the schedule back via load(path, beta=...) to resume "
+            "exactly.", opt.t, opt.beta(opt.t))
+
     arrays = {}
     meta = {
         "algo": type(opt).__name__,
         "fmin": np.asarray(opt.fmin).tolist(),
         "beta": opt.beta(opt.t),   # constant betas roundtrip; callables
                                    # must be re-supplied at load time
+        "beta_was_callable": bool(getattr(opt, "_beta_is_callable", False)),
         "threshold": np.asarray(opt.threshold).tolist(),
         "scaling": np.asarray(opt.scaling).tolist(),
         "num_contexts": opt.num_contexts,
         "noise_vars": [g.noise_var for g in opt.gps],
         "kernels": [],
+        "gp_models": [],
     }
     for i, g in enumerate(opt.gps):
         meta["kernels"].append(_kernel_spec(g.kern, arrays, f"k{i}_"))
         arrays[f"gp{i}_X"] = np.asarray(g.X)
         arrays[f"gp{i}_Y"] = np.asarray(g.Y)
+        if isinstance(g, SparseGPRegression):
+            meta["gp_models"].append("sparse")
+            arrays[f"gp{i}_Z"] = np.asarray(g.Z)
+        else:
+            meta["gp_models"].append("exact")
     arrays["x"] = opt.x
     arrays["y"] = opt.y
 
@@ -84,6 +104,9 @@ def save(opt, path: str) -> None:
         arrays["parameter_set"] = np.asarray(opt.parameter_set)
         meta["lipschitz"] = (None if opt.lipschitz is None
                              else np.asarray(opt.lipschitz).tolist())
+        meta["use_lipschitz"] = bool(opt.use_lipschitz)
+        meta["expander_chunk"] = int(opt._expander_chunk)
+        meta["use_pallas"] = bool(opt._use_pallas)
         if opt.num_contexts:
             arrays["context"] = np.asarray(opt.context)
     elif isinstance(opt, SafeOptSwarm):
@@ -92,6 +115,7 @@ def save(opt, path: str) -> None:
         meta["best_lower_bound"] = float(opt.best_lower_bound)
         meta["bounds"] = np.asarray(opt.bounds, dtype=float).tolist()
         meta["swarm_size"] = opt.swarm_size
+        meta["max_iters"] = int(opt.max_iters)
         arrays["key"] = np.asarray(jax.random.key_data(opt._key))
     else:
         raise TypeError(f"cannot checkpoint {type(opt).__name__}")
@@ -102,8 +126,9 @@ def save(opt, path: str) -> None:
 def load(path: str, beta=None):
     """Rebuild an optimizer from a checkpoint.
 
-    ``beta`` overrides the stored constant (required if the original
-    run used a callable beta schedule).
+    ``beta`` overrides the stored constant (required to resume a run
+    that used a callable beta schedule — ``save`` stores only the
+    schedule's current value and flags it in the metadata).
     """
     from ..algorithms.safe_opt import SafeOpt
     from ..algorithms.swarm_opt import SafeOptSwarm
@@ -112,17 +137,30 @@ def load(path: str, beta=None):
     meta = json.loads(str(data["__meta__"]))
     arrays = {k: data[k] for k in data.files if k != "__meta__"}
 
+    if meta.get("beta_was_callable") and beta is None:
+        logging.warning(
+            "checkpoint: the saved run used a callable beta schedule; "
+            "resuming with the frozen value %s. Pass beta=<schedule> to "
+            "restore it.", meta["beta"])
+
     # Build GPs on an identical placeholder row first: NaN-routed
     # observations give GPs differing data, which the constructors'
     # global-store init rejects (reference gp_opt.py:119-130). The
     # true data goes in via set_XY after construction.
     d = arrays["gp0_X"].shape[1]
     placeholder = np.zeros((1, d))
+    models = meta.get("gp_models", ["exact"] * len(meta["kernels"]))
     gps = []
     for i, kspec in enumerate(meta["kernels"]):
         kern = _kernel_from_spec(kspec, arrays)
-        gps.append(GPRegression(placeholder, np.zeros((1, 1)), kern,
-                                noise_var=meta["noise_vars"][i]))
+        if models[i] == "sparse":
+            gps.append(SparseGPRegression(
+                placeholder, np.zeros((1, 1)), kern,
+                noise_var=meta["noise_vars"][i],
+                inducing=arrays[f"gp{i}_Z"]))
+        else:
+            gps.append(GPRegression(placeholder, np.zeros((1, 1)), kern,
+                                    noise_var=meta["noise_vars"][i]))
     gp_arg = gps if len(gps) > 1 else gps[0]
     beta = beta if beta is not None else meta["beta"]
     threshold = meta["threshold"]
@@ -133,7 +171,11 @@ def load(path: str, beta=None):
         opt = SafeOpt(gp_arg, arrays["parameter_set"], fmin=list(meta["fmin"]),
                       lipschitz=meta["lipschitz"], beta=beta,
                       num_contexts=meta["num_contexts"],
-                      threshold=threshold, scaling=meta["scaling"])
+                      threshold=threshold, scaling=meta["scaling"],
+                      expander_chunk=meta.get("expander_chunk", 32),
+                      use_pallas=meta.get("use_pallas"))
+        if "use_lipschitz" in meta:
+            opt.use_lipschitz = meta["use_lipschitz"]
         for i, g in enumerate(opt.gps):
             g.set_XY(arrays[f"gp{i}_X"], arrays[f"gp{i}_Y"])
         if meta["num_contexts"]:
@@ -145,7 +187,8 @@ def load(path: str, beta=None):
                            bounds=[tuple(b) for b in meta["bounds"]],
                            beta=beta, threshold=threshold,
                            scaling=meta["scaling"],
-                           swarm_size=meta["swarm_size"])
+                           swarm_size=meta["swarm_size"],
+                           max_iters=meta.get("max_iters", 100))
         for i, g in enumerate(opt.gps):
             g.set_XY(arrays[f"gp{i}_X"], arrays[f"gp{i}_Y"])
         opt.S = arrays["safe_set"]

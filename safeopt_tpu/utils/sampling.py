@@ -81,19 +81,29 @@ def sample_gp_function(kernel: Kernel, bounds, noise_var: float,
 
     cov = np_kernel(kernel, inputs_np) + JITTER * np.eye(n)
     chol_np = scipy.linalg.cholesky(cov, lower=True)
-    normal = np.asarray(jax.random.normal(draw_key, (n,), dtype=jnp.float32),
-                        dtype=np.float64)
+    # The prior draw is part of the f64 host island: generate the
+    # standard normal in float64 regardless of the session x64 flag
+    # (an f32 draw would truncate the path's mantissa before it ever
+    # touches the f64 Cholesky; reference draw is f64 numpy,
+    # utilities.py:90).
+    with jax.enable_x64(True):
+        normal = np.asarray(
+            jax.random.normal(draw_key, (n,), dtype=jnp.float64))
     output_np = chol_np @ normal
     output = jnp.asarray(output_np, dtype=dtype)
 
     noise_scale = jnp.sqrt(jnp.asarray(noise_var, dtype=dtype))
-    key_state = {"key": key}
 
-    def _noise(x, noise, key_arg):
+    def _noise(x, noise, key_arg, call_counter=[0]):
         if not noise:
             return 0.0
         if key_arg is None:
-            key_state["key"], sub = jax.random.split(key_state["key"])
+            # Deterministic per-call subkey: fold the call index into
+            # the base key (explicit threading, no mutable key state —
+            # call i always sees the same stream regardless of what
+            # happened in between).
+            sub = jax.random.fold_in(key, call_counter[0])
+            call_counter[0] += 1
         else:
             sub = key_arg
         return noise_scale * jax.random.normal(sub, (x.shape[0], 1),

@@ -373,3 +373,192 @@ def ref_pso(fitness, positions, velocities, r_stream, velocity_scale,
         best_positions[improve] = positions[improve]
         global_best = best_positions[np.argmax(best_values)].copy()
     return positions, velocities, best_positions, best_values, global_best
+
+
+def ref_optimal_velocities(gps, scaling):
+    """NumPy mirror of SafeOptSwarm.optimize_particle_velocity
+    (reference gp_opt.py:818-872): per GP and dimension, bisect the
+    step whose normalized kernel correlation lands in (0.94, 0.95)."""
+    d = gps[0].input_dim
+    origin = np.zeros((1, d))
+    velocities = np.empty((len(gps), d))
+    for i, gp in enumerate(gps):
+        for j in range(d):
+            tmp = np.zeros((1, d))
+            upper, lower = 1000.0, 0.0
+            while True:
+                mid = (upper + lower) / 2
+                tmp[0, j] = mid
+                cov = gp.kern.K(origin, tmp).squeeze() / scaling[i] ** 2
+                not_too_fast = cov < 0.95
+                enough = cov > 0.94
+                if not_too_fast:
+                    upper = mid
+                elif enough:
+                    lower = mid
+                if (not_too_fast and enough) or upper - lower < 1e-5:
+                    break
+            velocities[i, j] = mid
+    return np.min(velocities, axis=0) / np.sqrt(d)
+
+
+class RefSafeOptSwarm:
+    """Sequential float64 SafeOptSwarm orchestration mirror
+    (reference gp_opt.py:715-1192) on top of RefGP / ref_pso.
+
+    Independent of the product package: posteriors via RefGP
+    (cdist + cho_solve), PSO via ref_pso, fitness via
+    ref_particle_fitness. Randomness is injected through
+    ``draw_uniform(shape) -> U[0,1) array`` so lockstep parity tests
+    can feed the identical streams to the stepwise and fused TPU
+    paths. Index draws map uniforms to ``floor(u * safe_size)``
+    (the convention all three implementations share; the reference
+    itself uses the unseeded global-RNG ``np.random.randint``,
+    gp_opt.py:1067,1080 — no stream to match, SURVEY.md section 3.5).
+    """
+
+    def __init__(self, gps, fmin, bounds, beta=2, threshold=0,
+                 scaling="auto", swarm_size=20, max_iters=100,
+                 draw_uniform=None):
+        self.gps = gps if isinstance(gps, list) else [gps]
+        self.gp = self.gps[0]
+        self.fmin = np.atleast_1d(np.asarray(
+            fmin if isinstance(fmin, list) else [fmin] * len(self.gps),
+            dtype=float).squeeze())
+        self.beta = beta if callable(beta) else (lambda t: beta)
+        if isinstance(scaling, str):
+            self.scaling = np.sqrt(np.array(
+                [gp.kern.Kdiag(np.zeros((1, gp.input_dim)))[0]
+                 for gp in self.gps]))
+        else:
+            self.scaling = np.asarray(scaling, dtype=float)
+        self.threshold = threshold
+        self.swarm_size = int(swarm_size)
+        self.max_iters = int(max_iters)
+
+        d = self.gp.input_dim
+        if not isinstance(bounds, list):
+            bounds = [bounds] * d
+        self.bounds = np.asarray(bounds, dtype=float)
+
+        self.S = np.asarray(self.gp.X, dtype=float).copy()
+        self.best_lower_bound = -np.inf
+        self.greedy_point = self.S[0, :].copy()
+        self.optimal_velocities = ref_optimal_velocities(self.gps,
+                                                         self.scaling)
+        self._draw = draw_uniform
+        self._t = self.gp.X.shape[0]
+
+    @property
+    def t(self):
+        return self._t
+
+    def add_new_data_point(self, x, y):
+        x = np.atleast_2d(np.asarray(x, dtype=float))
+        y = np.atleast_2d(np.asarray(y, dtype=float))
+        for i, gp in enumerate(self.gps):
+            keep = ~np.isnan(y[:, i])
+            if np.any(keep):
+                gp.set_XY(np.vstack([gp.X, x[keep]]),
+                          np.vstack([gp.Y, y[keep][:, [i]]]))
+        self._t += x.shape[0]
+
+    def get_new_query_point(self, swarm_type):
+        """Mirror of reference gp_opt.py:1015-1134."""
+        beta = self.beta(self.t)
+
+        # 1. re-validate / prune the stored safe set (1044-1062)
+        _, safe = ref_particle_fitness("safe_set", self.gps, beta,
+                                       self.fmin, self.scaling,
+                                       self.best_lower_bound, self.S)
+        num_safe = safe.sum()
+        if num_safe == 0:
+            raise RuntimeError("The safe set is empty.")
+        if num_safe >= self.swarm_size and num_safe != len(safe):
+            self.S = self.S[safe]
+        safe_size = self.S.shape[0]
+
+        # 2. init particles (1064-1081)
+        if swarm_type == "greedy":
+            n_random = self.swarm_size - 3
+        else:
+            n_random = self.swarm_size
+        u = np.asarray(self._draw((n_random,)))
+        random_id = np.minimum((u * safe_size).astype(int), safe_size - 1)
+        particles = self.S[random_id, :]
+        if swarm_type == "greedy":
+            X = np.asarray(self.gp.X, dtype=float)
+            best_sampled = int(np.argmax(np.asarray(self.gp.Y)[:, 0]))
+            particles = np.vstack((particles, self.greedy_point,
+                                   X[-1, :], X[best_sampled, :]))
+
+        # 3. run the swarm (1084-1086; swarm.py:66-146)
+        d = self.gp.input_dim
+        u_vel = np.asarray(self._draw((self.swarm_size, d)))
+        velocities = u_vel * self.optimal_velocities
+        r_stream = np.asarray(
+            self._draw((self.max_iters, 2, self.swarm_size, d)))
+
+        def fitness(p):
+            return ref_particle_fitness(swarm_type, self.gps, beta,
+                                        self.fmin, self.scaling,
+                                        self.best_lower_bound, p)
+
+        _, _, best_positions, best_values, global_best = ref_pso(
+            fitness, particles, velocities, r_stream,
+            self.optimal_velocities, self.bounds)
+
+        if swarm_type != "greedy":
+            # 4. covariance-dedup safe-set growth (1089-1114)
+            covariance = self.gp.kern.K(
+                best_positions, np.vstack((self.S, best_positions)))
+            covariance = covariance / self.scaling[0] ** 2
+            initial_safe = len(self.S)
+            n, m = covariance.shape
+            mask = np.zeros(m, dtype=bool)
+            mask[:initial_safe] = True
+            for j in range(n):
+                if np.all(covariance[j, mask] <= 0.95):
+                    self.S = np.vstack((self.S, best_positions[[j], :]))
+                    mask[initial_safe + j] = True
+        else:
+            # 4'. move the greedy estimate on improvement (1116-1123)
+            mean, var = self.gp.predict_noiseless(
+                self.greedy_point[None, :])
+            lower_bound = float(mean.squeeze()
+                                - beta * np.sqrt(var.squeeze()))
+            if lower_bound < np.max(best_values):
+                self.greedy_point = global_best.copy()
+
+        if swarm_type == "greedy":
+            return global_best.copy(), np.max(best_values)
+
+        var = np.empty(len(self.gps))
+        for i, gp in enumerate(self.gps):
+            var[i] = float(np.asarray(
+                gp.predict_noiseless(global_best[None, :])[1]).squeeze())
+        return global_best, np.sqrt(var)
+
+    def optimize(self, ucb=False):
+        """Mirror of reference gp_opt.py:1136-1177."""
+        self.greedy, self.best_lower_bound = self.get_new_query_point(
+            "greedy")
+        x_maxi, std_maxi = self.get_new_query_point("maximizers")
+        if ucb:
+            return x_maxi
+        x_exp, std_exp = self.get_new_query_point("expanders")
+
+        std_exp = std_exp.copy()
+        std_exp[(std_exp < self.threshold) | (self.fmin == -np.inf)] = 0
+        std_exp = std_exp / self.scaling
+        std_exp = np.max(std_exp)
+        std_maxi = std_maxi[0] / self.scaling[0]
+
+        if std_maxi > std_exp:
+            return x_maxi
+        return x_exp
+
+    def get_maximum(self):
+        Y = np.asarray(self.gp.Y)
+        maxi = int(np.argmax(Y[:, 0]))
+        return np.asarray(self.gp.X)[maxi, :], Y[maxi]

@@ -199,3 +199,72 @@ class TestNumericalStability:
                         rtol=1e-9, atol=1e-11)
         assert_allclose(np.asarray(var_inc), np.asarray(var_ref),
                         rtol=1e-8, atol=1e-11)
+
+
+class TestSetXYFastPath:
+    def test_sixteen_row_append_stays_incremental(self):
+        """Any pure-append delta uses the O(k n^2) bordering path (the
+        round-1 implementation silently degraded to a refit above 4
+        rows); parity with a from-scratch factorization stays exact."""
+        rng = np.random.default_rng(11)
+        X = rng.uniform(-2, 2, size=(6, 2))
+        Y = np.sum(np.sin(X), axis=1, keepdims=True)
+        gp = GPRegression(X, Y, RBF(2, variance=1.5), noise_var=0.01)
+
+        refits = []
+        orig_set_data = type(gp._host).set_data
+
+        def counting_set_data(self, *a, **kw):
+            refits.append(1)
+            return orig_set_data(self, *a, **kw)
+
+        X_new = rng.uniform(-2, 2, size=(16, 2))
+        Y_new = np.sum(np.sin(X_new), axis=1, keepdims=True)
+        X_all = np.vstack([X, X_new])
+        Y_all = np.vstack([Y, Y_new])
+
+        import unittest.mock as mock
+        with mock.patch.object(type(gp._host), "set_data",
+                               counting_set_data):
+            gp.set_XY(X_all, Y_all)
+        assert not refits, "16-row append fell back to a full refit"
+        assert gp.num_data == 22
+
+        fresh = GPRegression(X_all, Y_all, RBF(2, variance=1.5),
+                             noise_var=0.01)
+        q = rng.uniform(-2, 2, size=(40, 2))
+        m1, v1 = gp.predict_noiseless(q)
+        m2, v2 = fresh.predict_noiseless(q)
+        np.testing.assert_allclose(np.asarray(m1), np.asarray(m2),
+                                   atol=1e-10)
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
+                                   atol=1e-10)
+
+    def test_sixteen_row_truncate_stays_incremental(self):
+        rng = np.random.default_rng(12)
+        X = rng.uniform(-2, 2, size=(22, 2))
+        Y = np.sum(np.sin(X), axis=1, keepdims=True)
+        gp = GPRegression(X, Y, RBF(2), noise_var=0.01)
+
+        refits = []
+        orig_set_data = type(gp._host).set_data
+
+        def counting_set_data(self, *a, **kw):
+            refits.append(1)
+            return orig_set_data(self, *a, **kw)
+
+        import unittest.mock as mock
+        with mock.patch.object(type(gp._host), "set_data",
+                               counting_set_data):
+            gp.set_XY(X[:6], Y[:6])
+        assert not refits
+        assert gp.num_data == 6
+
+        fresh = GPRegression(X[:6], Y[:6], RBF(2), noise_var=0.01)
+        q = rng.uniform(-2, 2, size=(25, 2))
+        m1, v1 = gp.predict_noiseless(q)
+        m2, v2 = fresh.predict_noiseless(q)
+        np.testing.assert_allclose(np.asarray(m1), np.asarray(m2),
+                                   atol=1e-10)
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
+                                   atol=1e-10)

@@ -76,3 +76,47 @@ def test_fit_ard_and_product():
     prod = (RBF(1, active_dims=[0]) * Matern32(1, active_dims=[1]))
     k3, _, lml2 = fit_hyperparameters(prod, X, Y, 0.1, steps=50)
     assert np.isfinite(lml2)
+
+
+def test_fit_is_float64_under_f32_session():
+    """The fit must survive an ill-conditioned gram in an f32 session
+    (jax_enable_x64 off): near-duplicate inputs push kappa(K) high
+    enough that an f32 Cholesky NaNs out (ADVICE.md round 1)."""
+    import jax
+
+    rng = np.random.default_rng(0)
+    base = rng.uniform(-1, 1, size=(12, 1))
+    X = np.vstack([base, base + 1e-9])          # near-duplicates
+    Y = np.sin(2 * X) + 1e-4 * rng.normal(size=X.shape)
+
+    with jax.enable_x64(False):
+        kern, noise, lml = fit_hyperparameters(
+            RBF(1, variance=1.0, lengthscale=1.0), X, Y,
+            noise_var=1e-6, steps=60, noise_floor=1e-6)
+    assert np.isfinite(lml)
+    for leaf in jax.tree_util.tree_leaves(kern):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+    assert np.isfinite(noise) and noise > 0
+
+
+def test_nonfinite_fit_keeps_input_hyperparameters(monkeypatch, caplog):
+    """A diverged optimization must not corrupt the model."""
+    import logging
+
+    import safeopt_tpu.gp.hyperopt as hyperopt_mod
+
+    X = np.linspace(-1, 1, 8)[:, None]
+    Y = np.sin(X)
+    kern_in = RBF(1, variance=2.0, lengthscale=0.7)
+    # absurd learning rate reliably blows the Adam trajectory up
+    with caplog.at_level(logging.WARNING):
+        kern, noise, lml = hyperopt_mod.fit_hyperparameters(
+            kern_in, X, Y, noise_var=0.01, steps=400, learning_rate=1e6)
+    if any("non-finite" in r.message for r in caplog.records):
+        # fell back: inputs returned unchanged
+        assert float(np.asarray(kern.variance)) == 2.0
+        assert noise == 0.01
+        assert np.isfinite(lml)
+    else:
+        # if the optimizer somehow stayed finite, results must be finite
+        assert np.isfinite(lml)

@@ -170,3 +170,25 @@ def test_batched_expander_in_full_step():
                     atol=1e-10)
     np.testing.assert_array_equal(np.asarray(r2.G), np.asarray(r1.G))
     assert int(r2.next_idx) == int(r1.next_idx)
+
+
+def test_full_expander_sets_with_pallas_matches_default():
+    """full_sets classification agrees between Pallas and XLA paths
+    (round-2 fix: full_expander_sets now honors use_pallas)."""
+    import jax.numpy as jnp
+
+    from safeopt_tpu.algorithms.safe_opt_core import full_expander_sets
+
+    kern = RBF(1, variance=2.0)
+    gp = GPRegression(np.array([[0.0], [0.5]]), np.array([[1.2], [0.9]]),
+                      kern, noise_var=0.01)
+    grid = np.linspace(-4, 4, 256)[:, None]
+    args = ((kern,), (gp.state,), jnp.asarray(grid),
+            jnp.asarray([0.0]), jnp.asarray(2.0), jnp.asarray([np.sqrt(2.)]))
+    r1 = full_expander_sets(*args, chunk=16, use_pallas=False)
+    r2 = full_expander_sets(*args, chunk=16, use_pallas=True)
+    assert_allclose(np.asarray(r2.Q), np.asarray(r1.Q), rtol=1e-9,
+                    atol=1e-10)
+    np.testing.assert_array_equal(np.asarray(r2.S), np.asarray(r1.S))
+    np.testing.assert_array_equal(np.asarray(r2.M), np.asarray(r1.M))
+    np.testing.assert_array_equal(np.asarray(r2.G), np.asarray(r1.G))

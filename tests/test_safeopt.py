@@ -440,3 +440,64 @@ class TestLongTrajectory:
         run_loop(opt, ref, [f], iters=30)
         assert gp.num_data == 31
         assert gp.state.capacity >= 32   # grew past the initial 16
+
+
+class TestAdvisorRegressions:
+    """Regression tests for round-1 advisor findings (ADVICE.md)."""
+
+    def test_compute_sets_after_contextual_optimize(self):
+        """compute_sets() must keep the current context, not reset it
+        (reference compute_sets never touches the context,
+        gp_opt.py:483)."""
+        kern = (RBF(1, variance=2.0, active_dims=[0]) *
+                RBF(1, variance=1.0, lengthscale=2.0, active_dims=[1]))
+        rkern = (RefRBF(1, variance=2.0, active_dims=[0]) *
+                 RefRBF(1, variance=1.0, lengthscale=2.0, active_dims=[1]))
+        f = rkhs_fn(rkern.K, [[0.0, 0.0], [2.0, 0.5]], [2.0, 1.0])
+        x0 = np.array([[0.0, 0.0]])
+        params = linearly_spaced_combinations([(-5.0, 5.0)], 100)
+        gp = GPRegression(x0, f(x0)[:, None], kern, noise_var=0.05 ** 2)
+        rgp = RefGP(x0, f(x0)[:, None], rkern, noise_var=0.05 ** 2)
+        opt = SafeOpt(gp, params, fmin=[0.0], num_contexts=1, threshold=0.1)
+        ref = RefSafeOpt(rgp, params, fmin=[0.0], num_contexts=1,
+                         threshold=0.1)
+
+        opt.optimize(context=0.3)
+        ref.optimize(context=0.3)
+        opt.compute_sets()          # crashed before the fix
+        ref.compute_sets()
+        assert_allclose(opt.context, [0.3])
+        np.testing.assert_array_equal(opt.S, ref.S)
+        np.testing.assert_array_equal(opt.M, ref.M)
+        np.testing.assert_array_equal(opt.G, ref.G)
+        # explicit None still errors, like the reference setter
+        with pytest.raises(ValueError):
+            opt.optimize(context=None)
+
+    def test_ucb_step_keeps_stale_sets(self):
+        """After a ucb step, M/G retain the previous non-ucb values
+        (the reference leaves them stale, gp_opt.py:670-675) even when
+        the host mirrors were never materialized in between."""
+        kern = RBF(1, variance=2.0)
+        rkern = RefRBF(1, variance=2.0)
+        f = rkhs_fn(rkern.K, [[-1.0], [0.0], [2.0]], [1.0, 2.0, -1.5])
+        x0 = np.array([[0.0]])
+        params = linearly_spaced_combinations([(-4.0, 4.0)], 120)
+        gp = GPRegression(x0, f(x0)[:, None], kern, noise_var=0.05 ** 2)
+        opt = SafeOpt(gp, params, fmin=[0.0], threshold=0.1)
+
+        twin_gp = GPRegression(x0, f(x0)[:, None], kern.copy(),
+                               noise_var=0.05 ** 2)
+        twin = SafeOpt(twin_gp, params, fmin=[0.0], threshold=0.1)
+
+        opt.optimize()              # mirrors left unmaterialized
+        twin.optimize()
+        M_expect = twin.M.copy()    # materialize on the twin only
+        G_expect = twin.G.copy()
+        assert M_expect.any()
+
+        opt.optimize(ucb=True)
+        twin.optimize(ucb=True)
+        np.testing.assert_array_equal(opt.M, M_expect)
+        np.testing.assert_array_equal(opt.G, G_expect)
+        np.testing.assert_array_equal(twin.M, M_expect)

@@ -120,3 +120,34 @@ def test_mesh_construction_validation():
     mesh = make_mesh(n_devices=8, model_parallel=4)
     assert mesh.shape[GRID_AXIS] == 2
     assert mesh.shape[MODEL_AXIS] == 4
+
+
+def test_sharded_full_expander_sets_matches(problem):
+    """full_sets classification is padding-aware and shard-invariant
+    (round-2 fix: full_expander_sets now takes num_valid/use_pallas
+    like safeopt_step)."""
+    from safeopt_tpu.algorithms.safe_opt_core import full_expander_sets
+
+    a = problem
+    ref = full_expander_sets(a["kernels"], a["states"],
+                             jnp.asarray(a["grid"]), a["fmin"], a["beta"],
+                             a["scaling"], chunk=16)
+
+    mesh = make_mesh(n_devices=8, model_parallel=2)
+    grid_sharded, pad = shard_grid(a["grid"], mesh)
+    assert pad > 0
+    num_valid = jnp.asarray(a["grid"].shape[0], jnp.int32)
+    states = tuple(shard_state(s, mesh) for s in a["states"])
+    kernels = replicate(a["kernels"], mesh)
+
+    res = full_expander_sets(kernels, states, grid_sharded, a["fmin"],
+                             a["beta"], a["scaling"], num_valid=num_valid,
+                             chunk=16)
+    n = a["grid"].shape[0]
+    np.testing.assert_array_equal(np.asarray(res.S)[:n], np.asarray(ref.S))
+    np.testing.assert_array_equal(np.asarray(res.M)[:n], np.asarray(ref.M))
+    np.testing.assert_array_equal(np.asarray(res.G)[:n], np.asarray(ref.G))
+    # padding rows are never classified as safe/expander
+    assert not np.asarray(res.S)[n:].any()
+    assert not np.asarray(res.G)[n:].any()
+    assert np.asarray(ref.G).sum() >= 1   # full sets: every qualifying point
