@@ -99,13 +99,13 @@ class GaussianProcessOptimization:
         All GPs must start from identical X (reference requirement,
         gp_opt.py:119-130).
         """
-        self._x = np.asarray(self.gp.X, dtype=float).copy()
-        cols = [np.asarray(self.gp.Y, dtype=float)]
+        self._x = np.asarray(self.gp.X_host, dtype=float).copy()
+        cols = [np.asarray(self.gp.Y_host, dtype=float)]
         for g in self.gps[1:]:
-            if not np.allclose(self._x, np.asarray(g.X, dtype=float)):
+            if not np.allclose(self._x, np.asarray(g.X_host, dtype=float)):
                 raise NotImplementedError(
                     "The GPs have different measurements.")
-            cols.append(np.asarray(g.Y, dtype=float))
+            cols.append(np.asarray(g.Y_host, dtype=float))
         self._y = np.concatenate(cols, axis=1)
 
     @property

@@ -264,7 +264,9 @@ class GPRegression:
 
     @property
     def num_data(self) -> int:
-        return int(self._state.count)
+        # host-side count: reading the device scalar would cost a full
+        # device->host round trip per access on remote accelerators
+        return int(self._host.count)
 
     @property
     def X(self) -> jnp.ndarray:
@@ -273,6 +275,16 @@ class GPRegression:
     @property
     def Y(self) -> jnp.ndarray:
         return self._state.Y[: self.num_data]
+
+    @property
+    def X_host(self) -> np.ndarray:
+        """Training inputs as host float64 (no device round trip)."""
+        return self._host.X[: self.num_data]
+
+    @property
+    def Y_host(self) -> np.ndarray:
+        """Training targets as host float64 (no device round trip)."""
+        return self._host.Y[: self.num_data]
 
     @property
     def input_dim(self) -> int:

@@ -158,6 +158,10 @@ class SparseGPRegression:
     def Y(self):
         return self._Y
 
+    # already host numpy; aliases keep the GPRegression surface uniform
+    X_host = X
+    Y_host = Y
+
     @property
     def input_dim(self) -> int:
         return self._X.shape[1]

@@ -192,3 +192,32 @@ def test_full_expander_sets_with_pallas_matches_default():
     np.testing.assert_array_equal(np.asarray(r2.S), np.asarray(r1.S))
     np.testing.assert_array_equal(np.asarray(r2.M), np.asarray(r1.M))
     np.testing.assert_array_equal(np.asarray(r2.G), np.asarray(r1.G))
+
+
+def test_fused_intervals_large_capacity_triangular_path():
+    """cap=512 exercises the lower-triangular tile-skip multiply
+    (ops/fused_posterior._tri_matmul); results must match the XLA
+    posterior exactly."""
+    import jax.numpy as jnp
+
+    from safeopt_tpu.ops.fused_posterior import fused_intervals
+
+    rng = np.random.default_rng(3)
+    n_obs = 500
+    X = rng.uniform(-4, 4, size=(n_obs, 2))
+    Y = (2.0 * np.exp(-0.5 * np.sum(X ** 2, axis=1))
+         + 0.05 * rng.normal(size=n_obs))[:, None]
+    kern = RBF(2, variance=2.0, lengthscale=1.2)
+    gp = GPRegression(X, Y, kern, noise_var=0.05 ** 2, capacity=512)
+
+    grid = rng.uniform(-5, 5, size=(1024, 2))
+    gd = jnp.asarray(grid, gp.state.X.dtype)
+    beta = 2.0
+    l, u = fused_intervals(kern, gp.state, gd, jnp.asarray(beta), block=512)
+
+    mu, var = gp_predict(kern, gp.state, gd)
+    sd = np.sqrt(np.asarray(var))
+    assert_allclose(np.asarray(l), np.asarray(mu) - beta * sd,
+                    rtol=1e-8, atol=1e-9)
+    assert_allclose(np.asarray(u), np.asarray(mu) + beta * sd,
+                    rtol=1e-8, atol=1e-9)

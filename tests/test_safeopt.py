@@ -501,3 +501,45 @@ class TestAdvisorRegressions:
         np.testing.assert_array_equal(opt.M, M_expect)
         np.testing.assert_array_equal(opt.G, G_expect)
         np.testing.assert_array_equal(twin.M, M_expect)
+
+
+class TestEmptyUnsafeWalk:
+    """Everything-safe grid: the expander predicate is vacuously false
+    for every candidate (reference gp_opt.py:591-606 predicts over an
+    empty unsafe set and never breaks), so both implementations must
+    walk all candidates, leave G empty, and pick the same maximizer."""
+
+    def test_all_safe_grid_matches_reference(self):
+        rng = np.random.default_rng(5)
+        X = rng.uniform(-2.0, 2.0, size=(12, 2))
+        Yf = (2.0 * np.exp(-0.1 * np.sum(X ** 2, axis=1)))[:, None]
+        kern_f = RBF(2, variance=2.0, lengthscale=1.0)
+        rkern_f = RefRBF(2, variance=2.0, lengthscale=1.0)
+        kern_g = RBF(2, variance=1.0, lengthscale=1.0)
+        rkern_g = RefRBF(2, variance=1.0, lengthscale=1.0)
+
+        gp_f = GPRegression(X, Yf, kern_f, noise_var=0.05 ** 2)
+        gp_g = GPRegression(X[:1], np.array([[0.0]]), kern_g,
+                            noise_var=0.05 ** 2)
+        rgp_f = RefGP(X, Yf, rkern_f, noise_var=0.05 ** 2)
+        rgp_g = RefGP(X[:1], np.array([[0.0]]), rkern_g,
+                      noise_var=0.05 ** 2)
+
+        grid = linearly_spaced_combinations([(-3.0, 3.0), (-3.0, 3.0)], 25)
+        fmin = [-np.inf, -3.0]
+
+        # give the constraint GP the same X rows (y at prior mean) so
+        # the constructor's identical-X requirement holds
+        gp_g.set_XY(X, np.zeros((12, 1)))
+        rgp_g.set_XY(X, np.zeros((12, 1)))
+
+        opt = SafeOpt([gp_f, gp_g], grid, fmin=fmin, threshold=0.0,
+                      expander_chunk=64)
+        ref = RefSafeOpt([rgp_f, rgp_g], grid, fmin=fmin, threshold=0.0)
+
+        x = np.asarray(opt.optimize())
+        xr = np.asarray(ref.optimize())
+        assert_allclose(x, xr, atol=1e-9)
+        assert opt.S.all() and ref.S.all()
+        assert not opt.G.any() and not ref.G.any()
+        assert opt.M.sum() == ref.M.sum()
