@@ -124,6 +124,7 @@ def main():
     # Secondary metrics; never let their failure break the primary line.
     extras = [
         ("pallas-parity", lambda: _pallas_parity_gate(step, result)),
+        ("certified", lambda: _certified_secondary(gp_f, gp_g, grid)),
         ("cap512", lambda: _cap512_secondary(rng, grid_dev)),
         ("expander-stress", lambda: _expander_stress_secondary()),
         ("fused-loop", lambda: _fused_loop_secondary(
@@ -194,6 +195,36 @@ def _pallas_parity_gate(step, result_pallas, fmin_np=(0.2, 0.5),
         "pallas_max_q_diff": round(q_diff, 7),
         "q_within_tol": q_close,
         "xla_ms": round(elapsed_xla * 1e3, 3),
+    }
+
+
+# ---------------------------------------------------------------------------
+# boundary-certified iteration (f64-exact safe decisions on f32 hardware)
+# ---------------------------------------------------------------------------
+
+def _certified_secondary(gp_f, gp_g, grid):
+    """End-to-end SafeOpt with exact_boundaries on the 1e6 grid: the
+    two-pass latency plus how many f32 boundary calls the f64 oracle
+    actually overturned."""
+    import jax
+
+    from safeopt_tpu import SafeOpt
+
+    opt = SafeOpt([gp_f, gp_g], grid, fmin=[0.2, 0.5],
+                  exact_boundaries=True, boundary_band=1e-3)
+    plain = SafeOpt([gp_f, gp_g], grid, fmin=[0.2, 0.5])
+    opt.optimize()                       # compile both passes
+    reps = 10
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        opt.optimize()
+    cert_ms = (time.perf_counter() - t0) / reps * 1e3
+    plain.optimize()
+    S_cert = opt.S
+    S_plain = plain.S
+    return {
+        "certified_step_ms": round(cert_ms, 3),
+        "certified_flips": int(np.count_nonzero(S_cert != S_plain)),
     }
 
 
@@ -412,7 +443,56 @@ def _swarm_secondary():
     total2, compute2 = _swarm_attributed(opt2)
     out["swarm_10d_2gp_total_ms"] = round(total2, 1)
     out["swarm_10d_2gp_compute_ms"] = round(compute2, 2)
+
+    out["swarm_loop_ms_per_iter"] = _swarm_loop_ms()
     return out
+
+
+def _swarm_loop_ms():
+    """Complete swarm BO iterations (3 swarms + observe + model update)
+    under one lax.scan dispatch — the swarm serving path."""
+    import jax
+    import jax.numpy as jnp
+
+    from safeopt_tpu.algorithms.runner import run_swarmopt_loop
+    from safeopt_tpu.algorithms.swarm_opt_fused import SwarmIterState
+    from safeopt_tpu.gp import GPRegression, RBF
+
+    rng = np.random.default_rng(0)
+    d, n0, n_iter = 10, 5, 10
+    X = rng.uniform(-0.5, 0.5, size=(n0, d))
+    Y = (2.0 * np.exp(-0.5 * np.sum(X ** 2, axis=1)))[:, None]
+    gp = GPRegression(X, Y, RBF(d, variance=2.0, lengthscale=2.0),
+                      noise_var=0.01, capacity=64)
+    dtype = gp.state.X.dtype
+
+    def f(x):
+        return 2.0 * jnp.exp(-0.5 * jnp.sum(x * x))
+
+    cap = 512
+    S_buf = np.zeros((cap, d))
+    S_buf[:n0] = X
+    iter_state = SwarmIterState(S=jnp.asarray(S_buf, dtype),
+                                count=jnp.asarray(n0, jnp.int32),
+                                greedy=jnp.asarray(X[0], dtype))
+    vel = jnp.asarray(np.full(d, 0.25), dtype)
+    bounds = jnp.asarray([[-3.0, 3.0]] * d, dtype)
+
+    def call(key):
+        return run_swarmopt_loop(
+            (gp.kern,), (gp.state,), iter_state, key, vel, bounds,
+            jnp.asarray([0.0], dtype), jnp.asarray([np.sqrt(2.0)], dtype),
+            jnp.asarray([0.0], dtype), np.full(n_iter, 2.0), X[0], -np.inf,
+            objectives=(f,), n_iter=n_iter, swarm_size=20, max_iters=100,
+            noise_std=0.01)
+
+    r = call(jax.random.key(0))
+    jax.block_until_ready(r)
+    t0 = time.perf_counter()
+    for i in range(3):
+        r = call(jax.random.key(i + 1))
+    jax.block_until_ready(r)
+    return round((time.perf_counter() - t0) / 3 / n_iter * 1e3, 2)
 
 
 if __name__ == "__main__":

@@ -1,4 +1,9 @@
-"""Safe Bayesian optimization algorithms (SafeOpt, SafeOptSwarm, PSO)."""
+"""Safe Bayesian optimization algorithms (SafeOpt, SafeOptSwarm, PSO).
+
+On-device campaign loops (``run_safeopt_loop`` / ``run_swarmopt_loop``)
+live in ``algorithms.runner`` — imported lazily to keep package import
+light.
+"""
 
 from .base import GaussianProcessOptimization
 from .safe_opt import SafeOpt

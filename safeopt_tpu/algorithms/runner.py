@@ -26,7 +26,8 @@ from ..config import with_matmul_precision
 from ..gp.regression import gp_append
 from .safe_opt_core import safeopt_step
 
-__all__ = ["BOLoopResult", "run_safeopt_loop"]
+__all__ = ["BOLoopResult", "run_safeopt_loop", "SwarmLoopResult",
+           "run_swarmopt_loop"]
 
 
 class BOLoopResult(NamedTuple):
@@ -98,3 +99,103 @@ def run_safeopt_loop(kernels, states, grid, fmin, beta, scaling, threshold,
         body, tuple(states), keys)
     return BOLoopResult(states=states, xs=xs, ys=ys, next_idx=idxs,
                         safe_counts=safe_counts, has_safe=has_safe)
+
+
+class SwarmLoopResult(NamedTuple):
+    """Trajectory of an on-device SafeOptSwarm run."""
+
+    states: Tuple                # final per-GP states (count grown)
+    iter_state: object           # final SwarmIterState (device safe set)
+    xs: jnp.ndarray              # (T, d) queried points
+    ys: jnp.ndarray              # (T, G) observations fed to the GPs
+    best_lower_bounds: jnp.ndarray  # (T,)
+    safe_counts: jnp.ndarray     # (T,) |S| after each iteration
+    num_safe_min: jnp.ndarray    # (T,) min per-phase safe count (0 = lost)
+
+
+@partial(jax.jit, static_argnames=("objectives", "n_iter", "swarm_size",
+                                   "max_iters", "ucb"))
+@with_matmul_precision
+def run_swarmopt_loop(kernels, states, iter_state, key, velocity_scale,
+                      bounds, fmin, scaling, threshold, betas, greedy0,
+                      blb0, *, objectives: Tuple[Callable, ...],
+                      n_iter: int, swarm_size: int, max_iters: int,
+                      noise_std=0.0, ucb: bool = False) -> SwarmLoopResult:
+    """Run ``n_iter`` complete SafeOptSwarm iterations on device.
+
+    The swarm analog of ``run_safeopt_loop`` — the reference's
+    equivalent is ~300 sequential GPy posterior calls per iteration
+    driven from Python (SURVEY.md section 3.3); here the whole campaign
+    is one ``lax.scan`` over the fused swarm iteration + observation +
+    exact bordered-Cholesky model update, with zero host round trips.
+
+    Parameters
+    ----------
+    iter_state : SwarmIterState
+        Device safe-set buffer; size it for the whole run
+        (``count + 2 * swarm_size * n_iter`` rows is always enough —
+        growth silently stops at the buffer capacity otherwise).
+    betas : (n_iter,) array
+        Per-iteration confidence scale (``beta(t)`` precomputed by the
+        host; t advances by one observation per iteration).
+    greedy0, blb0 : (d,) array, scalar
+        Initial greedy estimate and best lower bound.
+
+    Exact GPs only: the greedy swarm's special particles (most recent /
+    best observation) are read from the GP state's padded X/Y buffers,
+    which hold inducing points for sparse models.
+
+    Like ``run_safeopt_loop``, an emptied safe set cannot raise from
+    inside the compiled program — ``num_safe_min`` records any
+    certification loss and callers must check it.
+    """
+    from .swarm_opt_fused import fused_swarm_optimize
+
+    num_gps = len(kernels)
+    dtype = iter_state.S.dtype
+
+    def body(carry, inp):
+        states, sstate, greedy_point, blb = carry
+        it_key, beta = inp
+        k_swarm, k_noise = jax.random.split(it_key)
+
+        # greedy specials from the device-resident observation buffers
+        st0 = states[0]
+        cnt = st0.count
+        last_x = jax.lax.dynamic_index_in_dim(st0.X, cnt - 1, axis=0,
+                                              keepdims=False)
+        y_col = jnp.where(jnp.arange(st0.capacity) < cnt, st0.Y[:, 0],
+                          -jnp.inf)
+        best_x = jnp.take(st0.X, jnp.argmax(y_col), axis=0)
+        pack = jnp.concatenate([
+            jnp.stack([beta, blb]).astype(dtype),
+            last_x.astype(dtype), best_x.astype(dtype),
+            greedy_point.astype(dtype)])
+
+        out = fused_swarm_optimize(
+            kernels, states, sstate, k_swarm, velocity_scale, bounds,
+            fmin, scaling, threshold, pack,
+            swarm_size=swarm_size, max_iters=max_iters, ucb=ucb)
+
+        x = out.x_next
+        noise = noise_std * jax.random.normal(k_noise, (num_gps,),
+                                              dtype=dtype)
+        ys = jnp.stack([obj(x) for obj in objectives]) + noise
+        states = tuple(
+            gp_append(kern, st, x, ys[i])
+            for i, (kern, st) in enumerate(zip(kernels, states)))
+
+        carry = (states, out.state, out.state.greedy,
+                 out.best_lower_bound.astype(dtype))
+        rec = (x, ys, out.best_lower_bound, out.state.count,
+               jnp.min(out.num_safe))
+        return carry, rec
+
+    keys = jax.random.split(key, n_iter)
+    init = (tuple(states), iter_state, jnp.asarray(greedy0, dtype),
+            jnp.asarray(blb0, dtype))
+    (states, sstate, _, _), (xs, ys, blbs, counts, ns_min) = jax.lax.scan(
+        body, init, (keys, jnp.asarray(betas, dtype)))
+    return SwarmLoopResult(states=states, iter_state=sstate, xs=xs, ys=ys,
+                           best_lower_bounds=blbs, safe_counts=counts,
+                           num_safe_min=ns_min)

@@ -15,12 +15,14 @@ device between posterior, classification and selection.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..config import default_dtype
 from .base import GaussianProcessOptimization
-from .safe_opt_core import full_expander_sets, safe_maximum, safeopt_step
+from .safe_opt_core import (boundary_scan, full_expander_sets, safe_maximum,
+                            safeopt_step, safeopt_step_from_Q)
 
 __all__ = ["SafeOpt"]
 
@@ -56,6 +58,19 @@ class SafeOpt(GaussianProcessOptimization):
         Trailing context dimensions appended to every candidate.
     threshold : float or list of floats
     scaling : 'auto' or list of floats
+    exact_boundaries : bool
+        Certify safe-set decisions in float64: candidates whose scaled
+        safety margin falls inside ``boundary_band`` (the f32 ambiguity
+        band of accelerator interval bounds, ~1e-4 measured; see
+        docs/design.md) are recomputed on the host at full precision
+        and their safe bits overridden before maximizers/expanders/
+        query selection. Costs a second device dispatch per iteration.
+        Requires exact ``GPRegression`` models.
+    boundary_band : float
+        Scaled-margin width of the certification band (default 1e-3).
+    boundary_k : int
+        Triage budget: at most this many near-boundary candidates are
+        certified per iteration (overflow logs a warning).
 
     Examples
     --------
@@ -74,7 +89,9 @@ class SafeOpt(GaussianProcessOptimization):
 
     def __init__(self, gp, parameter_set, fmin, lipschitz=None, beta=2,
                  num_contexts=0, threshold=0, scaling="auto",
-                 expander_chunk: int = 32, use_pallas=None):
+                 expander_chunk: int = 32, use_pallas=None,
+                 exact_boundaries: bool = False, boundary_band: float = 1e-3,
+                 boundary_k: int = 128):
         super().__init__(gp, fmin=fmin, beta=beta,
                          num_contexts=num_contexts, threshold=threshold,
                          scaling=scaling)
@@ -123,6 +140,20 @@ class SafeOpt(GaussianProcessOptimization):
                           and all(supports_kernel(g.kern)
                                   for g in self.gps))
         self._use_pallas = bool(use_pallas)
+
+        # Boundary certification: recompute the few near-threshold
+        # candidates in host float64 and override their safe bits, so
+        # safe-set DECISIONS are f64-exact even on f32 accelerators
+        # (the BASELINE.md "bitwise-stable decisions" target on TPU).
+        self._exact_boundaries = bool(exact_boundaries)
+        self._boundary_band = float(boundary_band)
+        self._boundary_k = int(boundary_k)
+        if self._exact_boundaries:
+            for g in self.gps:
+                if not hasattr(g, "_host"):
+                    raise ValueError(
+                        "exact_boundaries requires exact GPRegression "
+                        "models (float64 host factors)")
 
         from ..utils.observability import StatsRecorder
         self.stats = StatsRecorder()
@@ -213,22 +244,80 @@ class SafeOpt(GaussianProcessOptimization):
         th = np.asarray(self.threshold, dtype=float)
         return np.broadcast_to(th, (len(self.gps),))
 
-    def _run_step(self, context=_KEEP_CONTEXT, ucb: bool = False):
-        """Execute the fused device step and mirror results host-side."""
-        if context is not _KEEP_CONTEXT:
-            self.context = context
-        kernels, states = self._model_args()
+    def _certified_step(self, kernels, states, ucb: bool):
+        """Two-pass iteration with f64-certified boundary decisions.
+
+        Pass 1 (device): intervals + triage of the <=k candidates whose
+        scaled safety margin is inside the f32 ambiguity band. Host:
+        recompute exactly those in float64 through the GPs' host
+        factors. Pass 2 (device): classification/expander/selection
+        from the pass-1 intervals with the certified safe bits
+        scattered in.
+        """
+        import logging
+
         dtype = default_dtype()
-        result = safeopt_step(
+        Q, idx, within, total = boundary_scan(
             kernels, states, self._grid(),
             jnp.asarray(self.fmin, dtype),
             jnp.asarray(self.beta(self.t), dtype),
+            jnp.asarray(self.scaling, dtype),
+            jnp.asarray(self._boundary_band, dtype),
+            k=self._boundary_k, use_pallas=self._use_pallas)
+        idx, within, total = jax.device_get((idx, within, total))
+        if int(total) > self._boundary_k:
+            logging.warning(
+                "exact_boundaries: %d candidates inside the ambiguity "
+                "band exceed the triage budget k=%d; only the k closest "
+                "to a threshold were certified", int(total),
+                self._boundary_k)
+
+        beta = float(self.beta(self.t))
+        fix_idx = np.where(within, idx, -1).astype(np.int32)
+        fix_bits = np.zeros(idx.shape[0], dtype=bool)
+        sel = np.flatnonzero(within)
+        if sel.size:
+            pts = self.inputs[idx[sel]]
+            safe64 = np.ones(sel.size, dtype=bool)
+            for i, g in enumerate(self.gps):
+                if self.fmin[i] == -np.inf:
+                    continue
+                mu, var = g._host.predict(pts)
+                l64 = mu - beta * np.sqrt(var)
+                safe64 &= l64 > self.fmin[i]
+            fix_bits[sel] = safe64
+
+        return safeopt_step_from_Q(
+            kernels, states, self._grid(), Q,
+            jnp.asarray(fix_idx), jnp.asarray(fix_bits),
+            jnp.asarray(self.fmin, dtype),
+            jnp.asarray(beta, dtype),
             jnp.asarray(self.scaling, dtype),
             jnp.asarray(self._threshold_array(), dtype),
             None if self.lipschitz is None else jnp.asarray(self.lipschitz,
                                                             dtype),
             ucb=ucb, use_lipschitz=self._use_lipschitz,
             chunk=self._expander_chunk, use_pallas=self._use_pallas)
+
+    def _run_step(self, context=_KEEP_CONTEXT, ucb: bool = False):
+        """Execute the fused device step and mirror results host-side."""
+        if context is not _KEEP_CONTEXT:
+            self.context = context
+        kernels, states = self._model_args()
+        dtype = default_dtype()
+        if self._exact_boundaries:
+            result = self._certified_step(kernels, states, ucb)
+        else:
+            result = safeopt_step(
+                kernels, states, self._grid(),
+                jnp.asarray(self.fmin, dtype),
+                jnp.asarray(self.beta(self.t), dtype),
+                jnp.asarray(self.scaling, dtype),
+                jnp.asarray(self._threshold_array(), dtype),
+                None if self.lipschitz is None else
+                jnp.asarray(self.lipschitz, dtype),
+                ucb=ucb, use_lipschitz=self._use_lipschitz,
+                chunk=self._expander_chunk, use_pallas=self._use_pallas)
         if ucb and self._dev is not None:
             # ucb never recomputes M/G (reference leaves them stale,
             # gp_opt.py:670-675); pin any unmaterialized mirrors to the

@@ -59,7 +59,7 @@ from ..gp.kernels import Kernel
 from ..gp.regression import GPState
 
 __all__ = ["StepResult", "safeopt_step", "safe_maximum",
-           "full_expander_sets"]
+           "full_expander_sets", "boundary_scan", "safeopt_step_from_Q"]
 
 
 class StepResult(NamedTuple):
@@ -139,19 +139,21 @@ def _confidence_intervals(kernels, states, grid, beta, use_pallas=False):
 # set classification
 # ---------------------------------------------------------------------------
 
-def _classify(Q, fmin, scaling, threshold, beta, valid):
+def _classify(Q, fmin, scaling, threshold, beta, valid, S=None):
     """S, M, and the expander-candidate mask + sort order.
 
     Mirrors gp_opt.py:478-552. ``threshold`` is a per-GP array (scalar
     thresholds are broadcast by the caller). ``valid`` masks padding
     rows appended for even sharding — they can be neither safe nor
-    unsafe-set members.
+    unsafe-set members. A precomputed (e.g. boundary-certified) ``S``
+    may be supplied instead of the strict interval test.
     """
     l = Q[:, 0::2]                                   # (N, G)
     u = Q[:, 1::2]
     widths = u - l
 
-    S = jnp.all(l > fmin, axis=1) & valid            # strict, like reference
+    if S is None:
+        S = jnp.all(l > fmin, axis=1) & valid        # strict, like reference
     has_safe = jnp.any(S)
 
     l0, u0 = l[:, 0], u[:, 0]
@@ -447,4 +449,98 @@ def full_expander_sets(kernels, states, grid, fmin, beta, scaling,
     return StepResult(Q=Q, S=S, M=M, G=G,
                       next_idx=jnp.asarray(0, jnp.int32), has_safe=has_safe,
                       safe_count=jnp.sum(S), maximizer_count=jnp.sum(M),
+                      expander_found=jnp.any(G))
+
+
+# ---------------------------------------------------------------------------
+# boundary-certified decisions (exact_boundaries mode)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("k", "use_pallas"))
+@with_matmul_precision
+def boundary_scan(kernels, states, grid, fmin, beta, scaling, band,
+                  num_valid=None, *, k: int = 128,
+                  use_pallas: bool = False):
+    """Pass 1 of a certified iteration: intervals + boundary triage.
+
+    On-device f32 interval bounds carry ~1e-4 noise on large grids
+    (docs/design.md); a point whose scaled safety margin
+    ``min_i |l_i - fmin_i| / scaling_i`` falls inside ``band`` may be
+    classified either way by any f32 implementation. This pass returns
+    the full interval matrix Q plus the (up to) ``k`` grid indices
+    closest to a safety threshold, so the host can recompute exactly
+    those in float64 (gp/host_math.HostFactor.predict) and pass the
+    certified bits to ``safeopt_step_from_Q``.
+
+    Returns ``(Q, idx (k,), within (k,) bool, total_within () int)``;
+    ``total_within > k`` means the band overflowed the triage budget.
+    """
+    N = grid.shape[0]
+    valid = (jnp.ones((N,), bool) if num_valid is None
+             else jnp.arange(N) < num_valid)
+    Q, _, _, _ = _confidence_intervals(kernels, states, grid, beta,
+                                       use_pallas=use_pallas)
+    l = Q[:, 0::2]
+    constrained = fmin > -jnp.inf
+    margins = jnp.abs(l - fmin) / scaling
+    margins = jnp.where(constrained[None, :], margins, jnp.inf)
+    margin = jnp.min(margins, axis=1)
+    margin = jnp.where(valid, margin, jnp.inf)
+
+    neg, idx = jax.lax.top_k(-margin, k)
+    within = (-neg) < band
+    total_within = jnp.sum(margin < band)
+    return Q, idx.astype(jnp.int32), within, total_within
+
+
+@partial(jax.jit, static_argnames=("ucb", "use_lipschitz", "chunk",
+                                   "use_pallas"))
+@with_matmul_precision
+def safeopt_step_from_Q(kernels, states, grid, Q, fix_idx, fix_bits,
+                        fmin, beta, scaling, threshold, lipschitz=None,
+                        num_valid=None, *, ucb: bool = False,
+                        use_lipschitz: bool = False, chunk: int = 64,
+                        use_pallas: bool = False) -> StepResult:
+    """Pass 2 of a certified iteration: classification from given Q.
+
+    Identical to ``safeopt_step`` except the intervals come from pass 1
+    and the safe bits at ``fix_idx`` (entries < 0 are padding) are
+    OVERRIDDEN by the host's float64 verdicts before maximizers,
+    expanders and the query point are derived. The per-GP posterior
+    moments the expander needs are recovered from Q exactly
+    (mu = (l+u)/2, sigma = (u-l)/(2 beta)).
+    """
+    N = grid.shape[0]
+    valid = (jnp.ones((N,), bool) if num_valid is None
+             else jnp.arange(N) < num_valid)
+    l = Q[:, 0::2]
+    u = Q[:, 1::2]
+    mus = [(l[:, i] + u[:, i]) * 0.5 for i in range(l.shape[1])]
+    sigmas = [(u[:, i] - l[:, i]) / (2.0 * beta) for i in range(l.shape[1])]
+    Vs = [None] * l.shape[1]
+
+    S = jnp.all(l > fmin, axis=1) & valid
+    # scatter the certified bits (padded entries rewrite their own value)
+    safe_idx = jnp.maximum(fix_idx, 0)
+    cur = S[safe_idx]
+    new = jnp.where(fix_idx >= 0,
+                    fix_bits & jnp.take(valid, safe_idx), cur)
+    S = S.at[safe_idx].set(new)
+
+    S, M, cand, width, has_safe = _classify(
+        Q, fmin, scaling, threshold, beta, valid, S=S)
+
+    if ucb:
+        G = jnp.zeros_like(S)
+        M = jnp.zeros_like(S)
+    else:
+        lip = lipschitz if use_lipschitz else None
+        G = _find_first_expander(kernels, states, grid, Q, valid & ~S, mus,
+                                 sigmas, Vs, fmin, beta, lip, cand, width,
+                                 chunk, use_pallas=use_pallas)
+
+    next_idx = _select_query(Q, S, M, G, scaling, ucb)
+    return StepResult(Q=Q, S=S, M=M, G=G, next_idx=next_idx,
+                      has_safe=has_safe, safe_count=jnp.sum(S),
+                      maximizer_count=jnp.sum(M),
                       expander_found=jnp.any(G))

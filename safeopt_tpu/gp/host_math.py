@@ -183,6 +183,25 @@ class HostFactor:
         self.Y[pos] = 0.0
         self.count = pos
 
+    def predict(self, Xq: np.ndarray):
+        """Float64 latent posterior (mu, var) at query rows.
+
+        The exactness oracle for boundary certification
+        (algorithms/safe_opt.py exact_boundaries): recomputes the
+        handful of near-threshold candidates at full precision —
+        O(m n^2) for m query rows, microseconds at BO scales.
+        """
+        n = self.count
+        Xq = np.atleast_2d(np.asarray(Xq, dtype=np.float64))
+        kdiag = np_kdiag(self.kernel, Xq)
+        if n == 0:
+            return np.zeros(Xq.shape[0]), kdiag
+        kvec = self._gram(self.X[:n], Xq)            # (n, m)
+        V = self.Linv[:n, :n] @ kvec
+        mu = V.T @ self.w[:n]
+        var = kdiag - np.sum(V * V, axis=0)
+        return mu, np.maximum(var, 0.0)
+
     def grown(self, new_capacity: int) -> "HostFactor":
         """Copy into a larger buffer (refactorizes for exactness)."""
         out = HostFactor(self.kernel, new_capacity, self.X.shape[1],

@@ -107,6 +107,9 @@ def save(opt, path: str) -> None:
         meta["use_lipschitz"] = bool(opt.use_lipschitz)
         meta["expander_chunk"] = int(opt._expander_chunk)
         meta["use_pallas"] = bool(opt._use_pallas)
+        meta["exact_boundaries"] = bool(opt._exact_boundaries)
+        meta["boundary_band"] = float(opt._boundary_band)
+        meta["boundary_k"] = int(opt._boundary_k)
         if opt.num_contexts:
             arrays["context"] = np.asarray(opt.context)
     elif isinstance(opt, SafeOptSwarm):
@@ -173,7 +176,10 @@ def load(path: str, beta=None):
                       num_contexts=meta["num_contexts"],
                       threshold=threshold, scaling=meta["scaling"],
                       expander_chunk=meta.get("expander_chunk", 32),
-                      use_pallas=meta.get("use_pallas"))
+                      use_pallas=meta.get("use_pallas"),
+                      exact_boundaries=meta.get("exact_boundaries", False),
+                      boundary_band=meta.get("boundary_band", 1e-3),
+                      boundary_k=meta.get("boundary_k", 128))
         if "use_lipschitz" in meta:
             opt.use_lipschitz = meta["use_lipschitz"]
         for i, g in enumerate(opt.gps):

@@ -1,0 +1,146 @@
+"""Boundary-certified safe-set decisions (SafeOpt exact_boundaries).
+
+Accelerator f32 interval bounds carry ~1e-4 noise; a candidate whose
+true margin to ``fmin`` is inside that band can be classified either
+way (docs/design.md "f32 decision ambiguity band"). ``exact_boundaries``
+recomputes those candidates in host float64 and overrides their safe
+bits — these tests pin the machinery with engineered knife-edge points
+whose truth is computed independently with scipy.
+"""
+
+import jax
+import numpy as np
+import pytest
+import scipy.linalg
+from numpy.testing import assert_allclose
+from scipy.spatial.distance import cdist
+
+from safeopt_tpu import SafeOpt, linearly_spaced_combinations
+from safeopt_tpu.gp import GPRegression, RBF
+
+from reference_impl import RefGP, RefRBF, RefSafeOpt
+
+
+def _f64_lower_bound(X, Y, noise_var, variance, ls, beta, xq):
+    """Independent scipy float64 posterior lower bound at ``xq``."""
+    K = variance * np.exp(-0.5 * cdist(X / ls, X / ls, "sqeuclidean"))
+    cho = scipy.linalg.cho_factor(K + noise_var * np.eye(len(X)),
+                                  lower=True)
+    kv = variance * np.exp(-0.5 * cdist(X / ls, np.atleast_2d(xq) / ls,
+                                        "sqeuclidean"))
+    mu = kv.T @ scipy.linalg.cho_solve(cho, Y[:, 0])
+    v = scipy.linalg.solve_triangular(cho[0], kv, lower=True)
+    var = np.maximum(variance - np.sum(v * v, axis=0), 0.0)
+    return float(mu[0] - beta * np.sqrt(var[0]))
+
+
+class TestKnifeEdgeCertification:
+    """Engineered margin of ±1e-9 around fmin: far below any f32 noise
+    floor, so only the f64-certified path can decide it correctly."""
+
+    def _setup(self, fmin_offset):
+        rng = np.random.default_rng(2)
+        X = rng.uniform(-1.5, 1.5, size=(10, 1))
+        Y = 1.0 + np.exp(-0.5 * X ** 2)
+        grid = linearly_spaced_combinations([(-3.0, 3.0)], 200)
+        j = 150                      # probe point away from the data
+        beta = 2.0
+        l64 = _f64_lower_bound(X, Y, 1e-4, 2.0, 1.0, beta, grid[j])
+        fmin = l64 + fmin_offset
+        gp = GPRegression(X, Y, RBF(1, variance=2.0, lengthscale=1.0),
+                          noise_var=1e-4)
+        opt = SafeOpt(gp, grid, fmin=[fmin], beta=beta,
+                      exact_boundaries=True, boundary_band=1e-3,
+                      use_pallas=False)
+        return opt, j
+
+    @pytest.mark.parametrize("offset,expect_safe", [(-1e-9, True),
+                                                    (1e-9, False)])
+    def test_f32_session_decides_by_f64_truth(self, offset, expect_safe):
+        with jax.enable_x64(False):
+            opt, j = self._setup(offset)
+            opt.optimize()
+            assert bool(opt.S[j]) is expect_safe
+
+    @pytest.mark.parametrize("offset,expect_safe", [(-1e-9, True),
+                                                    (1e-9, False)])
+    def test_f64_session_agrees(self, offset, expect_safe):
+        opt, j = self._setup(offset)
+        opt.optimize()
+        assert bool(opt.S[j]) is expect_safe
+
+
+class TestCertifiedMatchesPlainInF64:
+    def test_trajectory_identical(self):
+        kern = RBF(1, variance=2.0)
+        rkern = RefRBF(1, variance=2.0)
+
+        def f(x):
+            x = np.atleast_2d(x)
+            return (rkern.K(x, np.array([[0.0], [2.0]]))
+                    @ np.array([2.0, 1.0]))
+
+        x0 = np.array([[0.0]])
+        grid = linearly_spaced_combinations([(-4.0, 4.0)], 150)
+        gp1 = GPRegression(x0, f(x0)[:, None], kern, noise_var=1e-4)
+        gp2 = GPRegression(x0, f(x0)[:, None], kern.copy(), noise_var=1e-4)
+        rgp = RefGP(x0, f(x0)[:, None], rkern, noise_var=1e-4)
+        plain = SafeOpt(gp1, grid, fmin=[0.0], threshold=0.1)
+        cert = SafeOpt(gp2, grid, fmin=[0.0], threshold=0.1,
+                       exact_boundaries=True)
+        ref = RefSafeOpt(rgp, grid, fmin=[0.0], threshold=0.1)
+
+        for _ in range(6):
+            xp = np.asarray(plain.optimize())
+            xc = np.asarray(cert.optimize())
+            xr = np.asarray(ref.optimize())
+            assert_allclose(xp, xr, atol=1e-9)
+            assert_allclose(xc, xr, atol=1e-9)
+            np.testing.assert_array_equal(cert.S, plain.S)
+            np.testing.assert_array_equal(cert.M, plain.M)
+            np.testing.assert_array_equal(cert.G, plain.G)
+            y = np.array([[float(f(xp)[0])]])
+            plain.add_new_data_point(xp, y)
+            cert.add_new_data_point(xc, y)
+            ref.add_new_data_point(xr, y)
+
+
+class TestBudgetAndValidation:
+    def test_band_overflow_warns_and_runs(self, caplog):
+        import logging
+
+        gp = GPRegression(np.array([[0.0]]), np.array([[1.5]]),
+                          RBF(1, variance=2.0), noise_var=1e-4)
+        grid = linearly_spaced_combinations([(-2.0, 2.0)], 100)
+        opt = SafeOpt(gp, grid, fmin=[0.0], exact_boundaries=True,
+                      boundary_band=100.0, boundary_k=8)
+        with caplog.at_level(logging.WARNING):
+            x = opt.optimize()
+        assert any("triage budget" in r.message for r in caplog.records)
+        assert np.isfinite(np.asarray(x)).all()
+
+    def test_requires_exact_gps(self):
+        from safeopt_tpu.gp.sparse import SparseGPRegression
+
+        X = np.linspace(-1, 1, 12)[:, None]
+        Y = 1.0 + np.exp(-X ** 2)
+        gp = SparseGPRegression(X, Y, RBF(1, variance=2.0), noise_var=1e-4,
+                                inducing=6)
+        grid = linearly_spaced_combinations([(-2.0, 2.0)], 50)
+        with pytest.raises(ValueError):
+            SafeOpt(gp, grid, fmin=[0.0], exact_boundaries=True)
+
+    def test_checkpoint_roundtrip_keeps_flags(self, tmp_path):
+        from safeopt_tpu.utils import checkpoint
+
+        gp = GPRegression(np.array([[0.0]]), np.array([[1.5]]),
+                          RBF(1, variance=2.0), noise_var=1e-4)
+        grid = linearly_spaced_combinations([(-2.0, 2.0)], 50)
+        opt = SafeOpt(gp, grid, fmin=[0.0], exact_boundaries=True,
+                      boundary_band=2e-3, boundary_k=16)
+        path = str(tmp_path / "cert.npz")
+        checkpoint.save(opt, path)
+        opt2 = checkpoint.load(path)
+        assert opt2._exact_boundaries is True
+        assert opt2._boundary_band == 2e-3
+        assert opt2._boundary_k == 16

@@ -84,3 +84,60 @@ def test_loop_reports_lost_certification():
     flags = np.asarray(result.has_safe)
     assert flags[0]            # starts certified
     assert not flags[-1]       # certification lost after bad data
+
+
+class TestSwarmLoop:
+    def test_on_device_swarm_campaign(self):
+        """Five SafeOptSwarm iterations under one lax.scan: model grows,
+        safety is never lost, queries stay in bounds, observations
+        match the objective."""
+        import jax
+        import jax.numpy as jnp
+
+        from safeopt_tpu.algorithms.runner import run_swarmopt_loop
+        from safeopt_tpu.algorithms.swarm_opt_fused import SwarmIterState
+        from safeopt_tpu.gp import GPRegression, RBF
+
+        d = 2
+        x0 = np.zeros((1, d))
+        kern = RBF(d, variance=2.0, lengthscale=1.5)
+        gp = GPRegression(x0, np.array([[2.0]]), kern, noise_var=1e-4,
+                          capacity=16)
+        dtype = gp.state.X.dtype
+
+        def f(x):
+            return 2.0 * jnp.exp(-0.5 * jnp.sum(x * x))
+
+        n_iter = 5
+        swarm_size = 8
+        cap = 128
+        S_buf = np.zeros((cap, d))
+        S_buf[0] = x0[0]
+        iter_state = SwarmIterState(
+            S=jnp.asarray(S_buf, dtype),
+            count=jnp.asarray(1, jnp.int32),
+            greedy=jnp.asarray(x0[0], dtype))
+
+        vel = jnp.asarray([0.3, 0.3], dtype)
+        bounds = jnp.asarray([[-3.0, 3.0], [-3.0, 3.0]], dtype)
+        res = run_swarmopt_loop(
+            (kern,), (gp.state,), iter_state, jax.random.key(0), vel,
+            bounds, jnp.asarray([0.0], dtype), jnp.asarray([np.sqrt(2.0)],
+            dtype), jnp.asarray([0.0], dtype),
+            np.full(n_iter, 2.0), x0[0], -np.inf,
+            objectives=(f,), n_iter=n_iter, swarm_size=swarm_size,
+            max_iters=10, noise_std=0.0)
+
+        xs = np.asarray(res.xs)
+        ys = np.asarray(res.ys)
+        assert xs.shape == (n_iter, d) and np.isfinite(xs).all()
+        assert (xs >= -3.0).all() and (xs <= 3.0).all()
+        # observations really are f(x)
+        expected = 2.0 * np.exp(-0.5 * np.sum(xs ** 2, axis=1))
+        np.testing.assert_allclose(ys[:, 0], expected, rtol=1e-10)
+        # model grew by one observation per iteration
+        assert int(res.states[0].count) == 1 + n_iter
+        # certification never lost; safe set grew
+        assert (np.asarray(res.num_safe_min) > 0).all()
+        assert int(np.asarray(res.safe_counts)[-1]) >= 1
+        assert np.isfinite(np.asarray(res.best_lower_bounds)).all()
