@@ -56,3 +56,17 @@ for seed in range(100, 130):
     except (EnvironmentError, OSError):
         pass  # unsafe-seed config; skip
 print(f"30 seeds: true divergences={true_div}, degenerate forks={forks}", flush=True)
+
+# -- swarm orchestration sweep (round 2) ------------------------------------
+from test_fuzz_parity import run_swarm_lockstep_case
+
+swarm_fail = 0
+for seed in range(4200, 4215):
+    try:
+        run_swarm_lockstep_case(seed, iters=5)
+    except AssertionError as e:
+        swarm_fail += 1
+        print(f"swarm seed {seed}: DIVERGED: {str(e)[:120]}", flush=True)
+    except RuntimeError:
+        pass  # random config emptied its safe set; legitimate
+print(f"15 swarm seeds: divergences={swarm_fail}", flush=True)

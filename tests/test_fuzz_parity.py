@@ -218,3 +218,90 @@ def test_random_context_lockstep(seed):
         y = float(f(joint[None, :])[0])
         opt.add_new_data_point(x, y, context=np.array([ctx]))
         ref.add_new_data_point(x, y, context=np.array([ctx]))
+
+
+def run_swarm_lockstep_case(seed, iters=6):
+    """One random SafeOptSwarm lockstep case (shared with the offline
+    sweep, fuzz_sweep.py): stepwise AND fused paths must reproduce
+    the independent NumPy orchestration mirror under shared uniform
+    streams (round-2 harness, tests/test_swarm_lockstep.py)."""
+    from reference_impl import RefSafeOptSwarm
+    from test_swarm_lockstep import (FusedStreamedSwarm, StreamedSwarm,
+                                     make_provider)
+
+    rng = np.random.default_rng(seed)
+    d = int(rng.integers(1, 7))
+    num_gps = int(rng.integers(1, 3))
+    swarm_size = int(rng.integers(8, 14))
+    max_iters = int(rng.integers(10, 16))
+    threshold = float(rng.uniform(0.0, 0.2))
+    noise = float(10 ** rng.uniform(-5, -3))
+    bounds = [(-3.0, 3.0)] * d
+
+    kerns, rkerns, fns = [], [], []
+    for g in range(num_gps):
+        variance = float(rng.uniform(0.8, 3.0))
+        ls = float(rng.uniform(1.0, 3.0))
+        cls, rcls = ((RBF, RefRBF) if rng.random() < 0.5
+                     else (Matern32, RefMatern32))
+        kerns.append(cls(d, variance=variance, lengthscale=ls))
+        rkerns.append(rcls(d, variance=variance, lengthscale=ls))
+        centers = rng.uniform(-2, 2, size=(3, d))
+        weights = rng.uniform(-1.0, 1.5, size=3)
+        rk = rkerns[-1]
+
+        def fn(x, rk=rk, c=centers.copy(), w=weights.copy()):
+            return rk.K(np.atleast_2d(x), c) @ w
+
+        fns.append(fn)
+
+    x0 = np.zeros((1, d))
+    safe_level = 1.0 + 0.5 * 3.0 * np.sqrt(3.0)
+    fns = [
+        (lambda x, fn=fn, off=(safe_level - float(fn(x0)[0])): fn(x) + off)
+        for fn in fns
+    ]
+    fmin = [0.0] * num_gps
+    if num_gps > 1:
+        fmin[0] = -np.inf
+    y0 = np.array([[float(f(x0)[0]) for f in fns]])
+
+    def make(kind, provider):
+        if kind == "ref":
+            rgps = [RefGP(x0, y0[:, [i]], k, noise_var=noise)
+                    for i, k in enumerate(rkerns)]
+            return RefSafeOptSwarm(
+                rgps if num_gps > 1 else rgps[0], fmin=list(fmin),
+                bounds=bounds, threshold=threshold, swarm_size=swarm_size,
+                max_iters=max_iters, draw_uniform=provider)
+        cls = StreamedSwarm if kind == "stepwise" else FusedStreamedSwarm
+        gps = [GPRegression(x0, y0[:, [i]], k.copy(), noise_var=noise)
+               for i, k in enumerate(kerns)]
+        opt = cls(gps if num_gps > 1 else gps[0], fmin=list(fmin),
+                  bounds=bounds, threshold=threshold,
+                  swarm_size=swarm_size, max_iters=max_iters)
+        opt.attach(provider)
+        return opt
+
+    ref = make("ref", make_provider(seed + 5000))
+    step = make("stepwise", make_provider(seed + 5000))
+    fused = make("fused", make_provider(seed + 5000))
+
+    for it in range(iters):
+        x_ref = np.asarray(ref.optimize())
+        x_step = np.asarray(step.optimize(fused=False))
+        x_fused = np.asarray(fused.optimize())
+        assert_allclose(x_step, x_ref, atol=1e-6,
+                        err_msg=f"swarm seed {seed} stepwise iter {it}")
+        assert_allclose(x_fused, x_ref, atol=1e-6,
+                        err_msg=f"swarm seed {seed} fused iter {it}")
+        assert step.S.shape == ref.S.shape
+        assert fused.S.shape == ref.S.shape
+        for o, x in ((ref, x_ref), (step, x_step), (fused, x_fused)):
+            y = np.array([[float(f(x)[0]) for f in fns]])
+            o.add_new_data_point(np.atleast_2d(x), y)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_random_swarm_lockstep(seed):
+    run_swarm_lockstep_case(4000 + seed)
