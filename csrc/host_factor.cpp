@@ -69,6 +69,27 @@ int gram_matern32(const double* X, int n, const double* Z, int m, int d,
     return 0;
 }
 
+// Matern-5/2 gram: k = var * (1 + sqrt(5) r + 5 r^2 / 3) * exp(-sqrt(5) r).
+int gram_matern52(const double* X, int n, const double* Z, int m, int d,
+                  const double* ls, double var, double* out) {
+    double inv_ls[64];
+    if (d > 64) return 1;
+    for (int k = 0; k < d; ++k) inv_ls[k] = 1.0 / ls[k];
+    const double s5 = std::sqrt(5.0);
+    for (int i = 0; i < n; ++i) {
+        const double* xi = X + (size_t)i * d;
+        for (int j = 0; j < m; ++j) {
+            const double r2 = sq_scaled_dist(xi, Z + (size_t)j * d,
+                                             inv_ls, d);
+            const double r = std::sqrt(r2);
+            out[(size_t)i * m + j] = var
+                * (1.0 + s5 * r + (5.0 / 3.0) * r2)
+                * std::exp(-s5 * r);
+        }
+    }
+    return 0;
+}
+
 // In-place lower Cholesky of the leading n x n block of A (row-major,
 // stride = lda). Upper triangle is zeroed. Returns the 1-based index of
 // a non-positive pivot, or 0 on success.

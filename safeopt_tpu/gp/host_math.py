@@ -25,19 +25,22 @@ from typing import Optional
 import numpy as np
 import scipy.linalg
 
-from .kernels import Kernel, Matern32, Product, RBF
+from .kernels import Kernel, Matern32, Matern52, Product, RBF
 
 __all__ = ["np_kernel", "np_kdiag", "HostFactor"]
 
 
 def _native_kind(kernel: Kernel):
-    """'rbf' / 'matern32' when the C++ gram covers this kernel."""
+    """'rbf'/'matern32'/'matern52' when the C++ gram covers this kernel."""
     if isinstance(kernel, RBF) and kernel.active_dims == tuple(
             range(kernel.input_dim)):
         return "rbf"
     if isinstance(kernel, Matern32) and kernel.active_dims == tuple(
             range(kernel.input_dim)):
         return "matern32"
+    if isinstance(kernel, Matern52) and kernel.active_dims == tuple(
+            range(kernel.input_dim)):
+        return "matern52"
     return None
 
 
@@ -47,7 +50,7 @@ def np_kernel(kernel: Kernel, X: np.ndarray,
     ``kernels.Kernel.K``)."""
     if isinstance(kernel, Product):
         return np_kernel(kernel.k1, X, X2) * np_kernel(kernel.k2, X, X2)
-    if not isinstance(kernel, (RBF, Matern32)):
+    if not isinstance(kernel, (RBF, Matern32, Matern52)):
         raise TypeError(f"no host implementation for {type(kernel).__name__}")
 
     ls = np.asarray(kernel.lengthscale, dtype=np.float64)
@@ -63,6 +66,9 @@ def np_kernel(kernel: Kernel, X: np.ndarray,
     if isinstance(kernel, RBF):
         return var * np.exp(-0.5 * r2)
     r = np.sqrt(r2)
+    if isinstance(kernel, Matern52):
+        s5r = np.sqrt(5.0) * r
+        return var * (1.0 + s5r + (5.0 / 3.0) * r2) * np.exp(-s5r)
     s3r = np.sqrt(3.0) * r
     return var * (1.0 + s3r) * np.exp(-s3r)
 

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from ..config import default_dtype
 
-__all__ = ["Kernel", "RBF", "Matern32", "Product"]
+__all__ = ["Kernel", "RBF", "Matern32", "Matern52", "Product"]
 
 
 def _as_active_dims(active_dims, input_dim: int) -> Tuple[int, ...]:
@@ -172,6 +172,25 @@ class Matern32(_Stationary):
         r = jnp.sqrt(r2 + 1e-36)  # guarded sqrt: grad-safe at r = 0
         s3r = jnp.sqrt(jnp.asarray(3.0, r.dtype)) * r
         return self.variance * (1.0 + s3r) * jnp.exp(-s3r)
+
+
+@jax.tree_util.register_pytree_node_class
+class Matern52(_Stationary):
+    """Matern-5/2: k(r) = variance * (1 + sqrt(5) r + 5 r^2 / 3)
+    * exp(-sqrt(5) r).
+
+    New capability beyond the reference's consumed surface (SURVEY.md
+    section 2.8 lists RBF / Matern-3/2), provided because it is the
+    other stationary kernel GPy users reach for; participates in ARD,
+    active_dims, products, hyperparameter fitting, the host f64 island
+    and the fused Pallas paths like the other stationary kernels.
+    """
+
+    def _K_of_r2(self, r2: jnp.ndarray) -> jnp.ndarray:
+        r = jnp.sqrt(r2 + 1e-36)  # guarded sqrt: grad-safe at r = 0
+        s5r = jnp.sqrt(jnp.asarray(5.0, r.dtype)) * r
+        return self.variance * (1.0 + s5r + (5.0 / 3.0) * r2) \
+            * jnp.exp(-s5r)
 
 
 @jax.tree_util.register_pytree_node_class

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 from ..gp.kernels import RBF
-from .fused_posterior import supports_kernel
+from .fused_posterior import _kind_of, supports_kernel
 
 __all__ = ["fused_expander_predicate"]
 
@@ -66,6 +66,10 @@ def _expander_kernel(zt_ref, unsafe_ref, mu_ref, sigma_ref, xs_ref,
         if kind == "rbf":
             return variance * jnp.exp(-0.5 * r2)
         r = jnp.sqrt(r2 + 1e-36)
+        if kind == "matern52":
+            s5r = jnp.sqrt(jnp.asarray(5.0, acc)) * r
+            return (variance * (1.0 + s5r + (5.0 / 3.0) * r2)
+                    * jnp.exp(-s5r))
         s3r = jnp.sqrt(jnp.asarray(3.0, acc)) * r
         return variance * (1.0 + s3r) * jnp.exp(-s3r)
 
@@ -192,7 +196,7 @@ def fused_expander_predicate(kernel, state, grid, unsafe, mu, sigma, Xc,
         mu_row = jnp.concatenate([mu_row, zpad], axis=1)
         sigma_row = jnp.concatenate([sigma_row, zpad], axis=1)
 
-    kind = "rbf" if isinstance(kernel, RBF) else "matern32"
+    kind = _kind_of(kernel)
     return _fused_expander_impl(zt, unsafe_row, mu_row, sigma_row, xs,
                                 xc, M2, cvec, scal, kind=kind, block=block)
 
@@ -234,6 +238,10 @@ def _expander_kernel_multi(zt_ref, unsafe_ref, mu_ref, sigma_ref, ils_ref,
             if kind == "rbf":
                 return variance * jnp.exp(-0.5 * r2)
             r = jnp.sqrt(r2 + 1e-36)
+            if kind == "matern52":
+                s5r = jnp.sqrt(jnp.asarray(5.0, acc)) * r
+                return (variance * (1.0 + s5r + (5.0 / 3.0) * r2)
+                        * jnp.exp(-s5r))
             s3r = jnp.sqrt(jnp.asarray(3.0, acc)) * r
             return variance * (1.0 + s3r) * jnp.exp(-s3r)
 
@@ -359,7 +367,7 @@ def fused_expander_predicate_batched(kernels, states, grid, unsafe, mus,
         mu_rows = jnp.concatenate([mu_rows, gp_pad], axis=1)
         sigma_rows = jnp.concatenate([sigma_rows, gp_pad], axis=1)
 
-    kind = "rbf" if isinstance(kernels[0], RBF) else "matern32"
+    kind = _kind_of(kernels[0])
     return _fused_expander_multi_impl(
         zt, unsafe_row, mu_rows, sigma_rows, jnp.stack(ils_r),
         jnp.stack(xs_r), jnp.stack(xc_r), jnp.stack(m2_r),

@@ -35,15 +35,15 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from ..gp.kernels import RBF, Matern32
+from ..gp.kernels import RBF, Matern32, Matern52
 
 __all__ = ["fused_intervals", "supports_kernel"]
 
 
 def supports_kernel(kernel) -> bool:
     """True when the Pallas path can handle this kernel."""
-    return isinstance(kernel, (RBF, Matern32)) and kernel.active_dims == \
-        tuple(range(kernel.input_dim))
+    return (isinstance(kernel, (RBF, Matern32, Matern52))
+            and kernel.active_dims == tuple(range(kernel.input_dim)))
 
 
 _TRI_TILE = 128
@@ -79,6 +79,14 @@ def _tri_matmul(lm, kmat, acc):
     return jnp.concatenate(rows, axis=0)
 
 
+def _kind_of(kernel) -> str:
+    if isinstance(kernel, RBF):
+        return "rbf"
+    if isinstance(kernel, Matern52):
+        return "matern52"
+    return "matern32"
+
+
 def _interval_kernel(zt_ref, xs_ref, lm_ref, w_ref, scal_ref, out_ref,
                      *, kind: str):
     """One grid block: gram tile -> whitened solve -> intervals."""
@@ -105,6 +113,10 @@ def _interval_kernel(zt_ref, xs_ref, lm_ref, w_ref, scal_ref, out_ref,
 
     if kind == "rbf":
         kmat = variance * jnp.exp(-0.5 * r2)
+    elif kind == "matern52":
+        r = jnp.sqrt(r2 + 1e-36)
+        s5r = jnp.sqrt(jnp.asarray(5.0, acc)) * r
+        kmat = variance * (1.0 + s5r + (5.0 / 3.0) * r2) * jnp.exp(-s5r)
     else:  # matern32
         r = jnp.sqrt(r2 + 1e-36)
         s3r = jnp.sqrt(jnp.asarray(3.0, acc)) * r
@@ -205,8 +217,7 @@ def fused_intervals(kernel, state, grid: jnp.ndarray, beta,
         zt = jnp.concatenate(
             [zt, jnp.zeros((zt.shape[0], pad), dtype)], axis=1)
     out = _fused_intervals_impl(zt, xs, lm, w_row, scal,
-                                kind="rbf" if isinstance(kernel, RBF)
-                                else "matern32", block=block)
+                                kind=_kind_of(kernel), block=block)
     return out[0, :n], out[1, :n]
 
 
@@ -240,6 +251,11 @@ def _interval_kernel_multi(zt_ref, ils_ref, xs_ref, lm_ref, w_ref, scal_ref,
 
         if kind == "rbf":
             kmat = variance * jnp.exp(-0.5 * r2)
+        elif kind == "matern52":
+            r = jnp.sqrt(r2 + 1e-36)
+            s5r = jnp.sqrt(jnp.asarray(5.0, acc)) * r
+            kmat = (variance * (1.0 + s5r + (5.0 / 3.0) * r2)
+                    * jnp.exp(-s5r))
         else:
             r = jnp.sqrt(r2 + 1e-36)
             s3r = jnp.sqrt(jnp.asarray(3.0, acc)) * r
@@ -336,6 +352,5 @@ def fused_intervals_batched(kernels, states, grid: jnp.ndarray, beta,
     out = _fused_intervals_multi_impl(
         zt, jnp.stack(ils_rows), jnp.stack(xs_rows), jnp.stack(lm_rows),
         jnp.stack(w_rows), jnp.stack(scal_rows),
-        kind="rbf" if isinstance(kernels[0], RBF) else "matern32",
-        block=block, num_gps=num_gps)
+        kind=_kind_of(kernels[0]), block=block, num_gps=num_gps)
     return [(out[g, 0, :n], out[g, 1, :n]) for g in range(num_gps)]

@@ -33,7 +33,8 @@ from ..gp.sparse import SparseGPRegression
 
 __all__ = ["save", "load"]
 
-_KERNEL_CLASSES = {"RBF": _kernels.RBF, "Matern32": _kernels.Matern32}
+_KERNEL_CLASSES = {"RBF": _kernels.RBF, "Matern32": _kernels.Matern32,
+                   "Matern52": _kernels.Matern52}
 
 
 def _kernel_spec(kern, arrays, prefix):

@@ -1,9 +1,10 @@
 """Extended offline parity sweep (not collected by pytest).
 
 Runs many random configurations in lockstep with the reference beyond
-the committed 16 fuzz tests. Last run: 38 total configurations, zero
-true divergences, 5 degenerate float64 near-tie forks (selection
-values equal to ~1e-13, either choice valid).
+the committed 20 fuzz tests. Grid sweep last run: 30 configurations,
+zero true divergences, degenerate float64 near-tie forks only
+(selection values equal to ~1e-13, either choice valid). Swarm sweep:
+see the section comment below.
 
 Usage: python tests/fuzz_sweep.py
 """
@@ -58,6 +59,12 @@ for seed in range(100, 130):
 print(f"30 seeds: true divergences={true_div}, degenerate forks={forks}", flush=True)
 
 # -- swarm orchestration sweep (round 2) ------------------------------------
+# Last run: 15 seeds, 14 exact, 1 chaotic fork (seed 4209: the stepwise
+# and fused paths stay BITWISE IDENTICAL to each other on every
+# iteration, and both track the NumPy mirror at 1e-15 -> 1e-12 before
+# drifting to 7e-5 at iteration 3 — Lyapunov amplification of
+# jax-vs-numpy float64 rounding order through the PSO dynamics, not an
+# orchestration difference).
 from test_fuzz_parity import run_swarm_lockstep_case
 
 swarm_fail = 0
@@ -66,7 +73,9 @@ for seed in range(4200, 4215):
         run_swarm_lockstep_case(seed, iters=5)
     except AssertionError as e:
         swarm_fail += 1
-        print(f"swarm seed {seed}: DIVERGED: {str(e)[:120]}", flush=True)
+        print(f"swarm seed {seed}: FORKED (check that step==fused and "
+              f"earlier iterations matched): {str(e)[:200]}", flush=True)
     except RuntimeError:
         pass  # random config emptied its safe set; legitimate
-print(f"15 swarm seeds: divergences={swarm_fail}", flush=True)
+print(f"15 swarm seeds: forks={swarm_fail} (1 known chaotic fork)",
+      flush=True)

@@ -54,6 +54,17 @@ class RefMatern32(RefRBF):
         return self.variance * (1.0 + s3r) * np.exp(-s3r)
 
 
+class RefMatern52(RefRBF):
+    def K(self, X, X2=None):
+        Xs = self._sliced(X)
+        Zs = Xs if X2 is None else self._sliced(X2)
+        r2 = cdist(Xs, Zs, metric="sqeuclidean")
+        r = np.sqrt(r2)
+        s5r = np.sqrt(5.0) * r
+        return self.variance * (1.0 + s5r + (5.0 / 3.0) * r2) \
+            * np.exp(-s5r)
+
+
 class RefProduct:
     def __init__(self, k1, k2):
         self.k1, self.k2 = k1, k2

@@ -268,3 +268,105 @@ class TestSetXYFastPath:
                                    atol=1e-10)
         np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
                                    atol=1e-10)
+
+
+class TestMatern52:
+    """Matern-5/2 (round-2 new kernel) across every layer: jax gram,
+    host f64 gram, native C++ gram, GP posterior vs the independent
+    scipy reference, checkpoint roundtrip."""
+
+    def test_gram_matches_reference_everywhere(self):
+        from reference_impl import RefMatern52
+
+        from safeopt_tpu import native
+        from safeopt_tpu.gp import Matern52
+        from safeopt_tpu.gp.host_math import np_kernel
+
+        rng = np.random.default_rng(21)
+        X = rng.normal(size=(6, 3))
+        Z = rng.normal(size=(9, 3))
+        kern = Matern52(3, variance=1.8, lengthscale=[0.7, 1.1, 1.6],
+                        ARD=True)
+        rkern = RefMatern52(3, variance=1.8, lengthscale=[0.7, 1.1, 1.6],
+                            ARD=True)
+        expected = rkern.K(X, Z)
+        np.testing.assert_allclose(np.asarray(kern.K(X, Z)), expected,
+                                   atol=1e-12)
+        np.testing.assert_allclose(np_kernel(kern, X, Z), expected,
+                                   atol=1e-12)
+        if native.available():
+            got = native.gram("matern52", X, Z,
+                              np.asarray([0.7, 1.1, 1.6]), 1.8)
+            np.testing.assert_allclose(got, expected, atol=1e-12)
+
+    def test_posterior_and_safeopt_lockstep(self):
+        from reference_impl import RefGP, RefMatern52, RefSafeOpt
+
+        from safeopt_tpu import SafeOpt, linearly_spaced_combinations
+        from safeopt_tpu.gp import Matern52
+
+        rkern = RefMatern52(1, variance=2.0, lengthscale=1.2)
+
+        def f(x):
+            return (rkern.K(np.atleast_2d(x), np.array([[0.0], [1.5]]))
+                    @ np.array([2.0, 1.0]))
+
+        x0 = np.array([[0.0]])
+        grid = linearly_spaced_combinations([(-3.0, 3.0)], 120)
+        gp = GPRegression(x0, f(x0)[:, None],
+                          Matern52(1, variance=2.0, lengthscale=1.2),
+                          noise_var=1e-4)
+        rgp = RefGP(x0, f(x0)[:, None], rkern, noise_var=1e-4)
+        opt = SafeOpt(gp, grid, fmin=[0.0], threshold=0.1)
+        ref = RefSafeOpt(rgp, grid, fmin=[0.0], threshold=0.1)
+        for _ in range(5):
+            x = np.asarray(opt.optimize())
+            xr = np.asarray(ref.optimize())
+            np.testing.assert_allclose(x, xr, atol=1e-9)
+            y = np.array([[float(f(x)[0])]])
+            opt.add_new_data_point(x, y)
+            ref.add_new_data_point(x, y)
+        np.testing.assert_array_equal(opt.S, ref.S)
+
+    def test_fused_intervals_matern52(self):
+        import jax.numpy as jnp
+
+        from safeopt_tpu.gp import Matern52
+        from safeopt_tpu.ops.fused_posterior import (fused_intervals,
+                                                     supports_kernel)
+
+        kern = Matern52(2, variance=1.5, lengthscale=0.9)
+        assert supports_kernel(kern)
+        rng = np.random.default_rng(4)
+        X = rng.uniform(-2, 2, size=(12, 2))
+        Y = np.sum(np.sin(X), axis=1, keepdims=True)
+        gp = GPRegression(X, Y, kern, noise_var=0.01)
+        grid = rng.uniform(-3, 3, size=(640, 2))
+        gd = jnp.asarray(grid, gp.state.X.dtype)
+        l, u = fused_intervals(kern, gp.state, gd, jnp.asarray(2.0),
+                               block=512)
+        mu, var = gp_predict(kern, gp.state, gd)
+        sd = np.sqrt(np.asarray(var))
+        np.testing.assert_allclose(np.asarray(l), np.asarray(mu) - 2 * sd,
+                                   rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(u), np.asarray(mu) + 2 * sd,
+                                   rtol=1e-8, atol=1e-10)
+
+    def test_checkpoint_roundtrip(self, tmp_path):
+        from safeopt_tpu import SafeOptSwarm
+        from safeopt_tpu.gp import Matern52
+        from safeopt_tpu.utils import checkpoint
+
+        gp = GPRegression(np.array([[0.0]]), np.array([[1.0]]),
+                          Matern52(1, variance=2.0), noise_var=0.01)
+        opt = SafeOptSwarm(gp, fmin=[0.0], bounds=[[-2.0, 2.0]],
+                           swarm_size=8)
+        path = str(tmp_path / "m52.npz")
+        checkpoint.save(opt, path)
+        opt2 = checkpoint.load(path)
+        assert type(opt2.gp.kern).__name__ == "Matern52"
+        q = np.linspace(-2, 2, 15)[:, None]
+        m1, _ = gp.predict_noiseless(q)
+        m2, _ = opt2.gp.predict_noiseless(q)
+        np.testing.assert_allclose(np.asarray(m2), np.asarray(m1),
+                                   atol=1e-12)
