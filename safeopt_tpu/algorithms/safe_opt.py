@@ -70,7 +70,9 @@ class SafeOpt(GaussianProcessOptimization):
         Scaled-margin width of the certification band (default 1e-3).
     boundary_k : int
         Triage budget: at most this many near-boundary candidates are
-        certified per iteration (overflow logs a warning).
+        certified per iteration (default 1024 — the host float64
+        recompute is microseconds at that size; overflow logs a
+        warning).
 
     Examples
     --------
@@ -91,7 +93,7 @@ class SafeOpt(GaussianProcessOptimization):
                  num_contexts=0, threshold=0, scaling="auto",
                  expander_chunk: int = 32, use_pallas=None,
                  exact_boundaries: bool = False, boundary_band: float = 1e-3,
-                 boundary_k: int = 128):
+                 boundary_k: int = 1024):
         super().__init__(gp, fmin=fmin, beta=beta,
                          num_contexts=num_contexts, threshold=threshold,
                          scaling=scaling)
@@ -147,7 +149,7 @@ class SafeOpt(GaussianProcessOptimization):
         # (the BASELINE.md "bitwise-stable decisions" target on TPU).
         self._exact_boundaries = bool(exact_boundaries)
         self._boundary_band = float(boundary_band)
-        self._boundary_k = int(boundary_k)
+        self._boundary_k = min(int(boundary_k), N)
         if self._exact_boundaries:
             for g in self.gps:
                 if not hasattr(g, "_host"):

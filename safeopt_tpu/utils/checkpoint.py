@@ -180,7 +180,7 @@ def load(path: str, beta=None):
                       use_pallas=meta.get("use_pallas"),
                       exact_boundaries=meta.get("exact_boundaries", False),
                       boundary_band=meta.get("boundary_band", 1e-3),
-                      boundary_k=meta.get("boundary_k", 128))
+                      boundary_k=meta.get("boundary_k", 1024))
         if "use_lipschitz" in meta:
             opt.use_lipschitz = meta["use_lipschitz"]
         for i, g in enumerate(opt.gps):
