@@ -134,7 +134,9 @@ class SafeOpt(GaussianProcessOptimization):
 
         if use_pallas is None:
             # Fused Mosaic path on real TPUs when every kernel supports
-            # it; XLA path on CPU (tests) and for product kernels.
+            # it (stationary kernels and their products, including the
+            # contextual composition); XLA path on CPU (tests) and for
+            # anything else.
             import jax
 
             from ..ops.fused_posterior import supports_kernel

@@ -29,23 +29,24 @@ tiny and precomputed by XLA.
 from __future__ import annotations
 
 import functools
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-from ..gp.kernels import RBF
-from .fused_posterior import _kind_of, supports_kernel
+from .fused_posterior import (_kind_of, _part_gram, _part_plan,
+                              supports_kernel)
 
 __all__ = ["fused_expander_predicate"]
 
 
 def _expander_kernel(zt_ref, unsafe_ref, mu_ref, sigma_ref, xs_ref,
-                     xc_ref, m2_ref, cvec_ref, scal_ref, out_ref,
-                     *, kind: str):
+                     xc_ref, m2_ref, cvec_ref, scales_ref, pvar_ref,
+                     scal_ref, out_ref, *, kinds: Tuple[str, ...]):
     zt = zt_ref[:]                       # (d, B)
     xs = xs_ref[:]                       # (cap, d)
-    xc = xc_ref[:]                       # (C, d) pre-scaled candidates
+    xc = xc_ref[:]                       # (C, d) candidates
     m2 = m2_ref[:]                       # (C, cap) = Cm^T Lm
     cvec = cvec_ref[:]                   # (3, C) rows: inv_dd, gain, valid
     unsafe = unsafe_ref[:]               # (1, B) 0/1 mask
@@ -53,29 +54,14 @@ def _expander_kernel(zt_ref, unsafe_ref, mu_ref, sigma_ref, xs_ref,
     sigma = sigma_ref[:]                 # (1, B) grid posterior std
     acc = zt.dtype
 
-    variance = scal_ref[0, 0]
     beta = scal_ref[0, 2]
     fmin_i = scal_ref[0, 3]
 
-    def gram(a, b_t):
-        # explicit per-dimension differences (see fused_posterior.py)
-        r2 = jnp.zeros((a.shape[0], b_t.shape[1]), acc)
-        for k in range(a.shape[1]):
-            diff = a[:, k][:, None] - b_t[k, :][None, :]
-            r2 = r2 + diff * diff
-        if kind == "rbf":
-            return variance * jnp.exp(-0.5 * r2)
-        r = jnp.sqrt(r2 + 1e-36)
-        if kind == "matern52":
-            s5r = jnp.sqrt(jnp.asarray(5.0, acc)) * r
-            return (variance * (1.0 + s5r + (5.0 / 3.0) * r2)
-                    * jnp.exp(-s5r))
-        s3r = jnp.sqrt(jnp.asarray(3.0, acc)) * r
-        return variance * (1.0 + s3r) * jnp.exp(-s3r)
-
-    kmat = gram(xs, zt)                                    # (cap, B)
+    # gram tiles by explicit per-dimension differences, product parts
+    # multiplied in VMEM (see fused_posterior._part_gram)
+    kmat = _part_gram(xs, zt, scales_ref, pvar_ref, kinds, acc)  # (cap, B)
     var = sigma * sigma
-    kc = gram(xc, zt)                                      # (C, B)
+    kc = _part_gram(xc, zt, scales_ref, pvar_ref, kinds, acc)    # (C, B)
     cross = jax.lax.dot_general(m2, kmat, (((1,), (0,)), ((), ())),
                                 preferred_element_type=acc)
     inv_dd = cvec[0, :][:, None]                           # (C, 1)
@@ -98,19 +84,21 @@ def _expander_kernel(zt_ref, unsafe_ref, mu_ref, sigma_ref, xs_ref,
     out_ref[0, :] = jnp.maximum(out_ref[0, :], partial)
 
 
-@functools.partial(jax.jit, static_argnames=("kind", "block"))
+@functools.partial(jax.jit, static_argnames=("kinds", "block"))
 def _fused_expander_impl(zt, unsafe_row, mu_row, sigma_row, xs, xc, m2,
-                         cvec, scal, *, kind: str, block: int):
+                         cvec, scales, pvar, scal,
+                         *, kinds: Tuple[str, ...], block: int):
     from jax.experimental.pallas import tpu as pltpu
 
     d, n = zt.shape
     cap = xs.shape[0]
     C = xc.shape[0]
+    P = scales.shape[0]
     grid = (n // block,)
     interpret = jax.default_backend() == "cpu"
 
     out = pl.pallas_call(
-        functools.partial(_expander_kernel, kind=kind),
+        functools.partial(_expander_kernel, kinds=kinds),
         out_shape=jax.ShapeDtypeStruct((1, C), zt.dtype),
         grid=grid,
         in_specs=[
@@ -130,13 +118,18 @@ def _fused_expander_impl(zt, unsafe_row, mu_row, sigma_row, xs, xc, m2,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, C), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 4), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, C), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(zt, unsafe_row, mu_row, sigma_row, xs, xc, m2, cvec, scal)
+    )(zt, unsafe_row, mu_row, sigma_row, xs, xc, m2, cvec, scales, pvar,
+      scal)
     return out[0] > 0.5
 
 
@@ -157,8 +150,8 @@ def fused_expander_predicate(kernel, state, grid, unsafe, mu, sigma, Xc,
         from .fused_posterior import _pick_block
         block = _pick_block(cap, extra_rows=6 * Xc.shape[0])
 
-    ls = jnp.broadcast_to(jnp.asarray(kernel.lengthscale, dtype),
-                          (grid.shape[1],))
+    kinds, scales, pvars, prescale_ls = _part_plan(
+        kernel, grid.shape[1], dtype)
     mask = (jnp.arange(cap) < state.count).astype(dtype)
     lm = state.Linv * mask[None, :]
 
@@ -172,17 +165,23 @@ def fused_expander_predicate(kernel, state, grid, unsafe, mu, sigma, Xc,
 
     cvec = jnp.stack([1.0 / dd, gain,
                       valid.astype(dtype)], axis=0)       # (3, C)
+    kdiag = jnp.prod(pvars)
     scal = jnp.stack([
-        jnp.asarray(kernel.variance, dtype),
-        jnp.asarray(kernel.variance, dtype),
+        kdiag,
+        kdiag,
         jnp.asarray(beta, dtype),
         jnp.asarray(fmin_i, dtype),
     ])[None, :]
 
     n = grid.shape[0]
-    zt = (grid / ls).T
-    xs = state.X / ls
-    xc = Xc / ls
+    if prescale_ls is not None:
+        zt = (grid / prescale_ls).T
+        xs = state.X / prescale_ls
+        xc = Xc / prescale_ls
+    else:
+        zt = grid.T
+        xs = state.X
+        xc = Xc
     unsafe_row = unsafe.astype(dtype)[None, :]
     mu_row = mu[None, :]
     sigma_row = sigma[None, :]
@@ -196,9 +195,9 @@ def fused_expander_predicate(kernel, state, grid, unsafe, mu, sigma, Xc,
         mu_row = jnp.concatenate([mu_row, zpad], axis=1)
         sigma_row = jnp.concatenate([sigma_row, zpad], axis=1)
 
-    kind = _kind_of(kernel)
     return _fused_expander_impl(zt, unsafe_row, mu_row, sigma_row, xs,
-                                xc, M2, cvec, scal, kind=kind, block=block)
+                                xc, M2, cvec, scales, pvars[None, :],
+                                scal, kinds=kinds, block=block)
 
 
 # ---------------------------------------------------------------------------

@@ -22,9 +22,14 @@ tile to 128 lanes and waste ~64x memory bandwidth on the grid reads
 
 ``Lm = Linv * col_mask`` is pre-masked so padded factor rows vanish
 without an in-kernel mask; inputs are pre-scaled so ARD costs nothing
-per block. Supported for the stationary single kernels (RBF,
-Matern-3/2) that dominate real workloads; product / context kernels
-fall back to the XLA path automatically (``supports_kernel``).
+per block. Supported for the stationary kernels (RBF, Matern-3/2,
+Matern-5/2) and for product compositions of them — including the
+reference's contextual kernels, ``RBF(active_dims=[0]) *
+RBF(active_dims=[1])`` (context_example notebook; SURVEY.md section
+2.9): each product part contributes its own lengthscale-scaled
+squared-distance accumulation (a zero scale drops inactive dims), and
+the part grams multiply in VMEM. Anything else falls back to the XLA
+path automatically (``supports_kernel``).
 """
 
 from __future__ import annotations
@@ -35,15 +40,28 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from ..gp.kernels import RBF, Matern32, Matern52
+from ..gp.kernels import Matern32, Matern52, Product, RBF
 
 __all__ = ["fused_intervals", "supports_kernel"]
 
+_STATIONARY = (RBF, Matern32, Matern52)
+
+
+def _parts_of(kernel):
+    """Flatten (possibly nested) products into stationary leaves."""
+    if isinstance(kernel, Product):
+        return _parts_of(kernel.k1) + _parts_of(kernel.k2)
+    return [kernel]
+
 
 def supports_kernel(kernel) -> bool:
-    """True when the Pallas path can handle this kernel."""
-    return (isinstance(kernel, (RBF, Matern32, Matern52))
-            and kernel.active_dims == tuple(range(kernel.input_dim)))
+    """True when the Pallas path can handle this kernel.
+
+    Stationary leaves (RBF / Matern-3/2 / Matern-5/2), alone or in a
+    product; ``active_dims`` subsets are handled by zeroing the
+    inactive entries of the per-part scale row.
+    """
+    return all(isinstance(p, _STATIONARY) for p in _parts_of(kernel))
 
 
 _TRI_TILE = 128
@@ -87,40 +105,83 @@ def _kind_of(kernel) -> str:
     return "matern32"
 
 
-def _interval_kernel(zt_ref, xs_ref, lm_ref, w_ref, scal_ref, out_ref,
-                     *, kind: str):
+def _kinds_of(kernel) -> Tuple[str, ...]:
+    """Static part-kind tuple for (products of) stationary kernels."""
+    return tuple(_kind_of(p) for p in _parts_of(kernel))
+
+
+def _part_plan(kernel, d: int, dtype):
+    """Per-part scale rows + variances and the pre-scale decision.
+
+    Returns ``(kinds, scales, pvars, prescale_ls)``. For a single
+    full-dim stationary kernel the inputs are pre-scaled once by the
+    lengthscale (``prescale_ls``) and the in-kernel scale row is exactly
+    1.0 — bit-identical to the historical single-kernel path. Products
+    (and ``active_dims`` subsets) ship raw inputs with a (P, d) scale
+    matrix: row p holds ``1/lengthscale`` on part p's active dims and
+    0 elsewhere, so inactive dims vanish from that part's distances.
+    """
+    parts = _parts_of(kernel)
+    kinds = tuple(_kind_of(p) for p in parts)
+    pvars = jnp.stack([jnp.asarray(p.variance, dtype) for p in parts])
+
+    if len(parts) == 1 and parts[0].active_dims == tuple(range(d)):
+        ls = jnp.broadcast_to(jnp.asarray(parts[0].lengthscale, dtype), (d,))
+        return kinds, jnp.ones((1, d), dtype), pvars, ls
+
+    scales = jnp.zeros((len(parts), d), dtype)
+    for p, part in enumerate(parts):
+        ls = jnp.broadcast_to(jnp.asarray(part.lengthscale, dtype),
+                              (part.input_dim,))
+        scales = scales.at[p, list(part.active_dims)].set(1.0 / ls)
+    return kinds, scales, pvars, None
+
+
+def _part_gram(a, b_t, scales_ref, pvar_ref, kinds, acc):
+    """Gram tile for a (product of) stationary kernel(s).
+
+    ``a`` is (rows, d), ``b_t`` is (d, B) features-first; scaled squared
+    distances accumulate by explicit per-dimension differences — for
+    the small input dims of BO problems this is a handful of VPU
+    passes, avoids the catastrophic-cancellation form
+    |x|^2+|z|^2-2x.z (whose matmul rounding is amplified through the
+    ill-conditioned factor), and skips the norm precomputations.
+    """
+    d = a.shape[1]
+    kmat = None
+    for p, kind in enumerate(kinds):
+        r2 = jnp.zeros((a.shape[0], b_t.shape[1]), acc)
+        for k in range(d):
+            diff = (a[:, k][:, None] - b_t[k, :][None, :]) * scales_ref[p, k]
+            r2 = r2 + diff * diff
+        variance = pvar_ref[0, p]
+        if kind == "rbf":
+            kp = variance * jnp.exp(-0.5 * r2)
+        elif kind == "matern52":
+            r = jnp.sqrt(r2 + 1e-36)
+            s5r = jnp.sqrt(jnp.asarray(5.0, acc)) * r
+            kp = variance * (1.0 + s5r + (5.0 / 3.0) * r2) * jnp.exp(-s5r)
+        else:  # matern32
+            r = jnp.sqrt(r2 + 1e-36)
+            s3r = jnp.sqrt(jnp.asarray(3.0, acc)) * r
+            kp = variance * (1.0 + s3r) * jnp.exp(-s3r)
+        kmat = kp if kmat is None else kmat * kp
+    return kmat
+
+
+def _interval_kernel(zt_ref, xs_ref, lm_ref, w_ref, scales_ref, pvar_ref,
+                     scal_ref, out_ref, *, kinds: Tuple[str, ...]):
     """One grid block: gram tile -> whitened solve -> intervals."""
-    zt = zt_ref[:]                      # (d, B) pre-scaled grid block
-    xs = xs_ref[:]                      # (cap, d) pre-scaled data
+    zt = zt_ref[:]                      # (d, B) grid block
+    xs = xs_ref[:]                      # (cap, d) training inputs
     lm = lm_ref[:]                      # (cap, cap) masked Linv
     w = w_ref[:]                        # (1, cap) whitened targets
     acc = zt.dtype                      # f32 accum on TPU; f64 in x64 tests
 
-    variance = scal_ref[0, 0]
     kdiag = scal_ref[0, 1]
     beta = scal_ref[0, 2]
 
-    # Scaled squared distances by explicit per-dimension differences:
-    # for the small input dims of BO problems this is a handful of VPU
-    # passes, avoids the catastrophic-cancellation form
-    # |x|^2+|z|^2-2x.z (whose matmul rounding is amplified through the
-    # ill-conditioned factor), and skips the norm precomputations.
-    d = xs.shape[1]
-    r2 = jnp.zeros((xs.shape[0], zt.shape[1]), acc)
-    for k in range(d):
-        diff = xs[:, k][:, None] - zt[k, :][None, :]
-        r2 = r2 + diff * diff
-
-    if kind == "rbf":
-        kmat = variance * jnp.exp(-0.5 * r2)
-    elif kind == "matern52":
-        r = jnp.sqrt(r2 + 1e-36)
-        s5r = jnp.sqrt(jnp.asarray(5.0, acc)) * r
-        kmat = variance * (1.0 + s5r + (5.0 / 3.0) * r2) * jnp.exp(-s5r)
-    else:  # matern32
-        r = jnp.sqrt(r2 + 1e-36)
-        s3r = jnp.sqrt(jnp.asarray(3.0, acc)) * r
-        kmat = variance * (1.0 + s3r) * jnp.exp(-s3r)
+    kmat = _part_gram(xs, zt, scales_ref, pvar_ref, kinds, acc)
 
     # V = Lm @ kmat : (cap, cap) x (cap, B), upper tiles skipped
     V = _tri_matmul(lm, kmat, acc)
@@ -134,13 +195,15 @@ def _interval_kernel(zt_ref, xs_ref, lm_ref, w_ref, scal_ref, out_ref,
     out_ref[1, :] = mu + spread
 
 
-@functools.partial(jax.jit, static_argnames=("kind", "block"))
-def _fused_intervals_impl(zt, xs, lm, w_row, scal, *, kind: str, block: int):
+@functools.partial(jax.jit, static_argnames=("kinds", "block"))
+def _fused_intervals_impl(zt, xs, lm, w_row, scales, pvar, scal,
+                          *, kinds: Tuple[str, ...], block: int):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     d, n = zt.shape
     cap = xs.shape[0]
+    P = scales.shape[0]
     grid = (n // block,)
 
     # Interpret mode keeps the kernel testable on the CPU mesh used by
@@ -148,7 +211,7 @@ def _fused_intervals_impl(zt, xs, lm, w_row, scal, *, kind: str, block: int):
     interpret = jax.default_backend() == "cpu"
 
     return pl.pallas_call(
-        functools.partial(_interval_kernel, kind=kind),
+        functools.partial(_interval_kernel, kinds=kinds),
         out_shape=jax.ShapeDtypeStruct((2, n), zt.dtype),
         grid=grid,
         in_specs=[
@@ -160,13 +223,17 @@ def _fused_intervals_impl(zt, xs, lm, w_row, scal, *, kind: str, block: int):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cap), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 4), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((2, block), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(zt, xs, lm, w_row, scal)
+    )(zt, xs, lm, w_row, scales, pvar, scal)
 
 
 def _pick_block(cap: int, extra_rows: int = 0, budget_bytes: int = 6 << 20,
@@ -193,21 +260,25 @@ def fused_intervals(kernel, state, grid: jnp.ndarray, beta,
         raise TypeError(f"unsupported kernel for the fused path: {kernel!r}")
 
     dtype = grid.dtype
-    n = grid.shape[0]
+    n, d = grid.shape
     cap = state.capacity
     if not block:
         block = _pick_block(cap)
 
-    ls = jnp.broadcast_to(jnp.asarray(kernel.lengthscale, dtype),
-                          (grid.shape[1],))
-    zt = (grid / ls).T                              # (d, N) features-first
-    xs = state.X / ls
+    kinds, scales, pvars, prescale_ls = _part_plan(kernel, d, dtype)
+    if prescale_ls is not None:
+        zt = (grid / prescale_ls).T                 # (d, N) features-first
+        xs = state.X / prescale_ls
+    else:
+        zt = grid.T
+        xs = state.X
     mask = (jnp.arange(cap) < state.count).astype(dtype)
     lm = state.Linv * mask[None, :]
     w_row = state.w[None, :]
+    kdiag = jnp.prod(pvars)                         # stationary product
     scal = jnp.stack([
-        jnp.asarray(kernel.variance, dtype),
-        jnp.asarray(kernel.variance, dtype),     # stationary kdiag
+        kdiag,
+        kdiag,
         jnp.asarray(beta, dtype),
         jnp.zeros((), dtype),
     ])[None, :]
@@ -216,8 +287,8 @@ def fused_intervals(kernel, state, grid: jnp.ndarray, beta,
     if pad:
         zt = jnp.concatenate(
             [zt, jnp.zeros((zt.shape[0], pad), dtype)], axis=1)
-    out = _fused_intervals_impl(zt, xs, lm, w_row, scal,
-                                kind=_kind_of(kernel), block=block)
+    out = _fused_intervals_impl(zt, xs, lm, w_row, scales, pvars[None, :],
+                                scal, kinds=kinds, block=block)
     return out[0, :n], out[1, :n]
 
 
@@ -308,10 +379,16 @@ def _fused_intervals_multi_impl(zt, ils, xs, lm, w, scal, *, kind: str,
 
 
 def supports_batched(kernels, states) -> bool:
-    """One fused call for all GPs: same kernel family and capacity."""
+    """One fused call for all GPs: same kernel family and capacity.
+
+    The batched kernels are specialized to plain full-dim stationary
+    kernels; products (contexts) run one fused pass per GP instead.
+    """
     if len(kernels) < 2:
         return False
-    if not all(supports_kernel(k) for k in kernels):
+    if not all(isinstance(k, _STATIONARY)
+               and k.active_dims == tuple(range(k.input_dim))
+               for k in kernels):
         return False
     if len({type(k) for k in kernels}) != 1:
         return False

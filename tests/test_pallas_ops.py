@@ -41,9 +41,69 @@ def test_fused_matches_xla(kern_cls, kw):
 def test_supports_kernel():
     assert supports_kernel(RBF(2))
     assert supports_kernel(Matern32(1))
-    assert not supports_kernel(RBF(1, active_dims=[1]))
-    assert not supports_kernel(RBF(1, active_dims=[0]) *
-                               RBF(1, active_dims=[1]))
+    # round 2: active_dims subsets and stationary products run fused too
+    assert supports_kernel(RBF(1, active_dims=[1]))
+    assert supports_kernel(RBF(1, active_dims=[0]) *
+                           RBF(1, active_dims=[1]))
+    assert supports_kernel(RBF(1, active_dims=[0]) * Matern32(2))
+
+
+@pytest.mark.parametrize("make_kern", [
+    # the reference's contextual kernel shape (context_example notebook)
+    lambda: RBF(1, variance=2.0, lengthscale=0.7, active_dims=[0])
+    * RBF(1, variance=1.0, lengthscale=1.3, active_dims=[1], name="ctx"),
+    # mixed families, overlapping dims, ARD part
+    lambda: Matern32(2, variance=1.5, lengthscale=[0.9, 1.8], ARD=True)
+    * RBF(1, variance=0.8, lengthscale=0.5, active_dims=[1]),
+    # active_dims subset without a product
+    lambda: RBF(1, variance=2.0, lengthscale=0.6, active_dims=[1]),
+])
+def test_fused_product_kernels_match_xla(make_kern):
+    """Product / active_dims kernels through the fused interval path."""
+    kern = make_kern()
+    d = 2
+    X = RNG.uniform(-2, 2, size=(11, d))
+    Y = RNG.normal(size=(11, 1))
+    gp = GPRegression(X, Y, kern, noise_var=0.01)
+
+    grid = RNG.uniform(-3, 3, size=(300, d))
+    beta = 2.0
+    l, u = fused_intervals(kern, gp.state, np.asarray(grid, float), beta,
+                           block=128)
+    mu, var = gp_predict(kern, gp.state, grid)
+    l_ref = np.asarray(mu) - beta * np.sqrt(np.asarray(var))
+    u_ref = np.asarray(mu) + beta * np.sqrt(np.asarray(var))
+    assert_allclose(np.asarray(l), l_ref, rtol=1e-9, atol=1e-10)
+    assert_allclose(np.asarray(u), u_ref, rtol=1e-9, atol=1e-10)
+
+
+def test_fused_expander_product_kernel_matches_xla():
+    """Expander predicate with a contextual product kernel: the Pallas
+    chunk path equals the XLA rank-1 fallback decision-for-decision."""
+    import jax.numpy as jnp
+
+    from safeopt_tpu.algorithms.safe_opt_core import safeopt_step
+
+    kern = (RBF(1, variance=2.0, lengthscale=0.8, active_dims=[0])
+            * RBF(1, variance=1.0, lengthscale=1.1, active_dims=[1]))
+    X = np.hstack([np.linspace(-0.5, 0.5, 4)[:, None],
+                   np.zeros((4, 1))])
+    Y = np.array([[1.0], [1.3], [1.1], [0.8]])
+    gp = GPRegression(X, Y, kern, noise_var=0.01)
+
+    xs = np.linspace(-4, 4, 256)[:, None]
+    grid = np.hstack([xs, np.zeros_like(xs)])
+    args = ((kern,), (gp.state,), jnp.asarray(grid),
+            jnp.asarray([0.0]), jnp.asarray(2.0),
+            jnp.asarray([np.sqrt(2.0)]), jnp.asarray([0.0]))
+    r1 = safeopt_step(*args, chunk=16, use_pallas=False)
+    r2 = safeopt_step(*args, chunk=16, use_pallas=True)
+    assert_allclose(np.asarray(r2.Q), np.asarray(r1.Q), rtol=1e-9,
+                    atol=1e-10)
+    np.testing.assert_array_equal(np.asarray(r2.S), np.asarray(r1.S))
+    np.testing.assert_array_equal(np.asarray(r2.M), np.asarray(r1.M))
+    np.testing.assert_array_equal(np.asarray(r2.G), np.asarray(r1.G))
+    assert int(r2.next_idx) == int(r1.next_idx)
 
 
 def test_step_with_pallas_matches_default():
