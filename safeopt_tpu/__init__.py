@@ -23,7 +23,8 @@ Public API mirrors the reference package
 
 from .algorithms import (GaussianProcessOptimization, SafeOpt, SafeOptSwarm,
                          SwarmOptimization)
-from .gp import GPRegression, Matern32, Matern52, Product, RBF
+from .gp import (GPRegression, Matern32, Matern52, Exponential, Bias,
+                 White, Product, Sum, RBF)
 from .utils import (linearly_spaced_combinations, plot_2d_gp, plot_3d_gp,
                     plot_contour_gp, sample_gp_function)
 
@@ -32,7 +33,8 @@ __version__ = "0.1.0"
 __all__ = [
     "SafeOpt", "SafeOptSwarm", "SwarmOptimization",
     "GaussianProcessOptimization",
-    "GPRegression", "RBF", "Matern32", "Matern52", "Product",
+    "GPRegression", "RBF", "Matern32", "Matern52", "Exponential",
+    "Bias", "White", "Product", "Sum",
     "linearly_spaced_combinations", "sample_gp_function",
     "plot_2d_gp", "plot_3d_gp", "plot_contour_gp",
 ]

@@ -25,7 +25,8 @@ from typing import Optional
 import numpy as np
 import scipy.linalg
 
-from .kernels import Kernel, Matern32, Matern52, Product, RBF
+from .kernels import (Bias, Exponential, Kernel, Matern32, Matern52,
+                      Product, RBF, Sum, White)
 
 __all__ = ["np_kernel", "np_kdiag", "HostFactor"]
 
@@ -50,7 +51,18 @@ def np_kernel(kernel: Kernel, X: np.ndarray,
     ``kernels.Kernel.K``)."""
     if isinstance(kernel, Product):
         return np_kernel(kernel.k1, X, X2) * np_kernel(kernel.k2, X, X2)
-    if not isinstance(kernel, (RBF, Matern32, Matern52)):
+    if isinstance(kernel, Sum):
+        return np_kernel(kernel.k1, X, X2) + np_kernel(kernel.k2, X, X2)
+    if isinstance(kernel, White):
+        n = np.atleast_2d(X).shape[0]
+        if X2 is None:
+            return float(kernel.variance) * np.eye(n)
+        return np.zeros((n, np.atleast_2d(X2).shape[0]))
+    if isinstance(kernel, Bias):
+        n = np.atleast_2d(X).shape[0]
+        m = n if X2 is None else np.atleast_2d(X2).shape[0]
+        return float(kernel.variance) * np.ones((n, m))
+    if not isinstance(kernel, (RBF, Matern32, Matern52, Exponential)):
         raise TypeError(f"no host implementation for {type(kernel).__name__}")
 
     ls = np.asarray(kernel.lengthscale, dtype=np.float64)
@@ -66,6 +78,8 @@ def np_kernel(kernel: Kernel, X: np.ndarray,
     if isinstance(kernel, RBF):
         return var * np.exp(-0.5 * r2)
     r = np.sqrt(r2)
+    if isinstance(kernel, Exponential):
+        return var * np.exp(-r)
     if isinstance(kernel, Matern52):
         s5r = np.sqrt(5.0) * r
         return var * (1.0 + s5r + (5.0 / 3.0) * r2) * np.exp(-s5r)
@@ -77,6 +91,8 @@ def np_kdiag(kernel: Kernel, X: np.ndarray) -> np.ndarray:
     """Prior variance diagonal in float64."""
     if isinstance(kernel, Product):
         return np_kdiag(kernel.k1, X) * np_kdiag(kernel.k2, X)
+    if isinstance(kernel, Sum):
+        return np_kdiag(kernel.k1, X) + np_kdiag(kernel.k2, X)
     return float(kernel.variance) * np.ones(np.atleast_2d(X).shape[0])
 
 
@@ -113,6 +129,19 @@ class HostFactor:
                                      float(self.kernel.variance))
         return np_kernel(self.kernel, X, Z)
 
+    def _gram_sym(self, X: np.ndarray) -> np.ndarray:
+        """Training gram K(X, X) with *single-set* semantics.
+
+        Distinct from ``_gram(X, X)`` for White components, whose GPy
+        semantics put ``variance`` on the diagonal of a single-set gram
+        but return 0 across two sets (kernels.White).
+        """
+        if self._use_native and self._native_kind is not None:
+            return self._native.gram(self._native_kind, X, X,
+                                     np.asarray(self.kernel.lengthscale),
+                                     float(self.kernel.variance))
+        return np_kernel(self.kernel, X)
+
     @property
     def capacity(self) -> int:
         return self.X.shape[0]
@@ -134,8 +163,7 @@ class HostFactor:
         self.w = np.zeros(cap)
         if n == 0:
             return
-        K = (self._gram(self.X[:n], self.X[:n])
-             + self.noise_var * np.eye(n))
+        K = self._gram_sym(self.X[:n]) + self.noise_var * np.eye(n)
         if self._use_native:
             self.L[:n, :n] = K
             self._native.cholesky_lower(self.L, n)

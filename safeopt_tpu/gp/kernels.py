@@ -5,7 +5,9 @@ GPy (see /root/reference/safeopt/gp_opt.py:83,847,1093 and
 /root/reference/safeopt/utilities.py:89,135): stationary RBF and
 Matern-3/2 kernels with scalar or ARD lengthscales, ``active_dims``
 column slicing, product composition (``k1 * k2``), ``K(X, X2)``,
-``Kdiag(X)`` and ``copy()``.
+``Kdiag(X)`` and ``copy()`` — plus the adjacent GPy surface real users
+reach for: Matern-5/2, Exponential (Matern-1/2), Bias and White
+kernels, and sum composition (``k1 + k2``).
 
 Kernels are registered JAX pytrees: hyperparameters (variance,
 lengthscale) are traced leaves, while structure (input_dim, ARD flag,
@@ -27,7 +29,8 @@ import jax.numpy as jnp
 
 from ..config import default_dtype
 
-__all__ = ["Kernel", "RBF", "Matern32", "Matern52", "Product"]
+__all__ = ["Kernel", "RBF", "Matern32", "Matern52", "Exponential",
+           "Bias", "White", "Product", "Sum"]
 
 
 def _as_active_dims(active_dims, input_dim: int) -> Tuple[int, ...]:
@@ -73,6 +76,9 @@ class Kernel:
 
     def __mul__(self, other: "Kernel") -> "Product":
         return Product(self, other)
+
+    def __add__(self, other: "Kernel") -> "Sum":
+        return Sum(self, other)
 
 
 class _Stationary(Kernel):
@@ -194,6 +200,67 @@ class Matern52(_Stationary):
 
 
 @jax.tree_util.register_pytree_node_class
+class Exponential(_Stationary):
+    """Exponential (Matern-1/2 / Ornstein-Uhlenbeck):
+    k(r) = variance * exp(-r).
+
+    Beyond the reference's consumed surface (SURVEY.md section 2.8);
+    matches GPy.kern.Exponential. Participates in ARD, active_dims,
+    sums/products, hyperparameter fitting, the host f64 island and the
+    fused Pallas paths like the other stationary kernels.
+    """
+
+    def _K_of_r2(self, r2: jnp.ndarray) -> jnp.ndarray:
+        r = jnp.sqrt(r2 + 1e-36)  # guarded sqrt: grad-safe at r = 0
+        return self.variance * jnp.exp(-r)
+
+
+@jax.tree_util.register_pytree_node_class
+class Bias(_Stationary):
+    """Constant kernel: k(x, z) = variance everywhere (GPy.kern.Bias).
+
+    Typically summed with a stationary kernel to model a constant
+    offset. Trivially stationary, so it rides every fused path.
+    """
+
+    def __init__(self, input_dim, variance=1.0, active_dims=None,
+                 name: Optional[str] = None):
+        super().__init__(input_dim, variance=variance, active_dims=active_dims,
+                         name=name or "bias")
+
+    def _K_of_r2(self, r2: jnp.ndarray) -> jnp.ndarray:
+        return jnp.broadcast_to(self.variance, r2.shape)
+
+
+@jax.tree_util.register_pytree_node_class
+class White(_Stationary):
+    """White-noise kernel (GPy.kern.White).
+
+    GPy semantics: ``K(X) = variance * I`` on a single input set and
+    ``K(X, X2) = 0`` across two sets — white noise is uncorrelated
+    between any two (even coincident) distinct points, so it only adds
+    prior variance on the diagonal. Summed into a kernel it acts like
+    extra observation noise that also appears in ``Kdiag``. Excluded
+    from the fused Pallas paths (the XLA path handles it exactly).
+    """
+
+    def __init__(self, input_dim, variance=1.0, active_dims=None,
+                 name: Optional[str] = None):
+        super().__init__(input_dim, variance=variance, active_dims=active_dims,
+                         name=name or "white")
+
+    def K(self, X, X2=None) -> jnp.ndarray:
+        X = jnp.atleast_2d(X)
+        if X2 is None:
+            return self.variance * jnp.eye(X.shape[0], dtype=X.dtype)
+        X2 = jnp.atleast_2d(X2)
+        return jnp.zeros((X.shape[0], X2.shape[0]), dtype=X.dtype)
+
+    def _K_of_r2(self, r2: jnp.ndarray) -> jnp.ndarray:  # pragma: no cover
+        raise NotImplementedError("White overrides K directly")
+
+
+@jax.tree_util.register_pytree_node_class
 class Product(Kernel):
     """Product composition ``k1 * k2``.
 
@@ -236,3 +303,47 @@ class Product(Kernel):
 
     def __repr__(self):
         return f"Product({self.k1!r}, {self.k2!r})"
+
+
+@jax.tree_util.register_pytree_node_class
+class Sum(Kernel):
+    """Sum composition ``k1 + k2`` (GPy ``kern + kern``).
+
+    Beyond the reference's consumed surface; the standard GPy idiom for
+    offset (+ Bias), jitter (+ White) and multi-scale (+ RBF) models.
+    """
+
+    def __init__(self, k1: Kernel, k2: Kernel):
+        self.k1 = k1
+        self.k2 = k2
+
+    @property
+    def parts(self) -> Sequence[Kernel]:
+        return (self.k1, self.k2)
+
+    @property
+    def input_dim(self) -> int:
+        return max(max(self.k1.active_dims), max(self.k2.active_dims)) + 1
+
+    @property
+    def active_dims(self) -> Tuple[int, ...]:
+        return tuple(sorted(set(self.k1.active_dims)
+                            | set(self.k2.active_dims)))
+
+    def tree_flatten(self):
+        return (self.k1, self.k2), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = object.__new__(cls)
+        obj.k1, obj.k2 = children
+        return obj
+
+    def K(self, X, X2=None) -> jnp.ndarray:
+        return self.k1.K(X, X2) + self.k2.K(X, X2)
+
+    def Kdiag(self, X) -> jnp.ndarray:
+        return self.k1.Kdiag(X) + self.k2.Kdiag(X)
+
+    def __repr__(self):
+        return f"Sum({self.k1!r}, {self.k2!r})"

@@ -43,7 +43,7 @@ __all__ = ["fused_expander_predicate"]
 
 def _expander_kernel(zt_ref, unsafe_ref, mu_ref, sigma_ref, xs_ref,
                      xc_ref, m2_ref, cvec_ref, scales_ref, pvar_ref,
-                     scal_ref, out_ref, *, kinds: Tuple[str, ...]):
+                     scal_ref, out_ref, *, kinds: Tuple[Tuple[str, ...], ...]):
     zt = zt_ref[:]                       # (d, B)
     xs = xs_ref[:]                       # (cap, d)
     xc = xc_ref[:]                       # (C, d) candidates
@@ -87,7 +87,7 @@ def _expander_kernel(zt_ref, unsafe_ref, mu_ref, sigma_ref, xs_ref,
 @functools.partial(jax.jit, static_argnames=("kinds", "block"))
 def _fused_expander_impl(zt, unsafe_row, mu_row, sigma_row, xs, xc, m2,
                          cvec, scales, pvar, scal,
-                         *, kinds: Tuple[str, ...], block: int):
+                         *, kinds: Tuple[Tuple[str, ...], ...], block: int):
     from jax.experimental.pallas import tpu as pltpu
 
     d, n = zt.shape
@@ -150,7 +150,7 @@ def fused_expander_predicate(kernel, state, grid, unsafe, mu, sigma, Xc,
         from .fused_posterior import _pick_block
         block = _pick_block(cap, extra_rows=6 * Xc.shape[0])
 
-    kinds, scales, pvars, prescale_ls = _part_plan(
+    kinds, scales, pvars, prescale_ls, kdiag = _part_plan(
         kernel, grid.shape[1], dtype)
     mask = (jnp.arange(cap) < state.count).astype(dtype)
     lm = state.Linv * mask[None, :]
@@ -165,7 +165,6 @@ def fused_expander_predicate(kernel, state, grid, unsafe, mu, sigma, Xc,
 
     cvec = jnp.stack([1.0 / dd, gain,
                       valid.astype(dtype)], axis=0)       # (3, C)
-    kdiag = jnp.prod(pvars)
     scal = jnp.stack([
         kdiag,
         kdiag,

@@ -40,28 +40,42 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from ..gp.kernels import Matern32, Matern52, Product, RBF
+from ..gp.kernels import (Bias, Exponential, Matern32, Matern52, Product,
+                          RBF, Sum)
 
 __all__ = ["fused_intervals", "supports_kernel"]
 
-_STATIONARY = (RBF, Matern32, Matern52)
+_STATIONARY = (RBF, Matern32, Matern52, Exponential)
 
 
-def _parts_of(kernel):
-    """Flatten (possibly nested) products into stationary leaves."""
+def _terms_of(kernel):
+    """Expand a Sum/Product kernel tree into sum-of-products form.
+
+    Returns a list of terms, each a list of leaf kernels whose grams
+    multiply; term grams add. A single stationary kernel is one term
+    with one leaf. Expansion is tiny for real kernel algebras (the
+    reference's deepest composition is a two-part product).
+    """
+    if isinstance(kernel, Sum):
+        return _terms_of(kernel.k1) + _terms_of(kernel.k2)
     if isinstance(kernel, Product):
-        return _parts_of(kernel.k1) + _parts_of(kernel.k2)
-    return [kernel]
+        return [ta + tb
+                for ta in _terms_of(kernel.k1)
+                for tb in _terms_of(kernel.k2)]
+    return [[kernel]]
 
 
 def supports_kernel(kernel) -> bool:
     """True when the Pallas path can handle this kernel.
 
-    Stationary leaves (RBF / Matern-3/2 / Matern-5/2), alone or in a
-    product; ``active_dims`` subsets are handled by zeroing the
-    inactive entries of the per-part scale row.
+    Any Sum/Product algebra over stationary leaves (RBF, Matern-3/2,
+    Matern-5/2, Exponential) and Bias; ``active_dims`` subsets are
+    handled by zeroing the inactive entries of the per-leaf scale row.
+    White is excluded (its gram is not a function of distance; the XLA
+    path handles it exactly).
     """
-    return all(isinstance(p, _STATIONARY) for p in _parts_of(kernel))
+    return all(isinstance(p, _STATIONARY + (Bias,))
+               for term in _terms_of(kernel) for p in term)
 
 
 _TRI_TILE = 128
@@ -102,43 +116,54 @@ def _kind_of(kernel) -> str:
         return "rbf"
     if isinstance(kernel, Matern52):
         return "matern52"
+    if isinstance(kernel, Exponential):
+        return "exponential"
+    if isinstance(kernel, Bias):
+        return "bias"
     return "matern32"
 
 
-def _kinds_of(kernel) -> Tuple[str, ...]:
-    """Static part-kind tuple for (products of) stationary kernels."""
-    return tuple(_kind_of(p) for p in _parts_of(kernel))
-
-
 def _part_plan(kernel, d: int, dtype):
-    """Per-part scale rows + variances and the pre-scale decision.
+    """Per-leaf scale rows + variances and the pre-scale decision.
 
-    Returns ``(kinds, scales, pvars, prescale_ls)``. For a single
-    full-dim stationary kernel the inputs are pre-scaled once by the
-    lengthscale (``prescale_ls``) and the in-kernel scale row is exactly
-    1.0 — bit-identical to the historical single-kernel path. Products
-    (and ``active_dims`` subsets) ship raw inputs with a (P, d) scale
-    matrix: row p holds ``1/lengthscale`` on part p's active dims and
-    0 elsewhere, so inactive dims vanish from that part's distances.
+    Returns ``(kinds, scales, pvars, prescale_ls, kdiag)`` where
+    ``kinds`` is a static tuple of terms, each a tuple of leaf kind
+    strings; the leaves of all terms are flattened in order into the
+    (P, d) ``scales`` matrix and length-P ``pvars``. ``kdiag`` is the
+    prior variance (sum over terms of the product of leaf variances).
+
+    For a single full-dim stationary kernel the inputs are pre-scaled
+    once by the lengthscale (``prescale_ls``) and the in-kernel scale
+    row is exactly 1.0 — bit-identical to the historical single-kernel
+    path. Compositions (and ``active_dims`` subsets) ship raw inputs
+    with per-leaf scale rows: ``1/lengthscale`` on the leaf's active
+    dims and 0 elsewhere, so inactive dims vanish from its distances.
     """
-    parts = _parts_of(kernel)
-    kinds = tuple(_kind_of(p) for p in parts)
-    pvars = jnp.stack([jnp.asarray(p.variance, dtype) for p in parts])
+    terms = _terms_of(kernel)
+    kinds = tuple(tuple(_kind_of(p) for p in term) for term in terms)
+    leaves = [p for term in terms for p in term]
+    pvars = jnp.stack([jnp.asarray(p.variance, dtype) for p in leaves])
+    kdiag = sum(jnp.prod(jnp.stack(
+        [jnp.asarray(p.variance, dtype) for p in term])) for term in terms)
 
-    if len(parts) == 1 and parts[0].active_dims == tuple(range(d)):
-        ls = jnp.broadcast_to(jnp.asarray(parts[0].lengthscale, dtype), (d,))
-        return kinds, jnp.ones((1, d), dtype), pvars, ls
+    if (len(leaves) == 1 and not isinstance(leaves[0], Bias)
+            and leaves[0].active_dims == tuple(range(d))):
+        ls = jnp.broadcast_to(jnp.asarray(leaves[0].lengthscale, dtype),
+                              (d,))
+        return kinds, jnp.ones((1, d), dtype), pvars, ls, kdiag
 
-    scales = jnp.zeros((len(parts), d), dtype)
-    for p, part in enumerate(parts):
+    scales = jnp.zeros((len(leaves), d), dtype)
+    for p, part in enumerate(leaves):
+        if isinstance(part, Bias):
+            continue  # constant: distances don't enter
         ls = jnp.broadcast_to(jnp.asarray(part.lengthscale, dtype),
                               (part.input_dim,))
         scales = scales.at[p, list(part.active_dims)].set(1.0 / ls)
-    return kinds, scales, pvars, None
+    return kinds, scales, pvars, None, kdiag
 
 
 def _part_gram(a, b_t, scales_ref, pvar_ref, kinds, acc):
-    """Gram tile for a (product of) stationary kernel(s).
+    """Gram tile for a sum-of-products algebra of stationary kernels.
 
     ``a`` is (rows, d), ``b_t`` is (d, B) features-first; scaled squared
     distances accumulate by explicit per-dimension differences — for
@@ -146,31 +171,46 @@ def _part_gram(a, b_t, scales_ref, pvar_ref, kinds, acc):
     passes, avoids the catastrophic-cancellation form
     |x|^2+|z|^2-2x.z (whose matmul rounding is amplified through the
     ill-conditioned factor), and skips the norm precomputations.
+    Leaf grams multiply within a term; term grams add.
     """
     d = a.shape[1]
-    kmat = None
-    for p, kind in enumerate(kinds):
-        r2 = jnp.zeros((a.shape[0], b_t.shape[1]), acc)
-        for k in range(d):
-            diff = (a[:, k][:, None] - b_t[k, :][None, :]) * scales_ref[p, k]
-            r2 = r2 + diff * diff
-        variance = pvar_ref[0, p]
-        if kind == "rbf":
-            kp = variance * jnp.exp(-0.5 * r2)
-        elif kind == "matern52":
-            r = jnp.sqrt(r2 + 1e-36)
-            s5r = jnp.sqrt(jnp.asarray(5.0, acc)) * r
-            kp = variance * (1.0 + s5r + (5.0 / 3.0) * r2) * jnp.exp(-s5r)
-        else:  # matern32
-            r = jnp.sqrt(r2 + 1e-36)
-            s3r = jnp.sqrt(jnp.asarray(3.0, acc)) * r
-            kp = variance * (1.0 + s3r) * jnp.exp(-s3r)
-        kmat = kp if kmat is None else kmat * kp
-    return kmat
+    out = None
+    p = 0
+    for term in kinds:
+        kmat = None
+        for kind in term:
+            variance = pvar_ref[0, p]
+            if kind == "bias":
+                kp = jnp.full((a.shape[0], b_t.shape[1]), 1.0, acc) * variance
+                p += 1
+            else:
+                r2 = jnp.zeros((a.shape[0], b_t.shape[1]), acc)
+                for k in range(d):
+                    diff = (a[:, k][:, None] - b_t[k, :][None, :]) \
+                        * scales_ref[p, k]
+                    r2 = r2 + diff * diff
+                if kind == "rbf":
+                    kp = variance * jnp.exp(-0.5 * r2)
+                elif kind == "exponential":
+                    r = jnp.sqrt(r2 + 1e-36)
+                    kp = variance * jnp.exp(-r)
+                elif kind == "matern52":
+                    r = jnp.sqrt(r2 + 1e-36)
+                    s5r = jnp.sqrt(jnp.asarray(5.0, acc)) * r
+                    kp = (variance * (1.0 + s5r + (5.0 / 3.0) * r2)
+                          * jnp.exp(-s5r))
+                else:  # matern32
+                    r = jnp.sqrt(r2 + 1e-36)
+                    s3r = jnp.sqrt(jnp.asarray(3.0, acc)) * r
+                    kp = variance * (1.0 + s3r) * jnp.exp(-s3r)
+                p += 1
+            kmat = kp if kmat is None else kmat * kp
+        out = kmat if out is None else out + kmat
+    return out
 
 
 def _interval_kernel(zt_ref, xs_ref, lm_ref, w_ref, scales_ref, pvar_ref,
-                     scal_ref, out_ref, *, kinds: Tuple[str, ...]):
+                     scal_ref, out_ref, *, kinds: Tuple[Tuple[str, ...], ...]):
     """One grid block: gram tile -> whitened solve -> intervals."""
     zt = zt_ref[:]                      # (d, B) grid block
     xs = xs_ref[:]                      # (cap, d) training inputs
@@ -197,7 +237,7 @@ def _interval_kernel(zt_ref, xs_ref, lm_ref, w_ref, scales_ref, pvar_ref,
 
 @functools.partial(jax.jit, static_argnames=("kinds", "block"))
 def _fused_intervals_impl(zt, xs, lm, w_row, scales, pvar, scal,
-                          *, kinds: Tuple[str, ...], block: int):
+                          *, kinds: Tuple[Tuple[str, ...], ...], block: int):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -265,7 +305,7 @@ def fused_intervals(kernel, state, grid: jnp.ndarray, beta,
     if not block:
         block = _pick_block(cap)
 
-    kinds, scales, pvars, prescale_ls = _part_plan(kernel, d, dtype)
+    kinds, scales, pvars, prescale_ls, kdiag = _part_plan(kernel, d, dtype)
     if prescale_ls is not None:
         zt = (grid / prescale_ls).T                 # (d, N) features-first
         xs = state.X / prescale_ls
@@ -275,7 +315,6 @@ def fused_intervals(kernel, state, grid: jnp.ndarray, beta,
     mask = (jnp.arange(cap) < state.count).astype(dtype)
     lm = state.Linv * mask[None, :]
     w_row = state.w[None, :]
-    kdiag = jnp.prod(pvars)                         # stationary product
     scal = jnp.stack([
         kdiag,
         kdiag,

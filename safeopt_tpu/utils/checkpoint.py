@@ -34,16 +34,25 @@ from ..gp.sparse import SparseGPRegression
 __all__ = ["save", "load"]
 
 _KERNEL_CLASSES = {"RBF": _kernels.RBF, "Matern32": _kernels.Matern32,
-                   "Matern52": _kernels.Matern52}
+                   "Matern52": _kernels.Matern52,
+                   "Exponential": _kernels.Exponential}
+# constant-variance kernels without a meaningful lengthscale/ARD
+_SCALAR_KERNEL_CLASSES = {"Bias": _kernels.Bias, "White": _kernels.White}
+_COMPOSITE_CLASSES = {"Product": _kernels.Product, "Sum": _kernels.Sum}
 
 
 def _kernel_spec(kern, arrays, prefix):
     """Flatten a kernel into (json-able spec, named arrays)."""
-    if isinstance(kern, _kernels.Product):
-        s1 = _kernel_spec(kern.k1, arrays, prefix + "p1_")
-        s2 = _kernel_spec(kern.k2, arrays, prefix + "p2_")
-        return {"type": "Product", "k1": s1, "k2": s2}
+    for cname, ccls in _COMPOSITE_CLASSES.items():
+        if isinstance(kern, ccls):
+            s1 = _kernel_spec(kern.k1, arrays, prefix + "p1_")
+            s2 = _kernel_spec(kern.k2, arrays, prefix + "p2_")
+            return {"type": cname, "k1": s1, "k2": s2}
     name = type(kern).__name__
+    if name in _SCALAR_KERNEL_CLASSES:
+        arrays[prefix + "variance"] = np.asarray(kern.variance)
+        return {"type": name, "input_dim": kern.input_dim,
+                "active_dims": list(kern.active_dims), "prefix": prefix}
     if name not in _KERNEL_CLASSES:
         raise TypeError(f"cannot checkpoint kernel type {name}")
     arrays[prefix + "variance"] = np.asarray(kern.variance)
@@ -53,11 +62,16 @@ def _kernel_spec(kern, arrays, prefix):
 
 
 def _kernel_from_spec(spec, arrays):
-    if spec["type"] == "Product":
-        return _kernels.Product(_kernel_from_spec(spec["k1"], arrays),
-                                _kernel_from_spec(spec["k2"], arrays))
-    cls = _KERNEL_CLASSES[spec["type"]]
+    if spec["type"] in _COMPOSITE_CLASSES:
+        return _COMPOSITE_CLASSES[spec["type"]](
+            _kernel_from_spec(spec["k1"], arrays),
+            _kernel_from_spec(spec["k2"], arrays))
     p = spec["prefix"]
+    if spec["type"] in _SCALAR_KERNEL_CLASSES:
+        return _SCALAR_KERNEL_CLASSES[spec["type"]](
+            spec["input_dim"], variance=arrays[p + "variance"],
+            active_dims=spec["active_dims"])
+    cls = _KERNEL_CLASSES[spec["type"]]
     return cls(spec["input_dim"], variance=arrays[p + "variance"],
                lengthscale=arrays[p + "lengthscale"], ARD=spec["ARD"],
                active_dims=spec["active_dims"])

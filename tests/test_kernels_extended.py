@@ -1,0 +1,190 @@
+"""Extended kernel algebra: Sum / Exponential / Bias / White.
+
+Beyond the reference's consumed GPy surface (SURVEY.md section 2.8
+lists RBF / Matern-3/2 / product); these are the adjacent GPy features
+real users reach for (``k1 + k2``, offset, jitter, OU processes).
+Checks device grams against the host f64 mirror, full GP regression
+against a direct NumPy solve, the fused Pallas paths, hyperparameter
+fitting, and checkpoint round-trips.
+"""
+
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+from safeopt_tpu.gp import (Bias, Exponential, GPRegression, Matern32,
+                            RBF, Sum, White)
+from safeopt_tpu.gp.host_math import np_kdiag, np_kernel
+from safeopt_tpu.gp.regression import gp_predict
+
+RNG = np.random.default_rng(11)
+
+
+def _algebras():
+    return [
+        ("sum", lambda: RBF(2, variance=2.0, lengthscale=0.8)
+         + Matern32(2, variance=0.5, lengthscale=1.5)),
+        ("sum_bias", lambda: RBF(2, variance=1.5, lengthscale=1.0)
+         + Bias(2, variance=0.3)),
+        ("exponential", lambda: Exponential(2, variance=1.2,
+                                            lengthscale=[0.7, 1.4],
+                                            ARD=True)),
+        ("sum_of_products", lambda: (RBF(1, active_dims=[0])
+                                     * Matern32(1, active_dims=[1]))
+         + Exponential(2, variance=0.4)),
+    ]
+
+
+@pytest.mark.parametrize("name,make", _algebras())
+def test_device_gram_matches_host_f64(name, make):
+    kern = make()
+    X = RNG.uniform(-2, 2, size=(7, 2))
+    Z = RNG.uniform(-2, 2, size=(5, 2))
+    assert_allclose(np.asarray(kern.K(X, Z)), np_kernel(kern, X, Z),
+                    rtol=1e-12, atol=1e-14)
+    assert_allclose(np.asarray(kern.K(X)), np_kernel(kern, X),
+                    rtol=1e-12, atol=1e-14)
+    assert_allclose(np.asarray(kern.Kdiag(X)), np_kdiag(kern, X),
+                    rtol=1e-12, atol=1e-14)
+
+
+def test_white_kernel_gpy_semantics():
+    """GPy White: var*I on one set, exactly zero across two sets."""
+    k = White(2, variance=0.7)
+    X = RNG.uniform(-1, 1, size=(4, 2))
+    assert_allclose(np.asarray(k.K(X)), 0.7 * np.eye(4), atol=0)
+    # cross-gram is zero even for coincident points
+    assert_allclose(np.asarray(k.K(X, X.copy())), np.zeros((4, 4)), atol=0)
+    assert_allclose(np.asarray(k.Kdiag(X)), 0.7 * np.ones(4), atol=0)
+    assert_allclose(np_kernel(k, X), 0.7 * np.eye(4), atol=0)
+    assert_allclose(np_kernel(k, X, X.copy()), np.zeros((4, 4)), atol=0)
+
+
+@pytest.mark.parametrize("name,make", _algebras() + [
+    ("rbf_plus_white", lambda: RBF(2, variance=2.0) + White(2, variance=0.1)),
+])
+def test_gp_regression_matches_direct_solve(name, make):
+    """Posterior with composed kernels equals the direct f64 solve."""
+    kern = make()
+    X = RNG.uniform(-2, 2, size=(9, 2))
+    Y = RNG.normal(size=(9, 1))
+    noise = 0.05
+    gp = GPRegression(X, Y, kern, noise_var=noise)
+
+    Xq = RNG.uniform(-2, 2, size=(20, 2))
+    mu, var = gp.predict_noiseless(Xq)
+
+    K = np_kernel(kern, X) + noise * np.eye(9)
+    kq = np_kernel(kern, X, Xq)
+    alpha = np.linalg.solve(K, Y[:, 0])
+    mu_ref = kq.T @ alpha
+    var_ref = np_kdiag(kern, Xq) - np.sum(kq * np.linalg.solve(K, kq),
+                                          axis=0)
+    assert_allclose(mu[:, 0], mu_ref, rtol=1e-8, atol=1e-10)
+    assert_allclose(var[:, 0], var_ref, rtol=1e-8, atol=1e-10)
+
+
+def test_incremental_append_pop_with_sum_kernel():
+    kern = RBF(1, variance=2.0) + Bias(1, variance=0.2)
+    gp = GPRegression(np.array([[0.0]]), np.array([[1.0]]), kern,
+                      noise_var=0.01)
+    Xq = np.linspace(-1, 1, 7)[:, None]
+    mu0, var0 = gp.predict_noiseless(Xq)
+    gp.append_data(np.array([0.4]), 1.3)
+    gp.pop_data()
+    mu1, var1 = gp.predict_noiseless(Xq)
+    assert_allclose(mu1, mu0, rtol=1e-10, atol=1e-12)
+    assert_allclose(var1, var0, rtol=1e-10, atol=1e-12)
+
+
+@pytest.mark.parametrize("name,make", _algebras())
+def test_fused_intervals_extended_algebra(name, make):
+    """Sum-of-products algebras through the fused Pallas interval path
+    (interpret mode on CPU; Mosaic on TPU)."""
+    from safeopt_tpu.ops import fused_intervals, supports_kernel
+
+    kern = make()
+    assert supports_kernel(kern)
+    X = RNG.uniform(-2, 2, size=(10, 2))
+    Y = RNG.normal(size=(10, 1))
+    gp = GPRegression(X, Y, kern, noise_var=0.01)
+
+    grid = RNG.uniform(-3, 3, size=(300, 2))
+    beta = 2.0
+    l, u = fused_intervals(kern, gp.state, np.asarray(grid, float), beta,
+                           block=128)
+    mu, var = gp_predict(kern, gp.state, grid)
+    assert_allclose(np.asarray(l),
+                    np.asarray(mu) - beta * np.sqrt(np.asarray(var)),
+                    rtol=1e-9, atol=1e-10)
+    assert_allclose(np.asarray(u),
+                    np.asarray(mu) + beta * np.sqrt(np.asarray(var)),
+                    rtol=1e-9, atol=1e-10)
+
+
+def test_white_not_fused():
+    from safeopt_tpu.ops import supports_kernel
+    assert not supports_kernel(White(2))
+    assert not supports_kernel(RBF(2) + White(2))
+
+
+def test_safeopt_step_sum_kernel_pallas_parity():
+    """Full fused step with a Sum kernel: Pallas equals XLA decisions."""
+    import jax.numpy as jnp
+
+    from safeopt_tpu.algorithms.safe_opt_core import safeopt_step
+
+    kern = RBF(1, variance=2.0, lengthscale=0.9) + Bias(1, variance=0.3)
+    gp = GPRegression(np.array([[0.0], [0.5]]), np.array([[1.2], [0.9]]),
+                      kern, noise_var=0.01)
+    grid = np.linspace(-4, 4, 256)[:, None]
+    scaling = float(np.sqrt(np.asarray(kern.Kdiag(np.zeros((1, 1))))[0]))
+    args = ((kern,), (gp.state,), jnp.asarray(grid),
+            jnp.asarray([0.0]), jnp.asarray(2.0), jnp.asarray([scaling]),
+            jnp.asarray([0.0]))
+    r1 = safeopt_step(*args, chunk=16, use_pallas=False)
+    r2 = safeopt_step(*args, chunk=16, use_pallas=True)
+    assert_allclose(np.asarray(r2.Q), np.asarray(r1.Q), rtol=1e-9,
+                    atol=1e-10)
+    np.testing.assert_array_equal(np.asarray(r2.S), np.asarray(r1.S))
+    np.testing.assert_array_equal(np.asarray(r2.G), np.asarray(r1.G))
+    assert int(r2.next_idx) == int(r1.next_idx)
+
+
+def test_hyperopt_sum_kernel():
+    """LML fitting walks every leaf of a Sum composition."""
+    from safeopt_tpu.gp import fit_hyperparameters, log_marginal_likelihood
+
+    true = RBF(1, variance=2.0, lengthscale=0.5)
+    X = np.linspace(-3, 3, 40)[:, None]
+    K = np_kernel(true, X) + 0.01 * np.eye(40)
+    Y = np.linalg.cholesky(K) @ RNG.normal(size=(40, 1))
+
+    kern0 = RBF(1, variance=1.0, lengthscale=2.0) + Bias(1, variance=1.0)
+    lml0 = float(log_marginal_likelihood(kern0, X, Y, 0.01))
+    kern1, nv, lml1 = fit_hyperparameters(kern0, X, Y, 0.01, steps=100)
+    assert lml1 > lml0
+    assert isinstance(kern1, Sum)
+    assert np.all(np.isfinite(np.asarray(kern1.k1.lengthscale)))
+
+
+def test_checkpoint_roundtrip_sum_kernel(tmp_path):
+    from safeopt_tpu.algorithms import SafeOpt
+    from safeopt_tpu.utils import checkpoint
+    from safeopt_tpu.utils.grids import linearly_spaced_combinations
+
+    kern = (RBF(1, variance=2.0, lengthscale=0.8)
+            + Exponential(1, variance=0.4, lengthscale=2.0))
+    gp = GPRegression(np.array([[0.0]]), np.array([[1.0]]), kern,
+                      noise_var=0.01)
+    grid = linearly_spaced_combinations([(-3, 3)], 101)
+    opt = SafeOpt([gp], grid, fmin=[0.0], beta=2.0)
+    x0 = opt.optimize()
+
+    path = str(tmp_path / "ck.npz")
+    checkpoint.save(opt, path)
+    opt2 = checkpoint.load(path)
+    assert isinstance(opt2.gps[0].kern, Sum)
+    assert isinstance(opt2.gps[0].kern.k2, Exponential)
+    x1 = opt2.optimize()
+    assert_allclose(np.asarray(x1), np.asarray(x0), atol=0)
