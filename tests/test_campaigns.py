@@ -1,0 +1,147 @@
+"""Campaign-parallel BO fleets (parallel/campaigns.py).
+
+Runs on the virtual 8-device CPU mesh from conftest: a batch of
+independent campaigns vmapped into one program, with the campaign axis
+sharded over the mesh. Each sharded campaign must reproduce its
+individually-run counterpart.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from safeopt_tpu import linearly_spaced_combinations
+from safeopt_tpu.algorithms.runner import run_safeopt_loop, run_swarmopt_loop
+from safeopt_tpu.gp import GPRegression, RBF
+from safeopt_tpu.parallel import (make_mesh, run_safeopt_campaigns,
+                                  run_swarmopt_campaigns,
+                                  stack_campaign_states)
+
+K = 8          # campaigns == virtual devices
+N_ITER = 4
+
+
+def _mk_gp(seed):
+    rng = np.random.default_rng(seed)
+    x0 = rng.uniform(-0.3, 0.3, size=(1, 2))
+    kern = RBF(2, variance=2.0, lengthscale=1.2)
+    y0 = 2.0 * np.exp(-0.5 * np.sum(x0 ** 2))
+    return GPRegression(x0, np.array([[y0]]), kern, noise_var=1e-4,
+                        capacity=16)
+
+
+def _objective(x):
+    return 2.0 * jnp.exp(-0.5 * jnp.sum(x * x))
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh()
+
+
+class TestSafeOptCampaigns:
+    def test_sharded_fleet_matches_individual_runs(self, mesh):
+        gps = [_mk_gp(seed) for seed in range(K)]
+        kern = gps[0].kern
+        grid = np.asarray(linearly_spaced_combinations(
+            [(-2.0, 2.0), (-2.0, 2.0)], 17))
+        dtype = gps[0].state.X.dtype
+        fmin = jnp.asarray([0.5], dtype)
+        beta = jnp.asarray(2.0, dtype)
+        scaling = jnp.asarray([np.sqrt(2.0)], dtype)
+        threshold = jnp.asarray([0.0], dtype)
+        keys = jax.random.split(jax.random.key(7), K)
+
+        batched = stack_campaign_states([(g.state,) for g in gps])
+        fleet = run_safeopt_campaigns(
+            (kern,), batched, jnp.asarray(grid), fmin, beta,
+            scaling, threshold, keys, objectives=(_objective,),
+            n_iter=N_ITER, mesh=mesh, chunk=16)
+
+        assert fleet.xs.shape == (K, N_ITER, 2)
+        assert bool(fleet.has_safe.all())
+        for k in (0, 3, 7):
+            solo = run_safeopt_loop(
+                (kern,), (gps[k].state,), jnp.asarray(grid), fmin, beta,
+                scaling, threshold, keys[k], objectives=(_objective,),
+                n_iter=N_ITER, chunk=16)
+            np.testing.assert_array_equal(np.asarray(fleet.next_idx[k]),
+                                          np.asarray(solo.next_idx))
+            np.testing.assert_allclose(np.asarray(fleet.xs[k]),
+                                       np.asarray(solo.xs), atol=1e-12)
+            np.testing.assert_allclose(np.asarray(fleet.ys[k]),
+                                       np.asarray(solo.ys), rtol=1e-10)
+
+    def test_unsharded_batch_runs_too(self):
+        """mesh=None: plain vmap on one device."""
+        gps = [_mk_gp(seed) for seed in (0, 1)]
+        kern = gps[0].kern
+        grid = np.asarray(linearly_spaced_combinations(
+            [(-2.0, 2.0), (-2.0, 2.0)], 9))
+        dtype = gps[0].state.X.dtype
+        batched = stack_campaign_states([(g.state,) for g in gps])
+        fleet = run_safeopt_campaigns(
+            (kern,), batched, jnp.asarray(grid), jnp.asarray([0.5], dtype),
+            jnp.asarray(2.0, dtype), jnp.asarray([np.sqrt(2.0)], dtype),
+            jnp.asarray([0.0], dtype), jax.random.split(jax.random.key(1), 2),
+            objectives=(_objective,), n_iter=2, chunk=16)
+        assert fleet.xs.shape == (2, 2, 2)
+        assert bool(fleet.has_safe.all())
+
+
+class TestSwarmCampaigns:
+    def test_sharded_swarm_fleet_matches_individual_runs(self, mesh):
+        from safeopt_tpu.algorithms.swarm_opt_fused import SwarmIterState
+
+        d = 2
+        cap = 64
+        gps, iter_states, greedy0s = [], [], []
+        for seed in range(K):
+            gp = _mk_gp(seed)
+            gps.append(gp)
+            x0 = np.asarray(gp.X)[0]
+            S_buf = np.zeros((cap, d))
+            S_buf[0] = x0
+            dtype = gp.state.X.dtype
+            iter_states.append(SwarmIterState(
+                S=jnp.asarray(S_buf, dtype),
+                count=jnp.asarray(1, jnp.int32),
+                greedy=jnp.asarray(x0, dtype)))
+            greedy0s.append(x0)
+
+        kern = gps[0].kern
+        dtype = gps[0].state.X.dtype
+        vel = jnp.asarray([0.3, 0.3], dtype)
+        bounds = jnp.asarray([[-3.0, 3.0], [-3.0, 3.0]], dtype)
+        fmin = jnp.asarray([0.0], dtype)
+        scaling = jnp.asarray([np.sqrt(2.0)], dtype)
+        threshold = jnp.asarray([0.0], dtype)
+        betas = np.full(N_ITER, 2.0)
+        keys = jax.random.split(jax.random.key(3), K)
+        blb0s = jnp.full((K,), -jnp.inf, dtype)
+        greedy0s = jnp.asarray(np.stack(greedy0s), dtype)
+
+        batched = stack_campaign_states([(g.state,) for g in gps])
+        batched_iter = stack_campaign_states(iter_states)
+        mesh_ = make_mesh()
+        fleet = run_swarmopt_campaigns(
+            (kern,), batched, batched_iter, keys, vel, bounds, fmin,
+            scaling, threshold, betas, greedy0s, blb0s,
+            objectives=(_objective,), n_iter=N_ITER, swarm_size=8,
+            max_iters=10, mesh=mesh_)
+
+        assert fleet.xs.shape == (K, N_ITER, d)
+        assert bool((np.asarray(fleet.num_safe_min) > 0).all())
+        for k in (0, 5):
+            solo = run_swarmopt_loop(
+                (kern,), (gps[k].state,), iter_states[k], keys[k], vel,
+                bounds, fmin, scaling, threshold, betas,
+                greedy0s[k], blb0s[k], objectives=(_objective,),
+                n_iter=N_ITER, swarm_size=8, max_iters=10)
+            np.testing.assert_allclose(np.asarray(fleet.xs[k]),
+                                       np.asarray(solo.xs),
+                                       rtol=1e-9, atol=1e-9)
+            np.testing.assert_allclose(
+                np.asarray(fleet.best_lower_bounds[k]),
+                np.asarray(solo.best_lower_bounds), rtol=1e-9, atol=1e-9)
