@@ -18,7 +18,13 @@ Round-2 additions (VERDICT.md):
   Mosaic kernels against the XLA path ON REAL HARDWARE, where bf16
   passes / tile padding / accumulator dtype bugs live.
 - ``safeopt_cap512_ms``: capacity-512 (500 obs) hard mode — the
-  (cap,cap)x(cap,B) whitened solve dominates.
+  (cap,cap)x(cap,B) whitened solve dominates. ``cap512_floor_ms``
+  reports the measured pure-MXU floor of that solve (two GPs, 6-pass
+  f32, lower-triangular tiles): the step cannot beat the floor without
+  dropping matmul precision, and a measured bf16 3-pass emulation
+  costs 20x the decision accuracy (1e-2 vs 5e-4 abs vs f64 truth
+  through the kappa~1e6 factor) for <10% speed — rejected;
+  ``cap512_vs_floor`` states how close the full step gets.
 - ``expander_stress_ms``: a config where no candidate passes the
   expander test, forcing the chunked while_loop to walk every
   candidate (the worst case of reference gp_opt.py:557-612).
@@ -256,9 +262,45 @@ def _cap512_secondary(rng, grid_dev):
 
     elapsed, result = _time_step(step, reps=10)
     assert bool(result.has_safe)
+
+    # Pure-MXU floor of the dominant cost: the (cap,cap)x(cap,B)
+    # whitened solve per GP at 6-pass f32 with lower-triangular tile
+    # skipping (10/16 of the square tiles at cap=512). Measured, not
+    # modeled: one raw square matmul, scaled by 2 GPs x 10/16.
+    import time as _time
+    cap = 512
+    A = jnp.asarray(np.tril(np.random.default_rng(1).normal(
+        size=(cap, cap))), jnp.float32)
+    Bm = jnp.asarray(np.random.default_rng(2).normal(
+        size=(cap, grid_dev.shape[0])), jnp.float32)
+    # chain reps inside one program (the remote runtime elides
+    # repeated identical dispatches) and difference 1 vs 6 reps
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("reps",))
+    def mm_reps(a, b, *, reps):
+        def body(i, acc):
+            # max() consumes the whole product (a [0,0]-slice would let
+            # XLA collapse the matmul to one row); HIGHEST = the
+            # decision-path 6-pass f32 precision (config.py invariant).
+            p = jax.lax.dot(a, b + acc * 1e-12,
+                            precision=jax.lax.Precision.HIGHEST)
+            return jnp.maximum(acc, jnp.max(p) * 1e-12)
+        return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
+
+    def t(reps):
+        float(mm_reps(A, Bm, reps=reps))          # compile + warm
+        t0 = _time.perf_counter()
+        float(mm_reps(A, Bm, reps=reps))
+        return _time.perf_counter() - t0
+
+    floor_ms = (t(6) - t(1)) / 5 * 1e3 * 2 * (10.0 / 16.0)
+
     return {
         "safeopt_cap512_ms": round(elapsed * 1e3, 3),
         "cap512_under_target": elapsed * 1e3 < TARGET_MS,
+        "cap512_floor_ms": round(floor_ms, 2),
+        "cap512_vs_floor": round(elapsed * 1e3 / max(floor_ms, 1e-9), 2),
     }
 
 

@@ -226,9 +226,11 @@ def _interval_kernel(zt_ref, xs_ref, lm_ref, w_ref, scales_ref, pvar_ref,
     # V = Lm @ kmat : (cap, cap) x (cap, B), upper tiles skipped
     V = _tri_matmul(lm, kmat, acc)
 
-    mu = jax.lax.dot_general(
-        w, V, (((1,), (0,)), ((), ())),
-        preferred_element_type=acc)[0]                     # (B,)
+    # mu as a VPU reduction: a (1, cap) x (cap, B) MXU dot pads the
+    # single row to a full tile and costs ~1/4 of the V matmul at
+    # 6-pass f32 (measured 3.2 ms/GP at cap=512); the broadcast-FMA
+    # reduction rides the same path as the variance colsum instead.
+    mu = jnp.sum(w[0][:, None] * V, axis=0)                # (B,)
     var = jnp.maximum(kdiag - jnp.sum(V * V, axis=0), 0.0)
     spread = beta * jnp.sqrt(var)
     out_ref[0, :] = mu - spread
@@ -372,9 +374,8 @@ def _interval_kernel_multi(zt_ref, ils_ref, xs_ref, lm_ref, w_ref, scal_ref,
             kmat = variance * (1.0 + s3r) * jnp.exp(-s3r)
 
         V = _tri_matmul(lm_ref[g], kmat, acc)
-        mu = jax.lax.dot_general(w_ref[g][None, :], V,
-                                 (((1,), (0,)), ((), ())),
-                                 preferred_element_type=acc)[0]
+        # VPU mu reduction — see _interval_kernel
+        mu = jnp.sum(w_ref[g][:, None] * V, axis=0)
         var = jnp.maximum(kdiag - jnp.sum(V * V, axis=0), 0.0)
         spread = beta * jnp.sqrt(var)
         out_ref[g, 0, :] = mu - spread
