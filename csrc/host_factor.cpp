@@ -90,6 +90,23 @@ int gram_matern52(const double* X, int n, const double* Z, int m, int d,
     return 0;
 }
 
+// Exponential (Matern-1/2 / OU) gram: k = var * exp(-r).
+int gram_exponential(const double* X, int n, const double* Z, int m, int d,
+                     const double* ls, double var, double* out) {
+    double inv_ls[64];
+    if (d > 64) return 1;
+    for (int k = 0; k < d; ++k) inv_ls[k] = 1.0 / ls[k];
+    for (int i = 0; i < n; ++i) {
+        const double* xi = X + (size_t)i * d;
+        for (int j = 0; j < m; ++j) {
+            const double r = std::sqrt(sq_scaled_dist(
+                xi, Z + (size_t)j * d, inv_ls, d));
+            out[(size_t)i * m + j] = var * std::exp(-r);
+        }
+    }
+    return 0;
+}
+
 // In-place lower Cholesky of the leading n x n block of A (row-major,
 // stride = lda). Upper triangle is zeroed. Returns the 1-based index of
 // a non-positive pivot, or 0 on success.

@@ -32,7 +32,7 @@ __all__ = ["np_kernel", "np_kdiag", "HostFactor"]
 
 
 def _native_kind(kernel: Kernel):
-    """'rbf'/'matern32'/'matern52' when the C++ gram covers this kernel."""
+    """Native gram kind when the C++ engine covers this kernel."""
     if isinstance(kernel, RBF) and kernel.active_dims == tuple(
             range(kernel.input_dim)):
         return "rbf"
@@ -42,6 +42,9 @@ def _native_kind(kernel: Kernel):
     if isinstance(kernel, Matern52) and kernel.active_dims == tuple(
             range(kernel.input_dim)):
         return "matern52"
+    if isinstance(kernel, Exponential) and kernel.active_dims == tuple(
+            range(kernel.input_dim)):
+        return "exponential"
     return None
 
 

@@ -44,6 +44,9 @@ class RefRBF:
     def __mul__(self, other):
         return RefProduct(self, other)
 
+    def __add__(self, other):
+        return RefSum(self, other)
+
 
 class RefMatern32(RefRBF):
     def K(self, X, X2=None):
@@ -79,6 +82,52 @@ class RefProduct:
 
     def Kdiag(self, X):
         return self.k1.Kdiag(X) * self.k2.Kdiag(X)
+
+    def __mul__(self, other):
+        return RefProduct(self, other)
+
+    def __add__(self, other):
+        return RefSum(self, other)
+
+
+class RefExponential(RefRBF):
+    """Matern-1/2 / OU mirror of safeopt_tpu.Exponential."""
+
+    def K(self, X, X2=None):
+        Xs = self._sliced(X)
+        Zs = Xs if X2 is None else self._sliced(X2)
+        r = cdist(Xs, Zs, metric="euclidean")
+        return self.variance * np.exp(-r)
+
+
+class RefBias(RefRBF):
+    """Constant-kernel mirror of safeopt_tpu.Bias."""
+
+    def K(self, X, X2=None):
+        n = np.atleast_2d(X).shape[0]
+        m = n if X2 is None else np.atleast_2d(X2).shape[0]
+        return self.variance * np.ones((n, m))
+
+
+class RefWhite(RefRBF):
+    """White-noise mirror of safeopt_tpu.White (GPy semantics: var*I on
+    one set, zero across two sets)."""
+
+    def K(self, X, X2=None):
+        n = np.atleast_2d(X).shape[0]
+        if X2 is None:
+            return self.variance * np.eye(n)
+        return np.zeros((n, np.atleast_2d(X2).shape[0]))
+
+
+class RefSum(RefProduct):
+    """Sum-composition mirror of safeopt_tpu.Sum."""
+
+    def K(self, X, X2=None):
+        return self.k1.K(X, X2) + self.k2.K(X, X2)
+
+    def Kdiag(self, X):
+        return self.k1.Kdiag(X) + self.k2.Kdiag(X)
 
 
 class RefGP:

@@ -6,7 +6,7 @@ from numpy.testing import assert_allclose
 
 from safeopt_tpu import native
 from safeopt_tpu.gp.host_math import HostFactor, np_kernel
-from safeopt_tpu.gp.kernels import Matern32, RBF
+from safeopt_tpu.gp.kernels import Exponential, Matern32, Matern52, RBF
 
 RNG = np.random.default_rng(11)
 
@@ -17,6 +17,8 @@ pytestmark = pytest.mark.skipif(not native.available(),
 @pytest.mark.parametrize("kind,kern", [
     ("rbf", RBF(3, variance=2.0, lengthscale=[0.5, 1.0, 2.0], ARD=True)),
     ("matern32", Matern32(2, variance=1.5, lengthscale=0.7)),
+    ("matern52", Matern52(2, variance=2.5, lengthscale=1.3)),
+    ("exponential", Exponential(2, variance=1.2, lengthscale=0.9)),
 ])
 def test_gram_matches_numpy(kind, kern):
     d = kern.input_dim

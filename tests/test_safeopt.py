@@ -543,3 +543,50 @@ class TestEmptyUnsafeWalk:
         assert opt.S.all() and ref.S.all()
         assert not opt.G.any() and not ref.G.any()
         assert opt.M.sum() == ref.M.sum()
+
+
+class TestExtendedKernelAlgebra:
+    """Round-2 kernel surface (Sum / Exponential / Bias) through the
+    full BO loop, lockstep against the f64 NumPy mirror."""
+
+    def test_sum_kernel_trajectory(self):
+        from safeopt_tpu.gp import Bias
+
+        from reference_impl import RefBias
+
+        kern = RBF(1, variance=2.0, lengthscale=0.9) + Bias(1, variance=0.3)
+        rkern = RefRBF(1, variance=2.0, lengthscale=0.9) \
+            + RefBias(1, variance=0.3)
+        f = rkhs_fn(rkern.K, [[-2.0], [0.0], [2.5]], [0.8, 1.5, -0.6])
+        x0 = np.array([[0.0]])
+        assert f(x0)[0] > 0.5
+        grid = linearly_spaced_combinations([(-5.0, 5.0)], 220)
+        gp = GPRegression(x0, f(x0)[:, None], kern, noise_var=1e-3)
+        rgp = RefGP(x0, f(x0)[:, None], rkern, noise_var=1e-3)
+        opt = SafeOpt(gp, grid, fmin=[0.0], threshold=0.1)
+        ref = RefSafeOpt(rgp, grid, fmin=[0.0], threshold=0.1)
+        run_loop(opt, ref, [f], iters=8)
+        np.testing.assert_array_equal(opt.S, ref.S)
+
+    def test_exponential_constraint_trajectory(self):
+        from safeopt_tpu.gp import Exponential
+
+        from reference_impl import RefExponential
+
+        ks = [RBF(1, variance=2.0),
+              Exponential(1, variance=1.5, lengthscale=2.0)]
+        rks = [RefRBF(1, variance=2.0),
+               RefExponential(1, variance=1.5, lengthscale=2.0)]
+        f = rkhs_fn(rks[0].K, [[0.0], [2.0]], [2.0, 1.0])
+        g = rkhs_fn(rks[1].K, [[0.0], [-3.0]], [1.5, 1.0])
+        x0 = np.array([[0.0]])
+        assert g(x0)[0] > 0.1
+        grid = linearly_spaced_combinations([(-6.0, 6.0)], 180)
+        gps = [GPRegression(x0, fn(x0)[:, None], k, noise_var=1e-4)
+               for k, fn in zip(ks, (f, g))]
+        rgps = [RefGP(x0, fn(x0)[:, None], k, noise_var=1e-4)
+                for k, fn in zip(rks, (f, g))]
+        opt = SafeOpt(gps, grid, fmin=[-np.inf, 0.0], threshold=0.1)
+        ref = RefSafeOpt(rgps, grid, fmin=[-np.inf, 0.0], threshold=0.1)
+        run_loop(opt, ref, [f, g], iters=6)
+        np.testing.assert_array_equal(opt.S, ref.S)
