@@ -133,6 +133,7 @@ def main():
         ("certified", lambda: _certified_secondary(gp_f, gp_g, grid)),
         ("cap512", lambda: _cap512_secondary(rng, grid_dev)),
         ("expander-stress", lambda: _expander_stress_secondary()),
+        ("context-kernel", lambda: _context_kernel_secondary(grid_dev)),
         ("fused-loop", lambda: _fused_loop_secondary(
             kernels, states, grid_dev, fmin, beta, scaling, threshold)),
         ("swarm", lambda: _swarm_secondary()),
@@ -301,6 +302,56 @@ def _cap512_secondary(rng, grid_dev):
         "cap512_under_target": elapsed * 1e3 < TARGET_MS,
         "cap512_floor_ms": round(floor_ms, 2),
         "cap512_vs_floor": round(elapsed * 1e3 / max(floor_ms, 1e-9), 2),
+    }
+
+
+# ---------------------------------------------------------------------------
+# round-2 addition: contextual product kernel through the fused path
+# ---------------------------------------------------------------------------
+
+
+def _context_kernel_secondary(grid_dev):
+    """1e6-grid step with the reference's contextual product kernel
+    (RBF(param) x RBF(context), context_example notebook) now running
+    through the fused Pallas sum-of-products path: times Pallas vs XLA
+    and gates decision parity between them on the hardware."""
+    import jax
+    import jax.numpy as jnp
+
+    from safeopt_tpu.algorithms.safe_opt_core import safeopt_step
+    from safeopt_tpu.gp import GPRegression, RBF
+
+    kern = (RBF(1, variance=2.0, lengthscale=1.0, active_dims=[0])
+            * RBF(1, variance=1.0, lengthscale=1.5, active_dims=[1],
+                  name="context"))
+    rng = np.random.default_rng(3)
+    n_obs = 50
+    X = np.hstack([rng.uniform(-3.0, 3.0, size=(n_obs, 1)),
+                   np.zeros((n_obs, 1))])          # context column = 0
+    Y = (2.0 * np.exp(-0.5 * X[:, :1] ** 2))
+    gp = GPRegression(X, Y, kern, noise_var=0.05 ** 2, capacity=64)
+
+    dtype = gp.state.X.dtype
+    args = ((kern,), (gp.state,), grid_dev, jnp.asarray([0.2], dtype),
+            jnp.asarray(2.0, dtype), jnp.asarray([np.sqrt(2.0)], dtype),
+            jnp.asarray([0.0], dtype))
+
+    el_p, r_p = _time_step(
+        lambda: safeopt_step(*args, chunk=32, use_pallas=True), reps=10)
+    el_x, r_x = _time_step(
+        lambda: safeopt_step(*args, chunk=32, use_pallas=False), reps=10)
+    assert bool(r_p.has_safe)
+
+    a = jax.device_get((r_p.S, r_p.M, r_p.G, r_p.next_idx))
+    b = jax.device_get((r_x.S, r_x.M, r_x.G, r_x.next_idx))
+    mism = {k: int(np.count_nonzero(x != y))
+            for k, x, y in zip("SMG", a[:3], b[:3])}
+    return {
+        "context_kernel_ms": round(el_p * 1e3, 3),
+        "context_kernel_xla_ms": round(el_x * 1e3, 3),
+        "context_pallas_speedup": round(el_x / el_p, 2),
+        "context_decision_mismatches": mism,
+        "context_next_idx_match": bool(int(a[3]) == int(b[3])),
     }
 
 
