@@ -21,9 +21,10 @@ import pytest
 from numpy.testing import assert_allclose
 
 from safeopt_tpu import SafeOpt, linearly_spaced_combinations
-from safeopt_tpu.gp import GPRegression, Matern32, RBF
+from safeopt_tpu.gp import Bias, Exponential, GPRegression, Matern32, RBF
 
-from reference_impl import RefGP, RefMatern32, RefRBF, RefSafeOpt
+from reference_impl import (RefBias, RefExponential, RefGP,
+                            RefMatern32, RefRBF, RefSafeOpt)
 
 
 def _random_case(rng):
@@ -42,15 +43,28 @@ def _random_case(rng):
         else:
             ls = rng.uniform(0.6, 2.0, size=d).tolist()
         ard = d > 1
-        if rng.random() < 0.5:
+        draw = rng.random()
+        if draw < 0.35:
             kerns.append(RBF(d, variance=variance, lengthscale=ls, ARD=ard))
             rkerns.append(RefRBF(d, variance=variance, lengthscale=ls,
                                  ARD=ard))
-        else:
+        elif draw < 0.7:
             kerns.append(Matern32(d, variance=variance, lengthscale=ls,
                                   ARD=ard))
             rkerns.append(RefMatern32(d, variance=variance, lengthscale=ls,
                                       ARD=ard))
+        elif draw < 0.85:
+            kerns.append(Exponential(d, variance=variance, lengthscale=ls,
+                                     ARD=ard))
+            rkerns.append(RefExponential(d, variance=variance,
+                                         lengthscale=ls, ARD=ard))
+        else:
+            # round-2 sum algebra: stationary + constant offset
+            bias_var = float(rng.uniform(0.1, 0.6))
+            kerns.append(RBF(d, variance=variance, lengthscale=ls, ARD=ard)
+                         + Bias(d, variance=bias_var))
+            rkerns.append(RefRBF(d, variance=variance, lengthscale=ls,
+                                 ARD=ard) + RefBias(d, variance=bias_var))
         centers = rng.uniform(-4, 4, size=(4, d))
         weights = rng.uniform(-1.0, 1.5, size=4)
         rk = rkerns[-1]
