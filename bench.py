@@ -30,6 +30,12 @@ Round-2 additions (VERDICT.md):
   candidate (the worst case of reference gp_opt.py:557-612).
 - ``swarm_*``: 10-d SafeOptSwarm iteration attributed into device
   compute vs host+tunnel, for 1-GP and 2-GP configs.
+- ``context_kernel_*``: the reference's contextual product kernel
+  through the fused sum-of-products Pallas path vs XLA, with a
+  decision-parity gate on hardware.
+- ``fleet_*``: K vmapped on-device campaigns in one program — the
+  amortized per-campaign-iteration cost when serving fleets
+  (parallel/campaigns.py).
 
 Prints ONE JSON line.
 """
@@ -137,6 +143,7 @@ def main():
         ("fused-loop", lambda: _fused_loop_secondary(
             kernels, states, grid_dev, fmin, beta, scaling, threshold)),
         ("swarm", lambda: _swarm_secondary()),
+        ("fleet", lambda: _fleet_secondary()),
     ]
     for name, fn in extras:
         try:
@@ -590,3 +597,65 @@ def _swarm_loop_ms():
 
 if __name__ == "__main__":
     main()
+
+
+# ---------------------------------------------------------------------------
+# round-2 addition: campaign-fleet throughput (parallel/campaigns.py)
+# ---------------------------------------------------------------------------
+
+
+def _fleet_secondary(K=8, n_iter=8):
+    """K independent on-device SafeOpt campaigns vmapped into one
+    program on this chip: ms per (campaign x iteration), i.e. the
+    amortized cost of one full BO iteration when serving fleets. On a
+    multi-chip mesh the campaign axis shards (tests/test_campaigns.py);
+    here it demonstrates single-chip fleet batching throughput."""
+    import jax
+    import jax.numpy as jnp
+
+    from safeopt_tpu import linearly_spaced_combinations
+    from safeopt_tpu.gp import GPRegression, RBF
+    from safeopt_tpu.parallel import (run_safeopt_campaigns,
+                                      stack_campaign_states)
+
+    kern = RBF(2, variance=2.0, lengthscale=1.2)
+
+    def objective(x):
+        return 2.0 * jnp.exp(-0.5 * jnp.sum(x * x))
+
+    rng = np.random.default_rng(5)
+    per_campaign = []
+    for _ in range(K):
+        x0 = rng.uniform(-0.4, 0.4, size=(1, 2))
+        y0 = 2.0 * np.exp(-0.5 * np.sum(x0 ** 2))
+        gp = GPRegression(x0, np.array([[y0]]), kern, noise_var=1e-4,
+                          capacity=16)
+        per_campaign.append((gp.state,))
+    batched = stack_campaign_states(per_campaign)
+
+    grid = jnp.asarray(np.asarray(linearly_spaced_combinations(
+        [(-2.0, 2.0), (-2.0, 2.0)], 100)), jnp.float32)
+    dtype = grid.dtype
+
+    def fleet(seed):
+        return run_safeopt_campaigns(
+            (kern,), batched, grid, jnp.asarray([0.5], dtype),
+            jnp.asarray(2.0, dtype), jnp.asarray([np.sqrt(2.0)], dtype),
+            jnp.asarray([0.0], dtype),
+            jax.random.split(jax.random.key(seed), K),
+            objectives=(objective,), n_iter=n_iter, chunk=16)
+
+    r = fleet(0)
+    jax.block_until_ready(r.xs)
+    reps = 3
+    t0 = time.perf_counter()
+    for i in range(reps):
+        r = fleet(i + 1)           # varying key: no dispatch elision
+    ok = bool(np.asarray(r.has_safe).all())
+    ms = (time.perf_counter() - t0) / reps / (K * n_iter) * 1e3
+    assert ok, "fleet lost certification"
+    return {
+        "fleet_campaigns": K,
+        "fleet_iters": n_iter,
+        "fleet_ms_per_campaign_iter": round(ms, 3),
+    }
