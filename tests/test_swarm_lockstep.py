@@ -222,3 +222,36 @@ class TestUCBLockstep:
             y = np.array([[float(f(x_ref)[0])]])
             ref.add_new_data_point(np.atleast_2d(x_ref), y)
             fused.add_new_data_point(np.atleast_2d(x_fused), y)
+
+
+class TestSumKernelLockstep:
+    """Round-2 kernel algebra through the swarm orchestration: RBF+Bias
+    sum kernel, stepwise and fused vs the reference mirror."""
+
+    def test_ten_iterations(self):
+        from safeopt_tpu.gp import Bias
+
+        from reference_impl import RefBias
+
+        kern = RBF(1, variance=2.0, lengthscale=1.0) + Bias(1, variance=0.3)
+        rkern = RefRBF(1, variance=2.0, lengthscale=1.0) \
+            + RefBias(1, variance=0.3)
+        f = rkhs_fn(rkern.K, [[-3.0], [0.0], [2.5]], [1.0, 1.8, -0.9])
+        x0 = np.array([[0.0]])
+        assert f(x0)[0] > 0.5
+
+        def make(kind, provider):
+            if kind == "ref":
+                gp = RefGP(x0, f(x0)[:, None], rkern, noise_var=0.05 ** 2)
+                return RefSafeOptSwarm(
+                    gp, fmin=[0.0], bounds=[(-8.0, 8.0)], threshold=0.2,
+                    swarm_size=10, max_iters=12, draw_uniform=provider)
+            cls = StreamedSwarm if kind == "stepwise" else FusedStreamedSwarm
+            gp = GPRegression(x0, f(x0)[:, None], kern.copy(),
+                              noise_var=0.05 ** 2)
+            opt = cls(gp, fmin=[0.0], bounds=[(-8.0, 8.0)], threshold=0.2,
+                      swarm_size=10, max_iters=12)
+            opt.attach(provider)
+            return opt
+
+        run_lockstep(make, [f], iters=10, seed=303)
