@@ -388,6 +388,16 @@ class GPRegression:
         self.refit()
         return lml
 
+    def optimize(self, max_iters: int = 200, **_gpy_compat) -> float:
+        """GPy-compatible spelling of hyperparameter fitting.
+
+        GPy models expose ``gp.optimize(max_iters=...)``; users
+        migrating notebooks that call it land here (extra GPy-only
+        kwargs such as ``optimizer=`` or ``messages=`` are accepted
+        and ignored). Returns the final log marginal likelihood.
+        """
+        return self.optimize_hyperparameters(steps=max_iters)
+
     def refit(self) -> None:
         """Refactorize from scratch (numerical hygiene escape hatch)."""
         self._host.set_data(self._host.X[: self.num_data].copy(),

@@ -120,3 +120,25 @@ def test_nonfinite_fit_keeps_input_hyperparameters(monkeypatch, caplog):
     else:
         # if the optimizer somehow stayed finite, results must be finite
         assert np.isfinite(lml)
+
+
+def test_gpy_style_optimize_alias():
+    """gp.optimize(max_iters=...) — GPy's spelling — fits and returns
+    the LML; GPy-only kwargs are accepted and ignored."""
+    import numpy as np
+
+    from safeopt_tpu.gp import GPRegression, RBF
+    from safeopt_tpu.gp.hyperopt import log_marginal_likelihood
+
+    rng = np.random.default_rng(4)
+    X = np.linspace(-3, 3, 30)[:, None]
+    true = RBF(1, variance=2.0, lengthscale=0.5)
+    from safeopt_tpu.gp.host_math import np_kernel
+    K = np_kernel(true, X) + 0.01 * np.eye(30)
+    Y = np.linalg.cholesky(K) @ rng.normal(size=(30, 1))
+
+    gp = GPRegression(X, Y, RBF(1, variance=1.0, lengthscale=2.0),
+                      noise_var=0.01)
+    lml0 = float(log_marginal_likelihood(gp.kern, X, Y, gp.noise_var))
+    lml = gp.optimize(max_iters=80, messages=False, optimizer="lbfgs")
+    assert lml > lml0
