@@ -43,7 +43,8 @@ __all__ = ["fused_expander_predicate"]
 
 def _expander_kernel(zt_ref, unsafe_ref, mu_ref, sigma_ref, xs_ref,
                      xc_ref, m2_ref, cvec_ref, scales_ref, pvar_ref,
-                     scal_ref, out_ref, *, kinds: Tuple[Tuple[str, ...], ...]):
+                     scal_ref, out_ref, *,
+                     kinds: Tuple[Tuple[str, ...], ...], prescaled: bool):
     zt = zt_ref[:]                       # (d, B)
     xs = xs_ref[:]                       # (cap, d)
     xc = xc_ref[:]                       # (C, d) candidates
@@ -59,9 +60,11 @@ def _expander_kernel(zt_ref, unsafe_ref, mu_ref, sigma_ref, xs_ref,
 
     # gram tiles by explicit per-dimension differences, product parts
     # multiplied in VMEM (see fused_posterior._part_gram)
-    kmat = _part_gram(xs, zt, scales_ref, pvar_ref, kinds, acc)  # (cap, B)
+    kmat = _part_gram(xs, zt, scales_ref, pvar_ref, kinds, acc,
+                      prescaled=prescaled)                       # (cap, B)
     var = sigma * sigma
-    kc = _part_gram(xc, zt, scales_ref, pvar_ref, kinds, acc)    # (C, B)
+    kc = _part_gram(xc, zt, scales_ref, pvar_ref, kinds, acc,
+                    prescaled=prescaled)                         # (C, B)
     cross = jax.lax.dot_general(m2, kmat, (((1,), (0,)), ((), ())),
                                 preferred_element_type=acc)
     inv_dd = cvec[0, :][:, None]                           # (C, 1)
@@ -84,10 +87,12 @@ def _expander_kernel(zt_ref, unsafe_ref, mu_ref, sigma_ref, xs_ref,
     out_ref[0, :] = jnp.maximum(out_ref[0, :], partial)
 
 
-@functools.partial(jax.jit, static_argnames=("kinds", "block"))
+@functools.partial(jax.jit,
+                   static_argnames=("kinds", "block", "prescaled"))
 def _fused_expander_impl(zt, unsafe_row, mu_row, sigma_row, xs, xc, m2,
                          cvec, scales, pvar, scal,
-                         *, kinds: Tuple[Tuple[str, ...], ...], block: int):
+                         *, kinds: Tuple[Tuple[str, ...], ...],
+                         block: int, prescaled: bool):
     from jax.experimental.pallas import tpu as pltpu
 
     d, n = zt.shape
@@ -98,7 +103,8 @@ def _fused_expander_impl(zt, unsafe_row, mu_row, sigma_row, xs, xc, m2,
     interpret = jax.default_backend() == "cpu"
 
     out = pl.pallas_call(
-        functools.partial(_expander_kernel, kinds=kinds),
+        functools.partial(_expander_kernel, kinds=kinds,
+                          prescaled=prescaled),
         out_shape=jax.ShapeDtypeStruct((1, C), zt.dtype),
         grid=grid,
         in_specs=[
@@ -196,7 +202,8 @@ def fused_expander_predicate(kernel, state, grid, unsafe, mu, sigma, Xc,
 
     return _fused_expander_impl(zt, unsafe_row, mu_row, sigma_row, xs,
                                 xc, M2, cvec, scales, pvars[None, :],
-                                scal, kinds=kinds, block=block)
+                                scal, kinds=kinds, block=block,
+                                prescaled=prescale_ls is not None)
 
 
 # ---------------------------------------------------------------------------

@@ -162,7 +162,8 @@ def _part_plan(kernel, d: int, dtype):
     return kinds, scales, pvars, None, kdiag
 
 
-def _part_gram(a, b_t, scales_ref, pvar_ref, kinds, acc):
+def _part_gram(a, b_t, scales_ref, pvar_ref, kinds, acc,
+               prescaled: bool = False):
     """Gram tile for a sum-of-products algebra of stationary kernels.
 
     ``a`` is (rows, d), ``b_t`` is (d, B) features-first; scaled squared
@@ -172,6 +173,12 @@ def _part_gram(a, b_t, scales_ref, pvar_ref, kinds, acc):
     |x|^2+|z|^2-2x.z (whose matmul rounding is amplified through the
     ill-conditioned factor), and skips the norm precomputations.
     Leaf grams multiply within a term; term grams add.
+
+    ``prescaled`` (static) marks the single full-dim kernel case where
+    the caller already divided inputs by the lengthscale: the per-dim
+    scale multiply is skipped entirely — the grid-sized VPU work is
+    identical to the pre-composition kernels (the multiply costs real
+    time: ~1.5x on the 16-chunk expander-stress bench).
     """
     d = a.shape[1]
     out = None
@@ -186,8 +193,9 @@ def _part_gram(a, b_t, scales_ref, pvar_ref, kinds, acc):
             else:
                 r2 = jnp.zeros((a.shape[0], b_t.shape[1]), acc)
                 for k in range(d):
-                    diff = (a[:, k][:, None] - b_t[k, :][None, :]) \
-                        * scales_ref[p, k]
+                    diff = a[:, k][:, None] - b_t[k, :][None, :]
+                    if not prescaled:
+                        diff = diff * scales_ref[p, k]
                     r2 = r2 + diff * diff
                 if kind == "rbf":
                     kp = variance * jnp.exp(-0.5 * r2)
@@ -210,7 +218,9 @@ def _part_gram(a, b_t, scales_ref, pvar_ref, kinds, acc):
 
 
 def _interval_kernel(zt_ref, xs_ref, lm_ref, w_ref, scales_ref, pvar_ref,
-                     scal_ref, out_ref, *, kinds: Tuple[Tuple[str, ...], ...]):
+                     scal_ref, out_ref, *,
+                     kinds: Tuple[Tuple[str, ...], ...],
+                     prescaled: bool):
     """One grid block: gram tile -> whitened solve -> intervals."""
     zt = zt_ref[:]                      # (d, B) grid block
     xs = xs_ref[:]                      # (cap, d) training inputs
@@ -221,7 +231,8 @@ def _interval_kernel(zt_ref, xs_ref, lm_ref, w_ref, scales_ref, pvar_ref,
     kdiag = scal_ref[0, 1]
     beta = scal_ref[0, 2]
 
-    kmat = _part_gram(xs, zt, scales_ref, pvar_ref, kinds, acc)
+    kmat = _part_gram(xs, zt, scales_ref, pvar_ref, kinds, acc,
+                      prescaled=prescaled)
 
     # V = Lm @ kmat : (cap, cap) x (cap, B), upper tiles skipped
     V = _tri_matmul(lm, kmat, acc)
@@ -237,9 +248,11 @@ def _interval_kernel(zt_ref, xs_ref, lm_ref, w_ref, scales_ref, pvar_ref,
     out_ref[1, :] = mu + spread
 
 
-@functools.partial(jax.jit, static_argnames=("kinds", "block"))
+@functools.partial(jax.jit,
+                   static_argnames=("kinds", "block", "prescaled"))
 def _fused_intervals_impl(zt, xs, lm, w_row, scales, pvar, scal,
-                          *, kinds: Tuple[Tuple[str, ...], ...], block: int):
+                          *, kinds: Tuple[Tuple[str, ...], ...],
+                          block: int, prescaled: bool):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -253,7 +266,8 @@ def _fused_intervals_impl(zt, xs, lm, w_row, scales, pvar, scal,
     interpret = jax.default_backend() == "cpu"
 
     return pl.pallas_call(
-        functools.partial(_interval_kernel, kinds=kinds),
+        functools.partial(_interval_kernel, kinds=kinds,
+                          prescaled=prescaled),
         out_shape=jax.ShapeDtypeStruct((2, n), zt.dtype),
         grid=grid,
         in_specs=[
@@ -329,7 +343,8 @@ def fused_intervals(kernel, state, grid: jnp.ndarray, beta,
         zt = jnp.concatenate(
             [zt, jnp.zeros((zt.shape[0], pad), dtype)], axis=1)
     out = _fused_intervals_impl(zt, xs, lm, w_row, scales, pvars[None, :],
-                                scal, kinds=kinds, block=block)
+                                scal, kinds=kinds, block=block,
+                                prescaled=prescale_ls is not None)
     return out[0, :n], out[1, :n]
 
 
