@@ -188,3 +188,63 @@ def test_checkpoint_roundtrip_sum_kernel(tmp_path):
     assert isinstance(opt2.gps[0].kern.k2, Exponential)
     x1 = opt2.optimize()
     assert_allclose(np.asarray(x1), np.asarray(x0), atol=0)
+
+
+def test_white_kernel_full_loop_lockstep():
+    """RBF + White through the full SafeOpt loop in lockstep with the
+    f64 mirror (White adds prior variance on the diagonal of the
+    training gram and the query Kdiag but no cross-correlation)."""
+    import sys
+
+    sys.path.insert(0, "tests") if "tests" not in sys.path[0] else None
+    from reference_impl import RefGP, RefRBF, RefSafeOpt, RefWhite
+
+    from safeopt_tpu import SafeOpt, linearly_spaced_combinations
+
+    kern = RBF(1, variance=2.0, lengthscale=0.9) + White(1, variance=0.02)
+    rkern = RefRBF(1, variance=2.0, lengthscale=0.9) \
+        + RefWhite(1, variance=0.02)
+
+    centers = np.array([[-2.0], [0.0], [2.5]])
+    weights = np.array([0.8, 1.6, -0.6])
+    rbf_only = RefRBF(1, variance=2.0, lengthscale=0.9)
+
+    def f(x):
+        return rbf_only.K(np.atleast_2d(x), centers) @ weights
+
+    x0 = np.array([[0.0]])
+    assert f(x0)[0] > 0.5
+    grid = linearly_spaced_combinations([(-5.0, 5.0)], 180)
+    gp = GPRegression(x0, f(x0)[:, None], kern, noise_var=1e-3)
+    rgp = RefGP(x0, f(x0)[:, None], rkern, noise_var=1e-3)
+    opt = SafeOpt(gp, grid, fmin=[0.0], threshold=0.1)
+    ref = RefSafeOpt(rgp, grid, fmin=[0.0], threshold=0.1)
+    for it in range(6):
+        x = np.asarray(opt.optimize())
+        xr = np.asarray(ref.optimize())
+        assert_allclose(x, xr, atol=1e-9,
+                        err_msg=f"diverged at iteration {it}")
+        y = float(f(x)[0])
+        opt.add_new_data_point(x, np.array([[y]]))
+        ref.add_new_data_point(x, np.array([[y]]))
+    np.testing.assert_array_equal(opt.S, ref.S)
+
+
+def test_sparse_gp_with_sum_kernel():
+    """DTC sparse regression composes with the round-2 algebra."""
+    from safeopt_tpu.gp import SparseGPRegression
+
+    kern = RBF(1, variance=2.0, lengthscale=0.8) + Bias(1, variance=0.2)
+    X = np.linspace(-3, 3, 40)[:, None]
+    rng = np.random.default_rng(2)
+    K = np_kernel(kern, X) + 0.01 * np.eye(40)
+    Y = np.linalg.cholesky(K) @ rng.normal(size=(40, 1))
+
+    sgp = SparseGPRegression(X, Y, kern, noise_var=0.01, inducing=40)
+    gp = GPRegression(X, Y, kern, noise_var=0.01)
+    Xq = np.linspace(-3, 3, 25)[:, None]
+    mu_s, var_s = sgp.predict_noiseless(Xq)
+    mu_d, var_d = gp.predict_noiseless(Xq)
+    # inducing == data: DTC mean equals the exact GP mean
+    assert_allclose(np.asarray(mu_s), np.asarray(mu_d), rtol=1e-6,
+                    atol=1e-8)
