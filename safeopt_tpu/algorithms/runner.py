@@ -48,7 +48,8 @@ def run_safeopt_loop(kernels, states, grid, fmin, beta, scaling, threshold,
                      key, *, objectives: Tuple[Callable, ...], n_iter: int,
                      lipschitz=None, noise_std=0.0, ucb: bool = False,
                      use_lipschitz: bool = False, chunk: int = 64,
-                     use_pallas: bool = False) -> BOLoopResult:
+                     use_pallas: bool = False,
+                     objective_args=None) -> BOLoopResult:
     """Run ``n_iter`` complete SafeOpt iterations on device.
 
     Parameters
@@ -60,6 +61,12 @@ def run_safeopt_loop(kernels, states, grid, fmin, beta, scaling, threshold,
         Gaussian observation noise added to every measurement.
     key : jax PRNG key
         Noise randomness.
+    objective_args : pytree, optional
+        Traced system parameters; when given, objectives are called as
+        ``f_i(x, objective_args)``. Because it is traced (not static),
+        a vmapped batch of campaigns can carry *different* parameters
+        per campaign — heterogeneous tuning fleets
+        (parallel/campaigns.py).
 
     Every iteration performs the fused SafeOpt step (posterior +
     classification + expander search + selection), evaluates the
@@ -87,7 +94,9 @@ def run_safeopt_loop(kernels, states, grid, fmin, beta, scaling, threshold,
         x = jnp.take(grid, result.next_idx, axis=0)          # (d,)
         noise = noise_std * jax.random.normal(it_key, (num_gps,),
                                               dtype=dtype)
-        ys = jnp.stack([obj(x) for obj in objectives]) + noise
+        ys = jnp.stack([obj(x) if objective_args is None
+                        else obj(x, objective_args)
+                        for obj in objectives]) + noise
         states = tuple(
             gp_append(kern, st, x, ys[i])
             for i, (kern, st) in enumerate(zip(kernels, states)))
@@ -120,7 +129,8 @@ def run_swarmopt_loop(kernels, states, iter_state, key, velocity_scale,
                       bounds, fmin, scaling, threshold, betas, greedy0,
                       blb0, *, objectives: Tuple[Callable, ...],
                       n_iter: int, swarm_size: int, max_iters: int,
-                      noise_std=0.0, ucb: bool = False) -> SwarmLoopResult:
+                      noise_std=0.0, ucb: bool = False,
+                      objective_args=None) -> SwarmLoopResult:
     """Run ``n_iter`` complete SafeOptSwarm iterations on device.
 
     The swarm analog of ``run_safeopt_loop`` — the reference's
@@ -180,7 +190,9 @@ def run_swarmopt_loop(kernels, states, iter_state, key, velocity_scale,
         x = out.x_next
         noise = noise_std * jax.random.normal(k_noise, (num_gps,),
                                               dtype=dtype)
-        ys = jnp.stack([obj(x) for obj in objectives]) + noise
+        ys = jnp.stack([obj(x) if objective_args is None
+                        else obj(x, objective_args)
+                        for obj in objectives]) + noise
         states = tuple(
             gp_append(kern, st, x, ys[i])
             for i, (kern, st) in enumerate(zip(kernels, states)))

@@ -56,7 +56,8 @@ def shard_campaigns(tree, mesh, axis: str = "data"):
 
 def run_safeopt_campaigns(kernels, states_batch, grid, fmin, beta, scaling,
                           threshold, keys, *, objectives, n_iter: int,
-                          mesh=None, axis: str = "data", **loop_kwargs):
+                          mesh=None, axis: str = "data",
+                          objective_args_batch=None, **loop_kwargs):
     """Run K independent on-device SafeOpt campaigns, one program.
 
     ``states_batch`` carries a leading campaign axis (see
@@ -65,46 +66,60 @@ def run_safeopt_campaigns(kernels, states_batch, grid, fmin, beta, scaling,
     ``mesh`` given, the campaign axis is sharded over ``mesh[axis]``
     and each chip runs its share of campaigns independently.
 
+    ``objective_args_batch`` (optional pytree, leading axis K) makes
+    the fleet HETEROGENEOUS: campaign k's objectives are evaluated as
+    ``f_i(x, tree[k])`` — e.g. tuning the same controller structure on
+    K different plants, one per chip.
+
     Returns a ``BOLoopResult`` whose arrays all have the leading
     campaign axis.
     """
     from ..algorithms.runner import run_safeopt_loop
 
-    def one(states, key):
+    def one(states, key, obj_args):
         return run_safeopt_loop(kernels, states, grid, fmin, beta, scaling,
                                 threshold, key, objectives=objectives,
-                                n_iter=n_iter, **loop_kwargs)
+                                n_iter=n_iter, objective_args=obj_args,
+                                **loop_kwargs)
 
     if mesh is not None:
         states_batch = shard_campaigns(states_batch, mesh, axis)
         keys = shard_campaigns(keys, mesh, axis)
-    return jax.vmap(one)(states_batch, keys)
+        if objective_args_batch is not None:
+            objective_args_batch = shard_campaigns(objective_args_batch,
+                                                   mesh, axis)
+    in_axes = (0, 0, None if objective_args_batch is None else 0)
+    return jax.vmap(one, in_axes=in_axes)(states_batch, keys,
+                                          objective_args_batch)
 
 
 def run_swarmopt_campaigns(kernels, states_batch, iter_states, keys,
                            velocity_scale, bounds, fmin, scaling, threshold,
                            betas, greedy0s, blb0s, *, objectives,
                            n_iter: int, swarm_size: int, max_iters: int,
-                           mesh=None, axis: str = "data", **loop_kwargs):
+                           mesh=None, axis: str = "data",
+                           objective_args_batch=None, **loop_kwargs):
     """Run K independent on-device SafeOptSwarm campaigns, one program.
 
     The swarm analog of ``run_safeopt_campaigns``: ``states_batch``,
     ``iter_states`` (device safe-set buffers), ``keys``, ``greedy0s``
     (K, d) and ``blb0s`` (K,) all carry the campaign axis; ``betas``
-    (n_iter,) and the remaining scalars are shared. Zero cross-chip
+    (n_iter,) and the remaining scalars are shared.
+    ``objective_args_batch`` (leading axis K) makes the fleet
+    heterogeneous, as in ``run_safeopt_campaigns``. Zero cross-chip
     collectives — per-campaign swarms stay chip-local.
 
     Returns a ``SwarmLoopResult`` with the leading campaign axis.
     """
     from ..algorithms.runner import run_swarmopt_loop
 
-    def one(states, sstate, key, greedy0, blb0):
+    def one(states, sstate, key, greedy0, blb0, obj_args):
         return run_swarmopt_loop(kernels, states, sstate, key,
                                  velocity_scale, bounds, fmin, scaling,
                                  threshold, betas, greedy0, blb0,
                                  objectives=objectives, n_iter=n_iter,
                                  swarm_size=swarm_size, max_iters=max_iters,
-                                 **loop_kwargs)
+                                 objective_args=obj_args, **loop_kwargs)
 
     if mesh is not None:
         states_batch = shard_campaigns(states_batch, mesh, axis)
@@ -112,4 +127,11 @@ def run_swarmopt_campaigns(kernels, states_batch, iter_states, keys,
         keys = shard_campaigns(keys, mesh, axis)
         greedy0s = shard_campaigns(greedy0s, mesh, axis)
         blb0s = shard_campaigns(blb0s, mesh, axis)
-    return jax.vmap(one)(states_batch, iter_states, keys, greedy0s, blb0s)
+        if objective_args_batch is not None:
+            objective_args_batch = shard_campaigns(objective_args_batch,
+                                                   mesh, axis)
+    in_axes = (0, 0, 0, 0, 0,
+               None if objective_args_batch is None else 0)
+    return jax.vmap(one, in_axes=in_axes)(states_batch, iter_states, keys,
+                                          greedy0s, blb0s,
+                                          objective_args_batch)

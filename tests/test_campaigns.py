@@ -145,3 +145,54 @@ class TestSwarmCampaigns:
             np.testing.assert_allclose(
                 np.asarray(fleet.best_lower_bounds[k]),
                 np.asarray(solo.best_lower_bounds), rtol=1e-9, atol=1e-9)
+
+
+class TestHeterogeneousFleet:
+    def test_per_campaign_objective_args(self, mesh):
+        """objective_args_batch makes campaigns heterogeneous: each
+        campaign optimizes a differently-shifted objective, and each
+        sharded campaign reproduces its solo run exactly."""
+        gps = [_mk_gp(seed) for seed in range(K)]
+        kern = gps[0].kern
+        grid = np.asarray(linearly_spaced_combinations(
+            [(-2.0, 2.0), (-2.0, 2.0)], 17))
+        dtype = gps[0].state.X.dtype
+        centers = jnp.asarray(np.linspace(-0.8, 0.8, K)[:, None]
+                              * np.ones((1, 2)), dtype)
+
+        def objective(x, c):
+            return 2.0 * jnp.exp(-0.5 * jnp.sum((x - c) ** 2))
+
+        # per-campaign seed observations must match the shifted truth
+        per_campaign = []
+        for k in range(K):
+            x0 = np.asarray(gps[k].X)
+            y0 = 2.0 * np.exp(-0.5 * np.sum(
+                (x0 - np.asarray(centers[k])) ** 2))
+            per_campaign.append((
+                type(gps[k])(x0, np.array([[y0]]), kern, noise_var=1e-4,
+                             capacity=16).state,))
+        batched = stack_campaign_states(per_campaign)
+        keys = jax.random.split(jax.random.key(9), K)
+        common = dict(objectives=(objective,), n_iter=3, chunk=16)
+
+        fleet = run_safeopt_campaigns(
+            (kern,), batched, jnp.asarray(grid), jnp.asarray([0.4], dtype),
+            jnp.asarray(2.0, dtype), jnp.asarray([np.sqrt(2.0)], dtype),
+            jnp.asarray([0.0], dtype), keys, mesh=mesh,
+            objective_args_batch=centers, **common)
+        assert bool(fleet.has_safe.all())
+        # different plants -> different trajectories
+        assert not np.allclose(np.asarray(fleet.xs[0]),
+                               np.asarray(fleet.xs[-1]))
+        for k in (0, K - 1):
+            solo = run_safeopt_loop(
+                (kern,), per_campaign[k], jnp.asarray(grid),
+                jnp.asarray([0.4], dtype), jnp.asarray(2.0, dtype),
+                jnp.asarray([np.sqrt(2.0)], dtype),
+                jnp.asarray([0.0], dtype), keys[k],
+                objective_args=centers[k], **common)
+            np.testing.assert_array_equal(np.asarray(fleet.next_idx[k]),
+                                          np.asarray(solo.next_idx))
+            np.testing.assert_allclose(np.asarray(fleet.ys[k]),
+                                       np.asarray(solo.ys), rtol=1e-10)
