@@ -601,8 +601,6 @@ def _swarm_loop_ms():
     return round((time.perf_counter() - t0) / 3 / n_iter * 1e3, 2)
 
 
-if __name__ == "__main__":
-    main()
 
 
 # ---------------------------------------------------------------------------
@@ -665,3 +663,7 @@ def _fleet_secondary(K=8, n_iter=8):
         "fleet_iters": n_iter,
         "fleet_ms_per_campaign_iter": round(ms, 3),
     }
+
+
+if __name__ == "__main__":
+    main()

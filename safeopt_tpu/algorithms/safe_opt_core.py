@@ -106,7 +106,7 @@ def _confidence_intervals(kernels, states, grid, beta, use_pallas=False):
         from ..ops.fused_posterior import (fused_intervals,
                                            fused_intervals_batched,
                                            supports_batched, supports_kernel)
-        if supports_batched(kernels, states):
+        if supports_batched(kernels, states, grid.shape[1]):
             # one grid pass for every GP
             for l, u in fused_intervals_batched(kernels, states, grid,
                                                 beta):
@@ -197,7 +197,7 @@ def _chunk_expander_predicate(kernels, states, grid, Q, unsafe, mus, sigmas,
             from ..ops.fused_expander import (
                 fused_expander_predicate_batched)
             from ..ops.fused_posterior import supports_batched
-            if supports_batched(kernels, states):
+            if supports_batched(kernels, states, grid.shape[1]):
                 # one grid pass per chunk for every GP
                 ucs = jnp.stack([jnp.take(Q[:, 2 * i + 1], grid_idx)
                                  for i in range(len(kernels))])

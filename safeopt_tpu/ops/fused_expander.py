@@ -156,7 +156,7 @@ def fused_expander_predicate(kernel, state, grid, unsafe, mu, sigma, Xc,
         from .fused_posterior import _pick_block
         block = _pick_block(cap, extra_rows=6 * Xc.shape[0])
 
-    kinds, scales, pvars, prescale_ls, kdiag = _part_plan(
+    kinds, scales, pvars, prescale_ls, _kdiag = _part_plan(
         kernel, grid.shape[1], dtype)
     mask = (jnp.arange(cap) < state.count).astype(dtype)
     lm = state.Linv * mask[None, :]
@@ -171,9 +171,12 @@ def fused_expander_predicate(kernel, state, grid, unsafe, mu, sigma, Xc,
 
     cvec = jnp.stack([1.0 / dd, gain,
                       valid.astype(dtype)], axis=0)       # (3, C)
+    # scal rows 0-1 are padding (the gram variance moved to pvar);
+    # only beta and fmin are read by the kernel.
+    zero = jnp.zeros((), dtype)
     scal = jnp.stack([
-        kdiag,
-        kdiag,
+        zero,
+        zero,
         jnp.asarray(beta, dtype),
         jnp.asarray(fmin_i, dtype),
     ])[None, :]
@@ -243,6 +246,8 @@ def _expander_kernel_multi(zt_ref, unsafe_ref, mu_ref, sigma_ref, ils_ref,
             if kind == "rbf":
                 return variance * jnp.exp(-0.5 * r2)
             r = jnp.sqrt(r2 + 1e-36)
+            if kind == "exponential":
+                return variance * jnp.exp(-r)
             if kind == "matern52":
                 s5r = jnp.sqrt(jnp.asarray(5.0, acc)) * r
                 return (variance * (1.0 + s5r + (5.0 / 3.0) * r2)

@@ -378,6 +378,9 @@ def _interval_kernel_multi(zt_ref, ils_ref, xs_ref, lm_ref, w_ref, scal_ref,
 
         if kind == "rbf":
             kmat = variance * jnp.exp(-0.5 * r2)
+        elif kind == "exponential":
+            r = jnp.sqrt(r2 + 1e-36)
+            kmat = variance * jnp.exp(-r)
         elif kind == "matern52":
             r = jnp.sqrt(r2 + 1e-36)
             s5r = jnp.sqrt(jnp.asarray(5.0, acc)) * r
@@ -433,17 +436,23 @@ def _fused_intervals_multi_impl(zt, ils, xs, lm, w, scal, *, kind: str,
     )(zt, ils, xs, lm, w, scal)
 
 
-def supports_batched(kernels, states) -> bool:
+def supports_batched(kernels, states, d=None) -> bool:
     """One fused call for all GPs: same kernel family and capacity.
 
-    The batched kernels are specialized to plain full-dim stationary
-    kernels; products (contexts) run one fused pass per GP instead.
+    The batched kernels are specialized to plain stationary kernels
+    reading EVERY grid column (pass the grid width ``d``: a kernel
+    whose ``input_dim`` is smaller would silently accumulate distances
+    over columns it does not own in the batched gram); products
+    (contexts) and active_dims subsets run one fused pass per GP
+    instead.
     """
     if len(kernels) < 2:
         return False
     if not all(isinstance(k, _STATIONARY)
                and k.active_dims == tuple(range(k.input_dim))
                for k in kernels):
+        return False
+    if d is not None and any(k.input_dim != d for k in kernels):
         return False
     if len({type(k) for k in kernels}) != 1:
         return False

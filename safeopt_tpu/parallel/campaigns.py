@@ -44,8 +44,8 @@ def stack_campaign_states(per_campaign: Sequence[Tuple]):
 
 def shard_campaigns(tree, mesh, axis: str = "data"):
     """Place a batched campaign pytree with the leading axis on
-    ``mesh[axis]``; the campaign count must divide the axis size times
-    any integer (XLA requires divisibility of the sharded dim)."""
+    ``mesh[axis]``; the axis size must divide the campaign count (XLA
+    requires the sharded dim to split evenly across the axis)."""
     def place(leaf):
         leaf = jnp.asarray(leaf)
         spec = P(*([axis] + [None] * (leaf.ndim - 1)))

@@ -54,10 +54,10 @@ def test_constructor_signatures_cover_reference_kwargs():
 
 def test_gp_surface_methods():
     """The consumed GPy API surface, enumerated in SURVEY.md 2.8."""
-    for attr in ("X", "Y", "set_XY", "predict_noiseless", "_raw_predict",
-                 "input_dim", "kern"):
-        assert hasattr(safeopt_tpu.GPRegression, attr) or attr in (
-            "X", "Y", "kern", "input_dim"), f"GPRegression missing {attr}"
+    for attr in ("set_XY", "predict_noiseless", "_raw_predict",
+                 "optimize"):
+        assert hasattr(safeopt_tpu.GPRegression, attr), \
+            f"GPRegression missing {attr}"
 
     import numpy as np
     gp = safeopt_tpu.GPRegression(np.zeros((1, 2)), np.zeros((1, 1)),

@@ -281,3 +281,65 @@ def test_fused_intervals_large_capacity_triangular_path():
                     rtol=1e-8, atol=1e-9)
     assert_allclose(np.asarray(u), np.asarray(mu) + beta * sd,
                     rtol=1e-8, atol=1e-9)
+
+
+def test_batched_exponential_matches_single():
+    """Regression (round-2 review): the batched multi-GP kernels must
+    implement the Exponential gram, not fall through to Matern-3/2."""
+    import jax.numpy as jnp
+
+    from safeopt_tpu.gp import Exponential
+    from safeopt_tpu.ops.fused_posterior import (fused_intervals,
+                                                 fused_intervals_batched,
+                                                 supports_batched)
+
+    k1 = Exponential(2, variance=2.0, lengthscale=0.8)
+    k2 = Exponential(2, variance=1.0, lengthscale=1.4)
+    X = RNG.uniform(-2, 2, size=(9, 2))
+    gp1 = GPRegression(X, RNG.normal(size=(9, 1)), k1, noise_var=0.01)
+    gp2 = GPRegression(X, RNG.normal(size=(9, 1)), k2, noise_var=0.02)
+    assert supports_batched((k1, k2), (gp1.state, gp2.state), 2)
+
+    grid = jnp.asarray(RNG.uniform(-3, 3, size=(300, 2)), float)
+    batched = fused_intervals_batched((k1, k2), (gp1.state, gp2.state),
+                                      grid, 2.0, block=128)
+    for g, (kern, gp) in enumerate(((k1, gp1), (k2, gp2))):
+        l_ref, u_ref = fused_intervals(kern, gp.state, grid, 2.0,
+                                       block=128)
+        assert_allclose(np.asarray(batched[g][0]), np.asarray(l_ref),
+                        rtol=1e-10, atol=1e-12)
+        assert_allclose(np.asarray(batched[g][1]), np.asarray(u_ref),
+                        rtol=1e-10, atol=1e-12)
+
+
+def test_batched_rejects_narrow_kernels():
+    """Regression (round-2 review): a kernel reading fewer columns than
+    the grid must not take the batched path (its gram would accumulate
+    distances over columns it does not own) — and the full step must
+    still be decision-identical between Pallas and XLA."""
+    import jax.numpy as jnp
+
+    from safeopt_tpu.algorithms.safe_opt_core import safeopt_step
+    from safeopt_tpu.ops.fused_posterior import supports_batched
+
+    k1 = RBF(1, variance=2.0)          # reads column 0 of a 2-col grid
+    k2 = RBF(1, variance=1.5)
+    X = np.hstack([np.linspace(-0.5, 0.5, 4)[:, None], np.zeros((4, 1))])
+    gp1 = GPRegression(X, np.array([[1.2], [1.4], [1.1], [0.9]]), k1,
+                       noise_var=0.01)
+    gp2 = GPRegression(X, np.array([[0.9], [1.0], [0.8], [0.7]]), k2,
+                       noise_var=0.01)
+    assert not supports_batched((k1, k2), (gp1.state, gp2.state), 2)
+
+    xs = np.linspace(-3, 3, 256)[:, None]
+    grid = np.hstack([xs, np.zeros_like(xs)])
+    args = ((k1, k2), (gp1.state, gp2.state), jnp.asarray(grid),
+            jnp.asarray([0.0, 0.0]), jnp.asarray(2.0),
+            jnp.asarray([np.sqrt(2.0), np.sqrt(1.5)]),
+            jnp.asarray([0.0, 0.0]))
+    r1 = safeopt_step(*args, chunk=16, use_pallas=False)
+    r2 = safeopt_step(*args, chunk=16, use_pallas=True)
+    assert_allclose(np.asarray(r2.Q), np.asarray(r1.Q), rtol=1e-9,
+                    atol=1e-10)
+    np.testing.assert_array_equal(np.asarray(r2.S), np.asarray(r1.S))
+    assert int(r2.next_idx) == int(r1.next_idx)
