@@ -196,3 +196,67 @@ class TestHeterogeneousFleet:
                                           np.asarray(solo.next_idx))
             np.testing.assert_allclose(np.asarray(fleet.ys[k]),
                                        np.asarray(solo.ys), rtol=1e-10)
+
+
+class TestHeterogeneousSwarmFleet:
+    def test_swarm_per_campaign_objective_args(self, mesh):
+        """Heterogeneous swarm fleet: per-campaign objective shifts,
+        sharded == solo trajectories."""
+        from safeopt_tpu.algorithms.swarm_opt_fused import SwarmIterState
+
+        d = 2
+        cap = 64
+        Ks = 4
+        centers = jnp.asarray(np.linspace(-0.5, 0.5, Ks)[:, None]
+                              * np.ones((1, d)))
+
+        def objective(x, c):
+            return 2.0 * jnp.exp(-0.5 * jnp.sum((x - c) ** 2))
+
+        kern = RBF(d, variance=2.0, lengthscale=1.2)
+        per_campaign, iter_states, greedy0s = [], [], []
+        for k in range(Ks):
+            x0 = np.asarray(centers[k])[None, :] * 0.5
+            y0 = float(objective(jnp.asarray(x0[0]), centers[k]))
+            gp = GPRegression(x0, np.array([[y0]]), kern, noise_var=1e-4,
+                              capacity=16)
+            per_campaign.append((gp.state,))
+            S_buf = np.zeros((cap, d))
+            S_buf[0] = x0[0]
+            dtype = gp.state.X.dtype
+            iter_states.append(SwarmIterState(
+                S=jnp.asarray(S_buf, dtype),
+                count=jnp.asarray(1, jnp.int32),
+                greedy=jnp.asarray(x0[0], dtype)))
+            greedy0s.append(x0[0])
+
+        dtype = per_campaign[0][0].X.dtype
+        vel = jnp.asarray([0.3, 0.3], dtype)
+        bounds = jnp.asarray([[-3.0, 3.0], [-3.0, 3.0]], dtype)
+        betas = np.full(3, 2.0)
+        keys = jax.random.split(jax.random.key(6), Ks)
+        common = dict(objectives=(objective,), n_iter=3, swarm_size=8,
+                      max_iters=8)
+
+        fleet = run_swarmopt_campaigns(
+            (kern,), stack_campaign_states(per_campaign),
+            stack_campaign_states(iter_states), keys, vel, bounds,
+            jnp.asarray([0.0], dtype), jnp.asarray([np.sqrt(2.0)], dtype),
+            jnp.asarray([0.0], dtype), betas,
+            jnp.asarray(np.stack(greedy0s), dtype),
+            jnp.full((Ks,), -jnp.inf, dtype),
+            objective_args_batch=centers, **common)
+        assert bool((np.asarray(fleet.num_safe_min) > 0).all())
+        assert not np.allclose(np.asarray(fleet.xs[0]),
+                               np.asarray(fleet.xs[-1]))
+
+        solo = run_swarmopt_loop(
+            (kern,), per_campaign[0], iter_states[0], keys[0], vel,
+            bounds, jnp.asarray([0.0], dtype),
+            jnp.asarray([np.sqrt(2.0)], dtype), jnp.asarray([0.0], dtype),
+            betas, jnp.asarray(greedy0s[0], dtype),
+            jnp.asarray(-jnp.inf, dtype), objective_args=centers[0],
+            **common)
+        np.testing.assert_allclose(np.asarray(fleet.xs[0]),
+                                   np.asarray(solo.xs), rtol=1e-9,
+                                   atol=1e-9)

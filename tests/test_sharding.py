@@ -151,3 +151,42 @@ def test_sharded_full_expander_sets_matches(problem):
     assert not np.asarray(res.S)[n:].any()
     assert not np.asarray(res.G)[n:].any()
     assert np.asarray(ref.G).sum() >= 1   # full sets: every qualifying point
+
+
+def test_sharded_step_with_context_kernel():
+    """Round-2 kernel algebra through the sharded step: the contextual
+    product kernel partitioned over the mesh equals the single-device
+    run exactly."""
+    kern = (RBF(1, variance=2.0, lengthscale=0.8, active_dims=[0])
+            * Matern32(1, variance=1.0, lengthscale=1.3, active_dims=[1]))
+    X = np.hstack([RNG.uniform(-1.0, 1.0, size=(5, 1)), np.zeros((5, 1))])
+    Y = (1.5 - 0.3 * X[:, :1] ** 2)
+    gp = GPRegression(X, Y, kern, noise_var=0.01, capacity=16)
+
+    xs = np.linspace(-3.0, 3.0, 333)[:, None]     # odd: padding live
+    grid = np.hstack([xs, np.zeros_like(xs)])
+    dtype = gp.state.X.dtype
+    args = dict(
+        kernels=(kern,), states=(gp.state,), grid=grid,
+        fmin=jnp.asarray([0.5], dtype), beta=jnp.asarray(2.0, dtype),
+        scaling=jnp.asarray([np.sqrt(2.0)], dtype),
+        threshold=jnp.asarray([0.0], dtype))
+
+    ref = _run(args, jnp.asarray(grid), args["states"])
+
+    mesh = make_mesh(n_devices=8, model_parallel=1)
+    grid_sharded, pad = shard_grid(grid, mesh)
+    assert pad > 0
+    num_valid = jnp.asarray(grid.shape[0], jnp.int32)
+    states = (shard_state(gp.state, mesh),)
+    kernels = replicate((kern,), mesh)
+    res = safeopt_step(kernels, states, grid_sharded, args["fmin"],
+                       args["beta"], args["scaling"], args["threshold"],
+                       num_valid=num_valid, chunk=16)
+
+    n = grid.shape[0]
+    assert_allclose(np.asarray(res.Q)[:n], np.asarray(ref.Q), rtol=1e-12,
+                    atol=1e-13)
+    np.testing.assert_array_equal(np.asarray(res.S)[:n], np.asarray(ref.S))
+    np.testing.assert_array_equal(np.asarray(res.G)[:n], np.asarray(ref.G))
+    assert int(res.next_idx) == int(ref.next_idx)
