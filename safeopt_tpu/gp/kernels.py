@@ -260,14 +260,8 @@ class White(_Stationary):
         raise NotImplementedError("White overrides K directly")
 
 
-@jax.tree_util.register_pytree_node_class
-class Product(Kernel):
-    """Product composition ``k1 * k2``.
-
-    The reference uses this for contextual optimization:
-    ``RBF(active_dims=[0]) * RBF(active_dims=[1])``
-    (context_example notebook; see SURVEY.md section 2.9).
-    """
+class _Composite(Kernel):
+    """Shared machinery for two-part compositions (Product / Sum)."""
 
     def __init__(self, k1: Kernel, k2: Kernel):
         self.k1 = k1
@@ -284,49 +278,6 @@ class Product(Kernel):
 
     @property
     def active_dims(self) -> Tuple[int, ...]:
-        return tuple(sorted(set(self.k1.active_dims) | set(self.k2.active_dims)))
-
-    def tree_flatten(self):
-        return (self.k1, self.k2), None
-
-    @classmethod
-    def tree_unflatten(cls, aux, children):
-        obj = object.__new__(cls)
-        obj.k1, obj.k2 = children
-        return obj
-
-    def K(self, X, X2=None) -> jnp.ndarray:
-        return self.k1.K(X, X2) * self.k2.K(X, X2)
-
-    def Kdiag(self, X) -> jnp.ndarray:
-        return self.k1.Kdiag(X) * self.k2.Kdiag(X)
-
-    def __repr__(self):
-        return f"Product({self.k1!r}, {self.k2!r})"
-
-
-@jax.tree_util.register_pytree_node_class
-class Sum(Kernel):
-    """Sum composition ``k1 + k2`` (GPy ``kern + kern``).
-
-    Beyond the reference's consumed surface; the standard GPy idiom for
-    offset (+ Bias), jitter (+ White) and multi-scale (+ RBF) models.
-    """
-
-    def __init__(self, k1: Kernel, k2: Kernel):
-        self.k1 = k1
-        self.k2 = k2
-
-    @property
-    def parts(self) -> Sequence[Kernel]:
-        return (self.k1, self.k2)
-
-    @property
-    def input_dim(self) -> int:
-        return max(max(self.k1.active_dims), max(self.k2.active_dims)) + 1
-
-    @property
-    def active_dims(self) -> Tuple[int, ...]:
         return tuple(sorted(set(self.k1.active_dims)
                             | set(self.k2.active_dims)))
 
@@ -339,11 +290,36 @@ class Sum(Kernel):
         obj.k1, obj.k2 = children
         return obj
 
+    def __repr__(self):
+        return f"{type(self).__name__}({self.k1!r}, {self.k2!r})"
+
+
+@jax.tree_util.register_pytree_node_class
+class Product(_Composite):
+    """Product composition ``k1 * k2``.
+
+    The reference uses this for contextual optimization:
+    ``RBF(active_dims=[0]) * RBF(active_dims=[1])``
+    (context_example notebook; see SURVEY.md section 2.9).
+    """
+
+    def K(self, X, X2=None) -> jnp.ndarray:
+        return self.k1.K(X, X2) * self.k2.K(X, X2)
+
+    def Kdiag(self, X) -> jnp.ndarray:
+        return self.k1.Kdiag(X) * self.k2.Kdiag(X)
+
+
+@jax.tree_util.register_pytree_node_class
+class Sum(_Composite):
+    """Sum composition ``k1 + k2`` (GPy ``kern + kern``).
+
+    Beyond the reference's consumed surface; the standard GPy idiom for
+    offset (+ Bias), jitter (+ White) and multi-scale (+ RBF) models.
+    """
+
     def K(self, X, X2=None) -> jnp.ndarray:
         return self.k1.K(X, X2) + self.k2.K(X, X2)
 
     def Kdiag(self, X) -> jnp.ndarray:
         return self.k1.Kdiag(X) + self.k2.Kdiag(X)
-
-    def __repr__(self):
-        return f"Sum({self.k1!r}, {self.k2!r})"

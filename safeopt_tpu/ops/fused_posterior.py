@@ -331,11 +331,14 @@ def fused_intervals(kernel, state, grid: jnp.ndarray, beta,
     mask = (jnp.arange(cap) < state.count).astype(dtype)
     lm = state.Linv * mask[None, :]
     w_row = state.w[None, :]
+    # scal rows 0 and 3 are padding (the gram variance moved to pvar);
+    # the kernel reads kdiag at [0,1] and beta at [0,2].
+    zero = jnp.zeros((), dtype)
     scal = jnp.stack([
-        kdiag,
+        zero,
         kdiag,
         jnp.asarray(beta, dtype),
-        jnp.zeros((), dtype),
+        zero,
     ])[None, :]
 
     pad = (-n) % block
