@@ -49,7 +49,8 @@ def run_safeopt_loop(kernels, states, grid, fmin, beta, scaling, threshold,
                      lipschitz=None, noise_std=0.0, ucb: bool = False,
                      use_lipschitz: bool = False, chunk: int = 64,
                      use_pallas: bool = False,
-                     objective_args=None) -> BOLoopResult:
+                     objective_args=None, contexts=None,
+                     betas=None) -> BOLoopResult:
     """Run ``n_iter`` complete SafeOpt iterations on device.
 
     Parameters
@@ -67,6 +68,16 @@ def run_safeopt_loop(kernels, states, grid, fmin, beta, scaling, threshold,
         a vmapped batch of campaigns can carry *different* parameters
         per campaign — heterogeneous tuning fleets
         (parallel/campaigns.py).
+    contexts : (n_iter, num_contexts) array, optional
+        Contextual optimization inside the compiled loop: iteration t
+        overwrites the grid's trailing context columns with
+        ``contexts[t]`` before the fused step (the reference's
+        per-round context setter, gp_opt.py:439-451,464). Objectives
+        receive the full input including the context columns, exactly
+        like the reference's driver loop.
+    betas : (n_iter,) array, optional
+        Per-iteration confidence scale (the reference's callable
+        ``beta(t)``, precomputed by the host); overrides ``beta``.
 
     Every iteration performs the fused SafeOpt step (posterior +
     classification + expander search + selection), evaluates the
@@ -84,14 +95,19 @@ def run_safeopt_loop(kernels, states, grid, fmin, beta, scaling, threshold,
     num_gps = len(kernels)
     d = grid.shape[1]
     dtype = grid.dtype
+    nc = 0 if contexts is None else contexts.shape[1]
 
-    def body(carry, it_key):
+    def body(carry, inp):
         states = carry
-        result = safeopt_step(kernels, states, grid, fmin, beta, scaling,
-                              threshold, lipschitz, ucb=ucb,
+        it_key, ctx_t, beta_t = inp
+        grid_t = (grid if nc == 0
+                  else grid.at[:, d - nc:].set(
+                      jnp.broadcast_to(ctx_t, (grid.shape[0], nc))))
+        result = safeopt_step(kernels, states, grid_t, fmin, beta_t,
+                              scaling, threshold, lipschitz, ucb=ucb,
                               use_lipschitz=use_lipschitz, chunk=chunk,
                               use_pallas=use_pallas)
-        x = jnp.take(grid, result.next_idx, axis=0)          # (d,)
+        x = jnp.take(grid_t, result.next_idx, axis=0)        # (d,)
         noise = noise_std * jax.random.normal(it_key, (num_gps,),
                                               dtype=dtype)
         ys = jnp.stack([obj(x) if objective_args is None
@@ -104,8 +120,12 @@ def run_safeopt_loop(kernels, states, grid, fmin, beta, scaling, threshold,
         return states, out
 
     keys = jax.random.split(key, n_iter)
+    ctx_stream = (jnp.zeros((n_iter, 0), dtype) if contexts is None
+                  else jnp.asarray(contexts, dtype))
+    beta_stream = (jnp.broadcast_to(jnp.asarray(beta, dtype), (n_iter,))
+                   if betas is None else jnp.asarray(betas, dtype))
     states, (xs, ys, idxs, safe_counts, has_safe) = jax.lax.scan(
-        body, tuple(states), keys)
+        body, tuple(states), (keys, ctx_stream, beta_stream))
     return BOLoopResult(states=states, xs=xs, ys=ys, next_idx=idxs,
                         safe_counts=safe_counts, has_safe=has_safe)
 

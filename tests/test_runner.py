@@ -141,3 +141,61 @@ class TestSwarmLoop:
         assert (np.asarray(res.num_safe_min) > 0).all()
         assert int(np.asarray(res.safe_counts)[-1]) >= 1
         assert np.isfinite(np.asarray(res.best_lower_bounds)).all()
+
+
+def test_on_device_contextual_loop_matches_host_loop():
+    """Contexts + a beta schedule inside the compiled loop (round 2):
+    the on-device campaign reproduces the host-driven SafeOpt loop with
+    the same context switches and beta(t) exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from safeopt_tpu import SafeOpt, linearly_spaced_combinations
+    from safeopt_tpu.algorithms.runner import run_safeopt_loop
+    from safeopt_tpu.gp import GPRegression, RBF
+
+    kern = (RBF(1, variance=2.0, lengthscale=0.8, active_dims=[0])
+            * RBF(1, variance=1.0, lengthscale=1.2, active_dims=[1]))
+
+    def f(x):
+        # objective over (param, context) — full input, like the
+        # reference's driver loop
+        return 2.0 * jnp.exp(-0.5 * (x[0] ** 2)) * (1.0 + 0.3 * x[1])
+
+    x0 = np.array([[0.0, 0.0]])
+    y0 = float(f(jnp.asarray(x0[0])))
+    n_iter = 6
+    contexts = np.array([[0.0], [0.0], [0.1], [0.1], [0.2], [0.2]])
+    betas = 2.0 + 0.1 * np.arange(n_iter)
+
+    param_grid = linearly_spaced_combinations([(-2.0, 2.0)], 41)
+
+    # host loop: the reference-shaped driver with per-round context
+    gp_h = GPRegression(x0, np.array([[y0]]), kern.copy(), noise_var=1e-4,
+                        capacity=16)
+    opt = SafeOpt(gp_h, np.asarray(param_grid), fmin=[0.5],
+                  beta=lambda t: 2.0 + 0.1 * (t - 1), num_contexts=1)
+    host_xs = []
+    for t in range(n_iter):
+        x = np.asarray(opt.optimize(context=contexts[t]))
+        full = np.concatenate([x, contexts[t]])
+        y = float(f(jnp.asarray(full)))
+        host_xs.append(full)
+        opt.add_new_data_point(x, np.array([[y]]), context=contexts[t])
+
+    # on-device loop: context columns switched inside the scan
+    gp_d = GPRegression(x0, np.array([[y0]]), kern.copy(), noise_var=1e-4,
+                        capacity=16)
+    grid = np.hstack([param_grid, np.zeros((param_grid.shape[0], 1))])
+    dtype = gp_d.state.X.dtype
+    res = run_safeopt_loop(
+        (gp_d.kern,), (gp_d.state,), jnp.asarray(grid, dtype),
+        jnp.asarray([0.5], dtype), jnp.asarray(2.0, dtype),
+        jnp.asarray([np.sqrt(2.0)], dtype), jnp.asarray([0.0], dtype),
+        jax.random.key(0), objectives=(f,), n_iter=n_iter, chunk=16,
+        contexts=jnp.asarray(contexts, dtype),
+        betas=jnp.asarray(betas, dtype))
+
+    assert bool(np.asarray(res.has_safe).all())
+    np.testing.assert_allclose(np.asarray(res.xs), np.stack(host_xs),
+                               atol=1e-9)
