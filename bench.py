@@ -234,10 +234,19 @@ def _certified_secondary(gp_f, gp_g, grid):
         opt.optimize()
     cert_ms = (time.perf_counter() - t0) / reps * 1e3
     plain.optimize()
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        plain.optimize()
+    plain_ms = (time.perf_counter() - t0) / reps * 1e3
     S_cert = opt.S
     S_plain = plain.S
     return {
         "certified_step_ms": round(cert_ms, 3),
+        # certification cost = extra dispatch + candidate pull + host
+        # f64 oracle, on top of the plain full optimize() (which itself
+        # carries the host-mirror pulls the raw safeopt_step lacks)
+        "certified_overhead_ms": round(cert_ms - plain_ms, 3),
+        "plain_optimize_ms": round(plain_ms, 3),
         "certified_flips": int(np.count_nonzero(S_cert != S_plain)),
     }
 
