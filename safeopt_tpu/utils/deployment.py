@@ -1,0 +1,145 @@
+"""AOT export of the fused SafeOpt step for production serving.
+
+``jax.export`` serializes the traced step to a versioned StableHLO
+artifact with shape/dtype calling conventions baked in. A serving
+process deserializes the blob and calls it — no Python tracing, no
+safeopt_tpu import, no retracing drift between the tuned and the
+deployed program; the artifact is also the unit you version, review
+and roll back. Kernel hyperparameters, GP factor state, the grid and
+all scalars remain *runtime arguments*, so a server can hot-swap
+observations and hyperparameters without re-exporting.
+
+The reference has no deployment story (a GPy object pickle at best);
+this is the TPU-native equivalent of shipping a compiled model.
+
+Shapes are fixed at export (XLA compilation model): one artifact per
+(capacity, grid size, num GPs, chunk) configuration. The padded-state
+design means capacity growth is the only reason to re-export during a
+campaign.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+
+__all__ = ["export_step", "load_step"]
+
+
+def _register_serializations() -> None:
+    """Register the framework's pytree types with jax.export.
+
+    The exported calling convention embeds the argument/result pytree
+    structure; custom nodes (kernel classes) and NamedTuples (GPState,
+    StepResult) need byte-serializable aux data. Idempotent.
+    """
+    import json
+
+    from jax import export as jexport
+
+    from ..algorithms.safe_opt_core import StepResult
+    from ..gp import kernels as K
+    from ..gp.regression import GPState
+
+    def _stationary(cls):
+        def ser(aux):
+            input_dim, ard, active_dims, name = aux
+            return json.dumps([input_dim, ard, list(active_dims),
+                               name]).encode()
+
+        def de(blob):
+            input_dim, ard, active_dims, name = json.loads(blob.decode())
+            return (input_dim, ard, tuple(active_dims), name)
+
+        jexport.register_pytree_node_serialization(
+            cls, serialized_name=f"safeopt_tpu.{cls.__name__}",
+            serialize_auxdata=ser, deserialize_auxdata=de)
+
+    def _composite(cls):
+        jexport.register_pytree_node_serialization(
+            cls, serialized_name=f"safeopt_tpu.{cls.__name__}",
+            serialize_auxdata=lambda aux: b"",
+            deserialize_auxdata=lambda blob: None)
+
+    try:
+        for cls in (K.RBF, K.Matern32, K.Matern52, K.Exponential, K.Bias,
+                    K.White):
+            _stationary(cls)
+        for cls in (K.Product, K.Sum):
+            _composite(cls)
+        for nt in (GPState, StepResult):
+            jexport.register_namedtuple_serialization(
+                nt, serialized_name=f"safeopt_tpu.{nt.__name__}")
+    except ValueError:
+        pass  # already registered (second import path)
+
+
+def export_step(kernels, states, grid, fmin, beta, scaling, threshold,
+                *, chunk: int = 64, use_pallas: bool = False,
+                ucb: bool = False, path: Optional[str] = None,
+                platforms: Optional[Sequence[str]] = None) -> bytes:
+    """Serialize one fused SafeOpt iteration for the given shapes.
+
+    The example arguments fix shapes/dtypes only; their values are NOT
+    baked in — the exported function takes ``(kernels, states, grid,
+    fmin, beta, scaling, threshold)`` at call time (kernel
+    hyperparameter leaves included, since kernels are pytrees).
+
+    ``platforms`` lowers for specific targets (e.g. ``['tpu']`` to
+    cross-compile a TPU artifact from a CPU host); default is the
+    current backend. ``use_pallas=True`` embeds Mosaic custom calls —
+    TPU-only artifacts. Returns the serialized bytes; also written to
+    ``path`` when given.
+    """
+    from jax import export as jexport
+
+    from ..algorithms.safe_opt_core import safeopt_step
+    from ..config import with_matmul_precision
+
+    _register_serializations()
+
+    @jax.jit
+    @with_matmul_precision
+    def step(kernels, states, grid, fmin, beta, scaling, threshold):
+        return safeopt_step(kernels, states, grid, fmin, beta, scaling,
+                            threshold, ucb=ucb, chunk=chunk,
+                            use_pallas=use_pallas)
+
+    kwargs = {}
+    if platforms is not None:
+        kwargs["platforms"] = tuple(platforms)
+    exported = jexport.export(step, **kwargs)(
+        kernels, states, grid, fmin, beta, scaling, threshold)
+    blob = exported.serialize()
+    if path is not None:
+        with open(path, "wb") as fh:
+            fh.write(blob)
+    return blob
+
+
+def load_step(blob_or_path):
+    """Deserialize an exported step into a callable.
+
+    Accepts the bytes from ``export_step`` or a file path. The returned
+    callable has the exported signature ``(kernels, states, grid, fmin,
+    beta, scaling, threshold) -> StepResult`` and runs under ``jit``
+    (compiled once per process, from the stored StableHLO — no Python
+    tracing of safeopt_tpu code).
+    """
+    from jax import export as jexport
+
+    _register_serializations()
+    if isinstance(blob_or_path, (str, bytes)) and not isinstance(
+            blob_or_path, bytes):
+        with open(blob_or_path, "rb") as fh:
+            blob = fh.read()
+    else:
+        blob = blob_or_path
+    exported = jexport.deserialize(blob)
+
+    def call(kernels, states, grid, fmin, beta, scaling, threshold):
+        return exported.call(kernels, states, grid, fmin, beta, scaling,
+                             threshold)
+
+    return jax.jit(call)

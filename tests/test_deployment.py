@@ -1,0 +1,63 @@
+"""AOT export / serving artifacts (utils/deployment.py)."""
+
+import jax.numpy as jnp
+import numpy as np
+from numpy.testing import assert_allclose
+
+from safeopt_tpu import linearly_spaced_combinations
+from safeopt_tpu.algorithms.safe_opt_core import safeopt_step
+from safeopt_tpu.gp import GPRegression, RBF
+from safeopt_tpu.utils.deployment import export_step, load_step
+
+RNG = np.random.default_rng(8)
+
+
+def _problem():
+    X = RNG.uniform(-1, 1, size=(6, 2))
+    Y = (2.0 * np.exp(-0.5 * np.sum(X ** 2, axis=1)))[:, None]
+    gp = GPRegression(X, Y, RBF(2, variance=2.0), noise_var=0.01,
+                      capacity=16)
+    grid = jnp.asarray(np.asarray(linearly_spaced_combinations(
+        [(-3.0, 3.0), (-3.0, 3.0)], 17)))
+    dtype = gp.state.X.dtype
+    args = ((gp.kern,), (gp.state,), grid, jnp.asarray([0.2], dtype),
+            jnp.asarray(2.0, dtype), jnp.asarray([np.sqrt(2.0)], dtype),
+            jnp.asarray([0.0], dtype))
+    return gp, args
+
+
+def test_export_roundtrip_matches_direct_step(tmp_path):
+    gp, args = _problem()
+    path = str(tmp_path / "step.stablehlo")
+    blob = export_step(*args, chunk=16, path=path)
+    assert len(blob) > 1000
+    assert open(path, "rb").read() == blob
+
+    served = load_step(path)
+    out = served(*args)
+    ref = safeopt_step(*args, chunk=16)
+    np.testing.assert_array_equal(np.asarray(out.S), np.asarray(ref.S))
+    np.testing.assert_array_equal(np.asarray(out.M), np.asarray(ref.M))
+    np.testing.assert_array_equal(np.asarray(out.G), np.asarray(ref.G))
+    assert int(out.next_idx) == int(ref.next_idx)
+    assert_allclose(np.asarray(out.Q), np.asarray(ref.Q), rtol=1e-12,
+                    atol=1e-13)
+
+
+def test_exported_step_accepts_runtime_updates(tmp_path):
+    """Hyperparameters, observations and scalars are runtime args: the
+    same artifact serves an updated model without re-export."""
+    gp, args = _problem()
+    served = load_step(export_step(*args, chunk=16))
+
+    # new observation (same capacity -> same shapes)
+    gp.append_data(np.array([0.3, -0.2]), 1.4)
+    kern2 = RBF(2, variance=1.5, lengthscale=1.3)   # swapped hyperparams
+    new_args = ((kern2,), (gp.state,), args[2], args[3],
+                jnp.asarray(3.0, args[4].dtype), args[5], args[6])
+    out = served(*new_args)
+    ref = safeopt_step(*new_args, chunk=16)
+    np.testing.assert_array_equal(np.asarray(out.S), np.asarray(ref.S))
+    assert int(out.next_idx) == int(ref.next_idx)
+    assert_allclose(np.asarray(out.Q), np.asarray(ref.Q), rtol=1e-12,
+                    atol=1e-13)
