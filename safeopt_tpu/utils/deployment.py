@@ -24,7 +24,7 @@ from typing import Optional, Sequence
 
 import jax
 
-__all__ = ["export_step", "load_step"]
+__all__ = ["export_step", "load_step", "export_campaign"]
 
 
 def _register_serializations() -> None:
@@ -68,7 +68,8 @@ def _register_serializations() -> None:
             _stationary(cls)
         for cls in (K.Product, K.Sum):
             _composite(cls)
-        for nt in (GPState, StepResult):
+        from ..algorithms.runner import BOLoopResult
+        for nt in (GPState, StepResult, BOLoopResult):
             jexport.register_namedtuple_serialization(
                 nt, serialized_name=f"safeopt_tpu.{nt.__name__}")
     except ValueError:
@@ -119,13 +120,12 @@ def export_step(kernels, states, grid, fmin, beta, scaling, threshold,
 
 
 def load_step(blob_or_path):
-    """Deserialize an exported step into a callable.
+    """Deserialize an exported step or campaign into a callable.
 
-    Accepts the bytes from ``export_step`` or a file path. The returned
-    callable has the exported signature ``(kernels, states, grid, fmin,
-    beta, scaling, threshold) -> StepResult`` and runs under ``jit``
-    (compiled once per process, from the stored StableHLO — no Python
-    tracing of safeopt_tpu code).
+    Accepts the bytes from ``export_step`` / ``export_campaign`` or a
+    file path. The returned callable has the artifact's exported
+    signature and runs under ``jit`` (compiled once per process, from
+    the stored StableHLO — no Python tracing of safeopt_tpu code).
     """
     from jax import export as jexport
 
@@ -137,9 +137,47 @@ def load_step(blob_or_path):
     else:
         blob = blob_or_path
     exported = jexport.deserialize(blob)
+    return jax.jit(lambda *args: exported.call(*args))
 
-    def call(kernels, states, grid, fmin, beta, scaling, threshold):
-        return exported.call(kernels, states, grid, fmin, beta, scaling,
-                             threshold)
 
-    return jax.jit(call)
+def export_campaign(kernels, states, grid, fmin, beta, scaling, threshold,
+                    key, *, objectives, n_iter: int,
+                    path: Optional[str] = None,
+                    platforms: Optional[Sequence[str]] = None,
+                    **loop_kwargs) -> bytes:
+    """Serialize an ENTIRE on-device campaign as one artifact.
+
+    Wraps ``algorithms.runner.run_safeopt_loop``: the fused iteration,
+    the (traced, baked-in) objective simulators, and the exact model
+    update, ``n_iter`` times under ``lax.scan`` — a complete tuning
+    job as a single versioned blob. GP states, the grid, scalars and
+    the PRNG key stay runtime arguments, so the same artifact re-runs
+    campaigns from different seeds/starting models. Load with
+    ``load_step``; the returned callable has the exported signature
+    ``(kernels, states, grid, fmin, beta, scaling, threshold, key) ->
+    BOLoopResult``.
+    """
+    from jax import export as jexport
+
+    from ..algorithms.runner import run_safeopt_loop
+
+    _register_serializations()
+
+    @jax.jit
+    def campaign(kernels, states, grid, fmin, beta, scaling, threshold,
+                 key):
+        return run_safeopt_loop(kernels, states, grid, fmin, beta,
+                                scaling, threshold, key,
+                                objectives=objectives, n_iter=n_iter,
+                                **loop_kwargs)
+
+    kwargs = {}
+    if platforms is not None:
+        kwargs["platforms"] = tuple(platforms)
+    exported = jexport.export(campaign, **kwargs)(
+        kernels, states, grid, fmin, beta, scaling, threshold, key)
+    blob = exported.serialize()
+    if path is not None:
+        with open(path, "wb") as fh:
+            fh.write(blob)
+    return blob

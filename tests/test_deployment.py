@@ -61,3 +61,33 @@ def test_exported_step_accepts_runtime_updates(tmp_path):
     assert int(out.next_idx) == int(ref.next_idx)
     assert_allclose(np.asarray(out.Q), np.asarray(ref.Q), rtol=1e-12,
                     atol=1e-13)
+
+
+def test_export_whole_campaign(tmp_path):
+    """A complete on-device tuning job as one artifact: the served
+    campaign reproduces the direct run from any runtime seed."""
+    import jax
+
+    from safeopt_tpu.algorithms.runner import run_safeopt_loop
+    from safeopt_tpu.utils.deployment import export_campaign
+
+    gp, args = _problem()
+
+    def objective(x):
+        return 2.0 * jnp.exp(-0.5 * jnp.sum(x * x))
+
+    key = jax.random.key(0)
+    blob = export_campaign(*args, key, objectives=(objective,), n_iter=3,
+                           chunk=16)
+    served = load_step(blob)
+
+    for seed in (0, 5):
+        k = jax.random.key(seed)
+        out = served(*args, k)
+        ref = run_safeopt_loop(*args, k, objectives=(objective,),
+                               n_iter=3, chunk=16)
+        np.testing.assert_array_equal(np.asarray(out.next_idx),
+                                      np.asarray(ref.next_idx))
+        assert_allclose(np.asarray(out.xs), np.asarray(ref.xs),
+                        atol=1e-12)
+        assert bool(np.asarray(out.has_safe).all())
