@@ -1,10 +1,4 @@
-import os
-import sys
-
-# allow running straight from a repo checkout
-sys.path.insert(0, os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))))
-
+import _bootstrap  # noqa: F401  (sys.path for checkout runs)
 import numpy as np, time, jax
 import jax.numpy as jnp
 from safeopt_tpu import linearly_spaced_combinations

@@ -62,18 +62,22 @@ def _register_serializations() -> None:
             serialize_auxdata=lambda aux: b"",
             deserialize_auxdata=lambda blob: None)
 
-    try:
-        for cls in (K.RBF, K.Matern32, K.Matern52, K.Exponential, K.Bias,
-                    K.White):
-            _stationary(cls)
-        for cls in (K.Product, K.Sum):
-            _composite(cls)
-        from ..algorithms.runner import BOLoopResult
-        for nt in (GPState, StepResult, BOLoopResult):
-            jexport.register_namedtuple_serialization(
-                nt, serialized_name=f"safeopt_tpu.{nt.__name__}")
-    except ValueError:
-        pass  # already registered (second import path)
+    from ..algorithms.runner import BOLoopResult
+
+    def _once(register, *args, **kw):
+        try:
+            register(*args, **kw)
+        except ValueError:
+            pass  # this one already registered; keep going
+
+    for cls in (K.RBF, K.Matern32, K.Matern52, K.Exponential, K.Bias,
+                K.White):
+        _once(_stationary, cls)
+    for cls in (K.Product, K.Sum):
+        _once(_composite, cls)
+    for nt in (GPState, StepResult, BOLoopResult):
+        _once(jexport.register_namedtuple_serialization, nt,
+              serialized_name=f"safeopt_tpu.{nt.__name__}")
 
 
 def export_step(kernels, states, grid, fmin, beta, scaling, threshold,
@@ -88,15 +92,28 @@ def export_step(kernels, states, grid, fmin, beta, scaling, threshold,
     hyperparameter leaves included, since kernels are pytrees).
 
     ``platforms`` lowers for specific targets (e.g. ``['tpu']`` to
-    cross-compile a TPU artifact from a CPU host); default is the
-    current backend. ``use_pallas=True`` embeds Mosaic custom calls —
-    TPU-only artifacts. Returns the serialized bytes; also written to
+    cross-compile an XLA-path TPU artifact from a CPU host); default is
+    the current backend. ``use_pallas=True`` embeds Mosaic custom calls
+    — TPU-only artifacts that must be exported ON a TPU host
+    (cross-compiling Pallas raises: interpret mode is chosen from the
+    tracing backend). Returns the serialized bytes; also written to
     ``path`` when given.
     """
     from jax import export as jexport
 
     from ..algorithms.safe_opt_core import safeopt_step
     from ..config import with_matmul_precision
+
+    if use_pallas and platforms is not None and \
+            jax.default_backend() not in platforms:
+        # The Pallas kernels pick interpret mode from the TRACING
+        # backend; cross-compiling would silently serialize the
+        # interpreted (plain XLA) lowering instead of Mosaic kernels.
+        raise ValueError(
+            "use_pallas=True artifacts must be exported on the target "
+            f"platform (backend {jax.default_backend()!r}, requested "
+            f"platforms {tuple(platforms)!r}); export on a TPU host or "
+            "drop use_pallas")
 
     _register_serializations()
 
@@ -129,9 +146,10 @@ def load_step(blob_or_path):
     """
     from jax import export as jexport
 
+    import os
+
     _register_serializations()
-    if isinstance(blob_or_path, (str, bytes)) and not isinstance(
-            blob_or_path, bytes):
+    if isinstance(blob_or_path, (str, os.PathLike)):
         with open(blob_or_path, "rb") as fh:
             blob = fh.read()
     else:

@@ -206,7 +206,7 @@ class TestHeterogeneousSwarmFleet:
 
         d = 2
         cap = 64
-        Ks = 4
+        Ks = 8        # == mesh axis size (must divide the campaign count)
         centers = jnp.asarray(np.linspace(-0.5, 0.5, Ks)[:, None]
                               * np.ones((1, d)))
 
@@ -245,7 +245,7 @@ class TestHeterogeneousSwarmFleet:
             jnp.asarray([0.0], dtype), betas,
             jnp.asarray(np.stack(greedy0s), dtype),
             jnp.full((Ks,), -jnp.inf, dtype),
-            objective_args_batch=centers, **common)
+            objective_args_batch=centers, mesh=mesh, **common)
         assert bool((np.asarray(fleet.num_safe_min) > 0).all())
         assert not np.allclose(np.asarray(fleet.xs[0]),
                                np.asarray(fleet.xs[-1]))

@@ -91,3 +91,12 @@ def test_export_whole_campaign(tmp_path):
         assert_allclose(np.asarray(out.xs), np.asarray(ref.xs),
                         atol=1e-12)
         assert bool(np.asarray(out.has_safe).all())
+
+
+def test_load_step_accepts_pathlib_path(tmp_path):
+    gp, args = _problem()
+    p = tmp_path / "step.bin"
+    export_step(*args, chunk=16, path=str(p))
+    served = load_step(p)          # os.PathLike, not str
+    out = served(*args)
+    assert int(out.next_idx) == int(safeopt_step(*args, chunk=16).next_idx)
