@@ -24,7 +24,8 @@ from typing import Optional, Sequence
 
 import jax
 
-__all__ = ["export_step", "load_step", "export_campaign"]
+__all__ = ["export_step", "load_step", "export_campaign",
+           "export_swarm_campaign"]
 
 
 def _register_serializations() -> None:
@@ -62,7 +63,8 @@ def _register_serializations() -> None:
             serialize_auxdata=lambda aux: b"",
             deserialize_auxdata=lambda blob: None)
 
-    from ..algorithms.runner import BOLoopResult
+    from ..algorithms.runner import BOLoopResult, SwarmLoopResult
+    from ..algorithms.swarm_opt_fused import SwarmIterState
 
     def _once(register, *args, **kw):
         try:
@@ -75,7 +77,8 @@ def _register_serializations() -> None:
         _once(_stationary, cls)
     for cls in (K.Product, K.Sum):
         _once(_composite, cls)
-    for nt in (GPState, StepResult, BOLoopResult):
+    for nt in (GPState, StepResult, BOLoopResult, SwarmLoopResult,
+               SwarmIterState):
         _once(jexport.register_namedtuple_serialization, nt,
               serialized_name=f"safeopt_tpu.{nt.__name__}")
 
@@ -194,6 +197,46 @@ def export_campaign(kernels, states, grid, fmin, beta, scaling, threshold,
         kwargs["platforms"] = tuple(platforms)
     exported = jexport.export(campaign, **kwargs)(
         kernels, states, grid, fmin, beta, scaling, threshold, key)
+    blob = exported.serialize()
+    if path is not None:
+        with open(path, "wb") as fh:
+            fh.write(blob)
+    return blob
+
+
+def export_swarm_campaign(kernels, states, iter_state, key, velocity_scale,
+                          bounds, fmin, scaling, threshold, betas, greedy0,
+                          blb0, *, objectives, n_iter: int, swarm_size: int,
+                          max_iters: int, path: Optional[str] = None,
+                          platforms: Optional[Sequence[str]] = None,
+                          **loop_kwargs) -> bytes:
+    """``export_campaign`` for the SafeOptSwarm on-device loop.
+
+    Same artifact semantics: objectives and loop structure baked in,
+    GP states, the safe-set buffer, scalars and the PRNG key runtime.
+    """
+    from jax import export as jexport
+
+    from ..algorithms.runner import run_swarmopt_loop
+
+    _register_serializations()
+
+    @jax.jit
+    def campaign(kernels, states, iter_state, key, velocity_scale, bounds,
+                 fmin, scaling, threshold, betas, greedy0, blb0):
+        return run_swarmopt_loop(kernels, states, iter_state, key,
+                                 velocity_scale, bounds, fmin, scaling,
+                                 threshold, betas, greedy0, blb0,
+                                 objectives=objectives, n_iter=n_iter,
+                                 swarm_size=swarm_size,
+                                 max_iters=max_iters, **loop_kwargs)
+
+    kwargs = {}
+    if platforms is not None:
+        kwargs["platforms"] = tuple(platforms)
+    exported = jexport.export(campaign, **kwargs)(
+        kernels, states, iter_state, key, velocity_scale, bounds, fmin,
+        scaling, threshold, betas, greedy0, blb0)
     blob = exported.serialize()
     if path is not None:
         with open(path, "wb") as fh:

@@ -100,3 +100,39 @@ def test_load_step_accepts_pathlib_path(tmp_path):
     served = load_step(p)          # os.PathLike, not str
     out = served(*args)
     assert int(out.next_idx) == int(safeopt_step(*args, chunk=16).next_idx)
+
+
+def test_export_swarm_campaign():
+    import jax
+
+    from safeopt_tpu.algorithms.runner import run_swarmopt_loop
+    from safeopt_tpu.algorithms.swarm_opt_fused import SwarmIterState
+    from safeopt_tpu.utils.deployment import export_swarm_campaign
+
+    d = 2
+    x0 = np.zeros((1, d))
+    gp = GPRegression(x0, np.array([[2.0]]),
+                      RBF(d, variance=2.0, lengthscale=1.5),
+                      noise_var=1e-4, capacity=16)
+    dtype = gp.state.X.dtype
+
+    def f(x):
+        return 2.0 * jnp.exp(-0.5 * jnp.sum(x * x))
+
+    S_buf = np.zeros((64, d))
+    iter_state = SwarmIterState(S=jnp.asarray(S_buf, dtype),
+                                count=jnp.asarray(1, jnp.int32),
+                                greedy=jnp.asarray(x0[0], dtype))
+    args = ((gp.kern,), (gp.state,), iter_state, jax.random.key(0),
+            jnp.asarray([0.3, 0.3], dtype),
+            jnp.asarray([[-3.0, 3.0], [-3.0, 3.0]], dtype),
+            jnp.asarray([0.0], dtype), jnp.asarray([np.sqrt(2.0)], dtype),
+            jnp.asarray([0.0], dtype), np.full(3, 2.0),
+            jnp.asarray(x0[0], dtype), jnp.asarray(-jnp.inf, dtype))
+    common = dict(objectives=(f,), n_iter=3, swarm_size=8, max_iters=8)
+    blob = export_swarm_campaign(*args, **common)
+    served = load_step(blob)
+    out = served(*args)
+    ref = run_swarmopt_loop(*args, **common)
+    assert_allclose(np.asarray(out.xs), np.asarray(ref.xs), atol=1e-12)
+    assert bool((np.asarray(out.num_safe_min) > 0).all())
