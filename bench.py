@@ -525,11 +525,17 @@ def _swarm_attributed(opt):
     from safeopt_tpu.algorithms.swarm_opt_fused import fused_swarm_optimize
 
     opt.optimize()                         # compile + state warm
-    reps = 5
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        opt.optimize()
-    total_ms = (time.perf_counter() - t0) / reps * 1e3
+    # best of three short windows: each optimize() pays one mandatory
+    # device->host pull whose tunnel latency is bimodal (see the
+    # expander-stress note) — the best window tracks the iteration.
+    windows = []
+    for _ in range(3):
+        reps = 5
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            opt.optimize()
+        windows.append((time.perf_counter() - t0) / reps * 1e3)
+    total_ms = min(windows)
 
     args, kwargs = opt._fused_args()
     out = fused_swarm_optimize(*args, **kwargs)
