@@ -23,8 +23,8 @@ Public API mirrors the reference package
 
 from .algorithms import (GaussianProcessOptimization, SafeOpt, SafeOptSwarm,
                          SwarmOptimization)
-from .gp import (GPRegression, Matern32, Matern52, Exponential, Bias,
-                 White, Product, Sum, RBF)
+from .gp import (GPRegression, Matern32, Matern52, Exponential, RatQuad,
+                 Bias, White, Product, Sum, RBF)
 from .utils import (linearly_spaced_combinations, plot_2d_gp, plot_3d_gp,
                     plot_contour_gp, sample_gp_function)
 
@@ -34,6 +34,7 @@ __all__ = [
     "SafeOpt", "SafeOptSwarm", "SwarmOptimization",
     "GaussianProcessOptimization",
     "GPRegression", "RBF", "Matern32", "Matern52", "Exponential",
+    "RatQuad",
     "Bias", "White", "Product", "Sum",
     "linearly_spaced_combinations", "sample_gp_function",
     "plot_2d_gp", "plot_3d_gp", "plot_contour_gp",

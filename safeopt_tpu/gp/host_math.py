@@ -26,7 +26,7 @@ import numpy as np
 import scipy.linalg
 
 from .kernels import (Bias, Exponential, Kernel, Matern32, Matern52,
-                      Product, RBF, Sum, White)
+                      Product, RatQuad, RBF, Sum, White)
 
 __all__ = ["np_kernel", "np_kdiag", "HostFactor"]
 
@@ -65,7 +65,8 @@ def np_kernel(kernel: Kernel, X: np.ndarray,
         n = np.atleast_2d(X).shape[0]
         m = n if X2 is None else np.atleast_2d(X2).shape[0]
         return float(kernel.variance) * np.ones((n, m))
-    if not isinstance(kernel, (RBF, Matern32, Matern52, Exponential)):
+    if not isinstance(kernel, (RBF, Matern32, Matern52, Exponential,
+                               RatQuad)):
         raise TypeError(f"no host implementation for {type(kernel).__name__}")
 
     ls = np.asarray(kernel.lengthscale, dtype=np.float64)
@@ -80,6 +81,8 @@ def np_kernel(kernel: Kernel, X: np.ndarray,
 
     if isinstance(kernel, RBF):
         return var * np.exp(-0.5 * r2)
+    if isinstance(kernel, RatQuad):
+        return var * (1.0 + 0.5 * r2) ** (-float(kernel.power))
     r = np.sqrt(r2)
     if isinstance(kernel, Exponential):
         return var * np.exp(-r)

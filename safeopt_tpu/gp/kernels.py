@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from ..config import default_dtype
 
 __all__ = ["Kernel", "RBF", "Matern32", "Matern52", "Exponential",
-           "Bias", "White", "Product", "Sum"]
+           "RatQuad", "Bias", "White", "Product", "Sum"]
 
 
 def _as_active_dims(active_dims, input_dim: int) -> Tuple[int, ...]:
@@ -213,6 +213,42 @@ class Exponential(_Stationary):
     def _K_of_r2(self, r2: jnp.ndarray) -> jnp.ndarray:
         r = jnp.sqrt(r2 + 1e-36)  # guarded sqrt: grad-safe at r = 0
         return self.variance * jnp.exp(-r)
+
+
+@jax.tree_util.register_pytree_node_class
+class RatQuad(_Stationary):
+    """Rational quadratic: k(r) = variance * (1 + r^2/2)^(-power).
+
+    Matches GPy.kern.RatQuad (a scale mixture of RBFs; ``power`` is
+    the mixture concentration). Beyond the reference's consumed
+    surface. ``power`` is a traced pytree leaf like the other
+    hyperparameters, so hyperopt fits it; runs on the exact XLA path
+    (not in the fused Pallas kind set).
+    """
+
+    def __init__(self, input_dim, variance=1.0, lengthscale=None,
+                 power=2.0, ARD=False, active_dims=None,
+                 name: Optional[str] = None):
+        super().__init__(input_dim, variance=variance,
+                         lengthscale=lengthscale, ARD=ARD,
+                         active_dims=active_dims, name=name or "ratquad")
+        self.power = jnp.asarray(power, dtype=self.variance.dtype
+                                 ).reshape(())
+
+    def tree_flatten(self):
+        children = (self.variance, self.lengthscale, self.power)
+        aux = (self.input_dim, self.ARD, self.active_dims, self.name)
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = object.__new__(cls)
+        obj.input_dim, obj.ARD, obj.active_dims, obj.name = aux
+        obj.variance, obj.lengthscale, obj.power = children
+        return obj
+
+    def _K_of_r2(self, r2: jnp.ndarray) -> jnp.ndarray:
+        return self.variance * (1.0 + 0.5 * r2) ** (-self.power)
 
 
 @jax.tree_util.register_pytree_node_class

@@ -36,6 +36,9 @@ __all__ = ["save", "load"]
 _KERNEL_CLASSES = {"RBF": _kernels.RBF, "Matern32": _kernels.Matern32,
                    "Matern52": _kernels.Matern52,
                    "Exponential": _kernels.Exponential}
+# stationary kernels with extra hyperparameter leaves beyond
+# (variance, lengthscale): class -> extra leaf names
+_EXTRA_PARAM_CLASSES = {"RatQuad": (_kernels.RatQuad, ("power",))}
 # constant-variance kernels without a meaningful lengthscale/ARD
 _SCALAR_KERNEL_CLASSES = {"Bias": _kernels.Bias, "White": _kernels.White}
 _COMPOSITE_CLASSES = {"Product": _kernels.Product, "Sum": _kernels.Sum}
@@ -49,6 +52,15 @@ def _kernel_spec(kern, arrays, prefix):
             s2 = _kernel_spec(kern.k2, arrays, prefix + "p2_")
             return {"type": cname, "k1": s1, "k2": s2}
     name = type(kern).__name__
+    if name in _EXTRA_PARAM_CLASSES:
+        _, extras = _EXTRA_PARAM_CLASSES[name]
+        arrays[prefix + "variance"] = np.asarray(kern.variance)
+        arrays[prefix + "lengthscale"] = np.asarray(kern.lengthscale)
+        for p in extras:
+            arrays[prefix + p] = np.asarray(getattr(kern, p))
+        return {"type": name, "input_dim": kern.input_dim,
+                "ARD": kern.ARD, "active_dims": list(kern.active_dims),
+                "prefix": prefix}
     if name in _SCALAR_KERNEL_CLASSES:
         arrays[prefix + "variance"] = np.asarray(kern.variance)
         return {"type": name, "input_dim": kern.input_dim,
@@ -67,6 +79,12 @@ def _kernel_from_spec(spec, arrays):
             _kernel_from_spec(spec["k1"], arrays),
             _kernel_from_spec(spec["k2"], arrays))
     p = spec["prefix"]
+    if spec["type"] in _EXTRA_PARAM_CLASSES:
+        cls, extras = _EXTRA_PARAM_CLASSES[spec["type"]]
+        kw = {e: arrays[p + e] for e in extras}
+        return cls(spec["input_dim"], variance=arrays[p + "variance"],
+                   lengthscale=arrays[p + "lengthscale"], ARD=spec["ARD"],
+                   active_dims=spec["active_dims"], **kw)
     if spec["type"] in _SCALAR_KERNEL_CLASSES:
         return _SCALAR_KERNEL_CLASSES[spec["type"]](
             spec["input_dim"], variance=arrays[p + "variance"],

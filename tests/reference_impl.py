@@ -120,6 +120,23 @@ class RefWhite(RefRBF):
         return np.zeros((n, np.atleast_2d(X2).shape[0]))
 
 
+class RefRatQuad(RefRBF):
+    """Rational-quadratic mirror of safeopt_tpu.RatQuad."""
+
+    def __init__(self, input_dim, variance=1.0, lengthscale=1.0, power=2.0,
+                 ARD=False, active_dims=None):
+        super().__init__(input_dim, variance=variance,
+                         lengthscale=lengthscale, ARD=ARD,
+                         active_dims=active_dims)
+        self.power = float(power)
+
+    def K(self, X, X2=None):
+        Xs = self._sliced(X)
+        Zs = Xs if X2 is None else self._sliced(X2)
+        r2 = cdist(Xs, Zs, metric="sqeuclidean")
+        return self.variance * (1.0 + 0.5 * r2) ** (-self.power)
+
+
 class RefSum(RefProduct):
     """Sum-composition mirror of safeopt_tpu.Sum."""
 

@@ -248,3 +248,89 @@ def test_sparse_gp_with_sum_kernel():
     # inducing == data: DTC mean equals the exact GP mean
     assert_allclose(np.asarray(mu_s), np.asarray(mu_d), rtol=1e-6,
                     atol=1e-8)
+
+
+class TestRatQuad:
+    def test_gram_and_posterior(self):
+        from safeopt_tpu.gp import RatQuad
+
+        kern = RatQuad(2, variance=2.0, lengthscale=[0.8, 1.4], power=1.5,
+                       ARD=True)
+        X = RNG.uniform(-2, 2, size=(9, 2))
+        Z = RNG.uniform(-2, 2, size=(5, 2))
+        assert_allclose(np.asarray(kern.K(X, Z)), np_kernel(kern, X, Z),
+                        rtol=1e-12, atol=1e-14)
+
+        Y = RNG.normal(size=(9, 1))
+        gp = GPRegression(X, Y, kern, noise_var=0.05)
+        Xq = RNG.uniform(-2, 2, size=(15, 2))
+        mu, var = gp.predict_noiseless(Xq)
+        K = np_kernel(kern, X) + 0.05 * np.eye(9)
+        kq = np_kernel(kern, X, Xq)
+        mu_ref = kq.T @ np.linalg.solve(K, Y[:, 0])
+        assert_allclose(mu[:, 0], mu_ref, rtol=1e-8, atol=1e-10)
+
+    def test_trajectory_lockstep(self):
+        from safeopt_tpu import SafeOpt, linearly_spaced_combinations
+        from safeopt_tpu.gp import RatQuad
+
+        from reference_impl import RefGP, RefRatQuad, RefSafeOpt
+
+        kern = RatQuad(1, variance=2.0, lengthscale=0.9, power=1.2)
+        rkern = RefRatQuad(1, variance=2.0, lengthscale=0.9, power=1.2)
+        centers = np.array([[-2.0], [0.0], [2.5]])
+        weights = np.array([0.8, 1.6, -0.6])
+
+        def f(x):
+            return rkern.K(np.atleast_2d(x), centers) @ weights
+
+        x0 = np.array([[0.0]])
+        assert f(x0)[0] > 0.5
+        grid = linearly_spaced_combinations([(-5.0, 5.0)], 180)
+        gp = GPRegression(x0, f(x0)[:, None], kern, noise_var=1e-3)
+        rgp = RefGP(x0, f(x0)[:, None], rkern, noise_var=1e-3)
+        opt = SafeOpt(gp, grid, fmin=[0.0], threshold=0.1)
+        ref = RefSafeOpt(rgp, grid, fmin=[0.0], threshold=0.1)
+        for it in range(6):
+            x = np.asarray(opt.optimize())
+            xr = np.asarray(ref.optimize())
+            assert_allclose(x, xr, atol=1e-9,
+                            err_msg=f"diverged at iteration {it}")
+            y = float(f(x)[0])
+            opt.add_new_data_point(x, np.array([[y]]))
+            ref.add_new_data_point(x, np.array([[y]]))
+        np.testing.assert_array_equal(opt.S, ref.S)
+
+    def test_hyperopt_fits_power(self):
+        from safeopt_tpu.gp import RatQuad, fit_hyperparameters
+        from safeopt_tpu.gp.hyperopt import log_marginal_likelihood
+
+        true = RatQuad(1, variance=2.0, lengthscale=0.5, power=1.0)
+        X = np.linspace(-3, 3, 35)[:, None]
+        K = np_kernel(true, X) + 0.01 * np.eye(35)
+        Y = np.linalg.cholesky(K) @ RNG.normal(size=(35, 1))
+        k0 = RatQuad(1, variance=1.0, lengthscale=2.0, power=3.0)
+        lml0 = float(log_marginal_likelihood(k0, X, Y, 0.01))
+        k1, nv, lml1 = fit_hyperparameters(k0, X, Y, 0.01, steps=120)
+        assert lml1 > lml0
+        assert np.isfinite(float(np.asarray(k1.power)))
+
+    def test_checkpoint_roundtrip(self, tmp_path):
+        from safeopt_tpu.algorithms import SafeOpt
+        from safeopt_tpu.gp import RatQuad
+        from safeopt_tpu.utils import checkpoint
+        from safeopt_tpu.utils.grids import linearly_spaced_combinations
+
+        kern = RatQuad(1, variance=2.0, lengthscale=0.8, power=1.7)
+        gp = GPRegression(np.array([[0.0]]), np.array([[1.0]]), kern,
+                          noise_var=0.01)
+        grid = linearly_spaced_combinations([(-3, 3)], 101)
+        opt = SafeOpt([gp], grid, fmin=[0.0], beta=2.0)
+        x0 = opt.optimize()
+        path = str(tmp_path / "ck.npz")
+        checkpoint.save(opt, path)
+        opt2 = checkpoint.load(path)
+        assert isinstance(opt2.gps[0].kern, RatQuad)
+        assert_allclose(float(np.asarray(opt2.gps[0].kern.power)), 1.7)
+        assert_allclose(np.asarray(opt2.optimize()), np.asarray(x0),
+                        atol=0)
