@@ -21,10 +21,11 @@ import pytest
 from numpy.testing import assert_allclose
 
 from safeopt_tpu import SafeOpt, linearly_spaced_combinations
-from safeopt_tpu.gp import Bias, Exponential, GPRegression, Matern32, RBF
+from safeopt_tpu.gp import (Bias, Exponential, GPRegression, Matern32,
+                            RatQuad, RBF)
 
 from reference_impl import (RefBias, RefExponential, RefGP,
-                            RefMatern32, RefRBF, RefSafeOpt)
+                            RefMatern32, RefRatQuad, RefRBF, RefSafeOpt)
 
 
 def _random_case(rng):
@@ -53,11 +54,17 @@ def _random_case(rng):
                                   ARD=ard))
             rkerns.append(RefMatern32(d, variance=variance, lengthscale=ls,
                                       ARD=ard))
-        elif draw < 0.85:
+        elif draw < 0.75:
             kerns.append(Exponential(d, variance=variance, lengthscale=ls,
                                      ARD=ard))
             rkerns.append(RefExponential(d, variance=variance,
                                          lengthscale=ls, ARD=ard))
+        elif draw < 0.85:
+            power = float(rng.uniform(0.8, 3.0))
+            kerns.append(RatQuad(d, variance=variance, lengthscale=ls,
+                                 power=power, ARD=ard))
+            rkerns.append(RefRatQuad(d, variance=variance, lengthscale=ls,
+                                     power=power, ARD=ard))
         else:
             # round-2 sum algebra: stationary + constant offset
             bias_var = float(rng.uniform(0.1, 0.6))
