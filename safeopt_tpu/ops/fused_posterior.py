@@ -120,7 +120,14 @@ def _kind_of(kernel) -> str:
         return "exponential"
     if isinstance(kernel, Bias):
         return "bias"
-    return "matern32"
+    if isinstance(kernel, Matern32):
+        return "matern32"
+    # A kernel that passed supports_kernel gating but has no kind branch
+    # would otherwise silently compute Matern-3/2 grams; fail loudly so
+    # a gating/kind mismatch is caught at trace time.
+    raise ValueError(
+        f"no fused-kernel kind for {type(kernel).__name__}; add a branch "
+        "here and in the Pallas kernels, or exclude it in supports_kernel")
 
 
 def _part_plan(kernel, d: int, dtype):

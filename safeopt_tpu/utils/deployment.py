@@ -72,8 +72,11 @@ def _register_serializations() -> None:
         except ValueError:
             pass  # this one already registered; keep going
 
-    for cls in (K.RBF, K.Matern32, K.Matern52, K.Exponential, K.Bias,
-                K.White):
+    # RatQuad's aux is identical to the other stationary kernels (its
+    # extra `power` hyperparameter is a traced child leaf, not aux), so
+    # the shared serializer covers it unchanged.
+    for cls in (K.RBF, K.Matern32, K.Matern52, K.Exponential, K.RatQuad,
+                K.Bias, K.White):
         _once(_stationary, cls)
     for cls in (K.Product, K.Sum):
         _once(_composite, cls)
@@ -81,6 +84,38 @@ def _register_serializations() -> None:
                SwarmIterState):
         _once(jexport.register_namedtuple_serialization, nt,
               serialized_name=f"safeopt_tpu.{nt.__name__}")
+
+
+#: kernel classes whose pytree aux can round-trip through jax.export.
+_SERIALIZABLE_KERNELS = ("RBF", "Matern32", "Matern52", "Exponential",
+                         "RatQuad", "Bias", "White", "Product", "Sum")
+
+
+def _check_kernels_serializable(kernels) -> None:
+    """Fail fast, by name, on kernels jax.export cannot round-trip.
+
+    Without this, an unregistered kernel class surfaces as a deep
+    ``jax.export`` serialization trace; every kernel in
+    ``safeopt_tpu.gp.kernels.__all__`` must either export or raise a
+    one-line TypeError naming itself.
+    """
+    from ..gp import kernels as K
+
+    allowed = tuple(getattr(K, name) for name in _SERIALIZABLE_KERNELS)
+
+    def walk(kern):
+        if isinstance(kern, K._Composite):
+            for part in kern.parts:
+                walk(part)
+        if not isinstance(kern, allowed):
+            raise TypeError(
+                f"kernel class {type(kern).__name__!r} is not registered "
+                "for jax.export serialization; exportable kernels: "
+                f"{', '.join(_SERIALIZABLE_KERNELS)}")
+
+    for kern in (kernels if isinstance(kernels, (list, tuple))
+                 else [kernels]):
+        walk(kern)
 
 
 def export_step(kernels, states, grid, fmin, beta, scaling, threshold,
@@ -119,6 +154,7 @@ def export_step(kernels, states, grid, fmin, beta, scaling, threshold,
             "drop use_pallas")
 
     _register_serializations()
+    _check_kernels_serializable(kernels)
 
     @jax.jit
     @with_matmul_precision
@@ -183,6 +219,7 @@ def export_campaign(kernels, states, grid, fmin, beta, scaling, threshold,
     from ..algorithms.runner import run_safeopt_loop
 
     _register_serializations()
+    _check_kernels_serializable(kernels)
 
     @jax.jit
     def campaign(kernels, states, grid, fmin, beta, scaling, threshold,
@@ -220,6 +257,7 @@ def export_swarm_campaign(kernels, states, iter_state, key, velocity_scale,
     from ..algorithms.runner import run_swarmopt_loop
 
     _register_serializations()
+    _check_kernels_serializable(kernels)
 
     @jax.jit
     def campaign(kernels, states, iter_state, key, velocity_scale, bounds,
