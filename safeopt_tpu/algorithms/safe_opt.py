@@ -21,8 +21,8 @@ import numpy as np
 
 from ..config import default_dtype
 from .base import GaussianProcessOptimization
-from .safe_opt_core import (boundary_scan, full_expander_sets, safe_maximum,
-                            safeopt_step, safeopt_step_from_Q)
+from .safe_opt_core import (certified_scan, full_expander_sets,
+                            safe_maximum, safeopt_step, safeopt_step_from_Q)
 
 __all__ = ["SafeOpt"]
 
@@ -73,6 +73,30 @@ class SafeOpt(GaussianProcessOptimization):
         certified per iteration (default 1024 — the host float64
         recompute is microseconds at that size; overflow logs a
         warning).
+    interval_precision : str, optional
+        Run the full-grid interval pass at reduced MXU precision
+        (``'default'`` = 1-pass bf16; ``'high'`` = 3-pass, XLA
+        interval path only) — the route below the 6-pass-f32 matmul
+        floor at large capacities. The decision-critical rows are
+        restored to full precision on device before classification:
+        the entire reduced-precision safety ambiguity band
+        (``refine_band`` wide, up to ``refine_band_k`` rows) plus the
+        top-``refine_k`` rows per global-threshold criterion — so the
+        f64 certification band can stay at its usual narrow
+        ``boundary_band``. Requires ``exact_boundaries=True``.
+    refine_k : int
+        Rows per global-threshold criterion (width / best lower bound
+        / maximizer boundary) restored to full precision. Default 0:
+        each criterion costs a measured 4.3 ms top_k sweep over a 1e6
+        grid, and the 3-pass mode's width noise is f32-grade already.
+    refine_band : float
+        Scaled-margin width of the safety refinement band — size it to
+        the reduced-precision interval noise (default 5e-3, sized for
+        the 3-pass ``'high'`` mode).
+    refine_band_k : int
+        Budget of near-boundary rows restored to full precision
+        (default 8192; overflow is reported via
+        ``_refine_band_overflow`` and voids the parity guarantee).
 
     Examples
     --------
@@ -93,7 +117,9 @@ class SafeOpt(GaussianProcessOptimization):
                  num_contexts=0, threshold=0, scaling="auto",
                  expander_chunk: int = 32, use_pallas=None,
                  exact_boundaries: bool = False, boundary_band: float = 1e-3,
-                 boundary_k: int = 1024):
+                 boundary_k: int = 1024, interval_precision=None,
+                 refine_k: int = 0, refine_band: float = 5e-3,
+                 refine_band_k: int = 8192):
         super().__init__(gp, fmin=fmin, beta=beta,
                          num_contexts=num_contexts, threshold=threshold,
                          scaling=scaling)
@@ -152,12 +178,34 @@ class SafeOpt(GaussianProcessOptimization):
         self._exact_boundaries = bool(exact_boundaries)
         self._boundary_band = float(boundary_band)
         self._boundary_k = min(int(boundary_k), N)
+        # Reduced-precision certified mode: run the full-grid interval
+        # pass at 'default' (1-pass) or 'high' (3-pass) MXU precision,
+        # restore full precision on the decision-critical rows
+        # in-program (safe_opt_core._refine_Q), and let the (widened)
+        # f64 certification band absorb the rest. Only meaningful with
+        # exact_boundaries=True.
+        self._interval_precision = interval_precision
+        self._refine_k = min(int(refine_k), N)
+        self._refine_band = float(refine_band)
+        self._refine_band_k = min(int(refine_band_k), N)
+        if interval_precision is not None and not self._exact_boundaries:
+            raise ValueError(
+                "interval_precision requires exact_boundaries=True: "
+                "reduced-precision intervals are only safe under f64 "
+                "boundary certification")
         if self._exact_boundaries:
             for g in self.gps:
                 if not hasattr(g, "_host"):
                     raise ValueError(
                         "exact_boundaries requires exact GPRegression "
                         "models (float64 host factors)")
+
+        # certified-path telemetry (filled by _certified_step)
+        self._band_overflow = False
+        self._band_population = 0
+        self._certified_corrections = 0
+        self._refine_band_population = 0
+        self._refine_band_overflow = False
 
         from ..utils.observability import StatsRecorder
         self.stats = StatsRecorder()
@@ -214,12 +262,17 @@ class SafeOpt(GaussianProcessOptimization):
     # -- lazy host mirrors of device results -----------------------------------
 
     def _mirror(self, name: str) -> np.ndarray:
-        if self._host_cache[name] is None:
-            self._host_cache[name] = np.asarray(getattr(self._dev, name))
-        return self._host_cache[name]
+        v = self._host_cache[name]
+        if v is None:
+            v = getattr(self._dev, name)
+        if not isinstance(v, np.ndarray):
+            v = np.asarray(v)          # device pull happens HERE, lazily
+        self._host_cache[name] = v
+        return v
 
     def _set_mirror(self, name: str, value) -> None:
-        self._host_cache[name] = np.asarray(value)
+        # Store as-is: a device array is not pulled until first access.
+        self._host_cache[name] = value
 
     Q = property(lambda self: self._mirror("Q"),
                  lambda self, v: self._set_mirror("Q", v))
@@ -249,50 +302,90 @@ class SafeOpt(GaussianProcessOptimization):
         return np.broadcast_to(th, (len(self.gps),))
 
     def _certified_step(self, kernels, states, ucb: bool):
-        """Two-pass iteration with f64-certified boundary decisions.
+        """Optimistic certified iteration (one dispatch in the common case).
 
-        Pass 1 (device): intervals + triage of the <=k candidates whose
-        scaled safety margin is inside the f32 ambiguity band. Host:
-        recompute exactly those in float64 through the GPs' host
-        factors. Pass 2 (device): classification/expander/selection
-        from the pass-1 intervals with the certified safe bits
-        scattered in.
+        Pass 1 (device, ``certified_scan``): the COMPLETE fused step
+        plus triage of the <=k candidates whose scaled safety margin is
+        inside the ambiguity band, pulled as one packed buffer. If the
+        band is empty, or the host float64 oracle confirms every f32
+        in-band verdict, pass 1 is the certified result — zero extra
+        dispatches. Only when a verdict actually flips does pass 2
+        (``safeopt_step_from_Q``) redo classification/expander/
+        selection with the certified bits scattered in.
+
+        Returns ``(StepResult, diag or None)`` — ``diag`` is the
+        already-pulled [has_safe, next_idx, |S|, |M|, anyG] when pass 1
+        stands, saving ``optimize()`` its own pull.
         """
         import logging
 
         dtype = default_dtype()
-        Q, idx, within, total = boundary_scan(
+        k = self._boundary_k
+        result, packed = certified_scan(
             kernels, states, self._grid(),
             jnp.asarray(self.fmin, dtype),
             jnp.asarray(self.beta(self.t), dtype),
             jnp.asarray(self.scaling, dtype),
+            jnp.asarray(self._threshold_array(), dtype),
             jnp.asarray(self._boundary_band, dtype),
-            k=self._boundary_k, use_pallas=self._use_pallas)
-        idx, within, total = jax.device_get((idx, within, total))
-        if int(total) > self._boundary_k:
+            None if self.lipschitz is None else jnp.asarray(self.lipschitz,
+                                                            dtype),
+            refine_band=jnp.asarray(self._refine_band, dtype),
+            k=k, refine_k=self._refine_k,
+            refine_band_k=(self._refine_band_k
+                           if self._interval_precision is not None else 0),
+            ucb=ucb, use_lipschitz=self._use_lipschitz,
+            chunk=self._expander_chunk, use_pallas=self._use_pallas,
+            interval_precision=self._interval_precision)
+        packed = np.asarray(packed)              # the ONE host pull
+        diag = packed[:5]
+        total = int(packed[5])
+        refine_pop = int(packed[6])
+        idx = packed[7:7 + k]
+        within = packed[7 + k:7 + 2 * k].astype(bool)
+        s_f32 = packed[7 + 2 * k:7 + 3 * k].astype(bool)
+        if total > k:
             logging.warning(
                 "exact_boundaries: %d candidates inside the ambiguity "
                 "band exceed the triage budget k=%d; only the k closest "
-                "to a threshold were certified", int(total),
-                self._boundary_k)
+                "to a threshold were certified", total, k)
+        self._band_overflow = total > k
+        self._refine_band_population = refine_pop
+        self._refine_band_overflow = refine_pop > self._refine_band_k
+        if self._refine_band_overflow:
+            logging.warning(
+                "interval_precision: %d rows inside the refinement band "
+                "exceed refine_band_k=%d; un-refined near-boundary rows "
+                "keep reduced-precision noise", refine_pop,
+                self._refine_band_k)
+
+        sel = np.flatnonzero(within)
+        self._band_population = int(sel.size)
+        if sel.size == 0:
+            self._certified_corrections = 0
+            return result, diag
 
         beta = float(self.beta(self.t))
-        fix_idx = np.where(within, idx, -1).astype(np.int32)
-        fix_bits = np.zeros(idx.shape[0], dtype=bool)
-        sel = np.flatnonzero(within)
-        if sel.size:
-            pts = self.inputs[idx[sel]]
-            safe64 = np.ones(sel.size, dtype=bool)
-            for i, g in enumerate(self.gps):
-                if self.fmin[i] == -np.inf:
-                    continue
-                mu, var = g._host.predict(pts)
-                l64 = mu - beta * np.sqrt(var)
-                safe64 &= l64 > self.fmin[i]
-            fix_bits[sel] = safe64
+        pts = self.inputs[idx[sel]]
+        safe64 = np.ones(sel.size, dtype=bool)
+        for i, g in enumerate(self.gps):
+            if self.fmin[i] == -np.inf:
+                continue
+            mu, var = g._host.predict(pts)
+            l64 = mu - beta * np.sqrt(var)
+            safe64 &= l64 > self.fmin[i]
 
-        return safeopt_step_from_Q(
-            kernels, states, self._grid(), Q,
+        flips = int(np.count_nonzero(safe64 != s_f32[sel]))
+        self._certified_corrections = flips
+        if flips == 0:
+            # every f32 verdict confirmed: pass 1 IS the certified step
+            return result, diag
+
+        fix_idx = np.where(within, idx, -1).astype(np.int32)
+        fix_bits = np.zeros(k, dtype=bool)
+        fix_bits[sel] = safe64
+        corrected = safeopt_step_from_Q(
+            kernels, states, self._grid(), result.Q,
             jnp.asarray(fix_idx), jnp.asarray(fix_bits),
             jnp.asarray(self.fmin, dtype),
             jnp.asarray(beta, dtype),
@@ -302,15 +395,22 @@ class SafeOpt(GaussianProcessOptimization):
                                                             dtype),
             ucb=ucb, use_lipschitz=self._use_lipschitz,
             chunk=self._expander_chunk, use_pallas=self._use_pallas)
+        return corrected, None
 
     def _run_step(self, context=_KEEP_CONTEXT, ucb: bool = False):
-        """Execute the fused device step and mirror results host-side."""
+        """Execute the fused device step and mirror results host-side.
+
+        Returns ``(StepResult, diag or None)``; ``diag`` is the pulled
+        [has_safe, next_idx, |S|, |M|, anyG] when the step already paid
+        that pull (certified path), sparing the caller a round trip.
+        """
         if context is not _KEEP_CONTEXT:
             self.context = context
         kernels, states = self._model_args()
         dtype = default_dtype()
+        diag = None
         if self._exact_boundaries:
-            result = self._certified_step(kernels, states, ucb)
+            result, diag = self._certified_step(kernels, states, ucb)
         else:
             result = safeopt_step(
                 kernels, states, self._grid(),
@@ -335,7 +435,7 @@ class SafeOpt(GaussianProcessOptimization):
         if not ucb:
             self._host_cache["M"] = None
             self._host_cache["G"] = None
-        return result
+        return result, diag
 
     # -- reference API ---------------------------------------------------------
 
@@ -377,7 +477,7 @@ class SafeOpt(GaussianProcessOptimization):
                 chunk=self._expander_chunk,
                 use_pallas=self._use_pallas)
         else:
-            result = self._run_step(ucb=False)
+            result, _ = self._run_step(ucb=False)
         self._dev = result
         for name in ("Q", "S", "M", "G"):
             self._host_cache[name] = None
@@ -405,16 +505,13 @@ class SafeOpt(GaussianProcessOptimization):
 
         from ..utils.observability import IterationStats
 
-        import jax
-
         start = time.perf_counter()
-        result = self._run_step(context=context, ucb=ucb)
-        # one host pull for every scalar (each separate conversion is a
-        # full round trip on remote accelerators)
-        has_safe, idx, safe_count, maximizer_count, expander_found = \
-            jax.device_get((result.has_safe, result.next_idx,
-                            result.safe_count, result.maximizer_count,
-                            result.expander_found))
+        result, diag = self._run_step(context=context, ucb=ucb)
+        if diag is None:
+            # every host-needed scalar rides ONE packed int32 buffer —
+            # a single device->host round trip instead of five
+            diag = np.asarray(result.diag)
+        has_safe, idx, safe_count, maximizer_count, expander_found = diag
         if not bool(has_safe):
             raise EnvironmentError("There are no safe points to evaluate.")
         idx = int(idx)
@@ -438,14 +535,25 @@ class SafeOpt(GaussianProcessOptimization):
         self.context = context
         kernels, states = self._model_args()
         dtype = default_dtype()
-        idx, lb, has_safe, Q, S = safe_maximum(
+        idx, lb, has_safe, Q, S, diag = safe_maximum(
             kernels, states, self._grid(),
             jnp.asarray(self.fmin, dtype),
             jnp.asarray(self.beta(self.t), dtype),
             use_pallas=self._use_pallas)
+        # Q/S are stored as device arrays and pulled only if accessed;
+        # the scalars ride the packed diag buffer — ONE round trip
+        # (same packed-pull pattern as optimize()). idx-as-float is
+        # exact below 2^24 rows in f32; fall back to a second pull on
+        # gigantic grids.
         self._set_mirror("Q", Q)
         self._set_mirror("S", S)
-        if not bool(has_safe):
+        if self.inputs.shape[0] < 2 ** 24 or Q.dtype != jnp.float32:
+            d = np.asarray(diag)
+            idx, lb, has_safe = int(d[0]), float(d[1]), bool(d[2])
+        else:
+            idx, lb, has_safe = jax.device_get((idx, lb, has_safe))
+            idx, lb, has_safe = int(idx), float(lb), bool(has_safe)
+        if not has_safe:
             return None
-        x = self.inputs[int(idx), : -self.num_contexts or None]
-        return x, float(lb)
+        x = self.inputs[idx, : -self.num_contexts or None]
+        return x, lb

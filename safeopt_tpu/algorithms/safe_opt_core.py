@@ -59,7 +59,8 @@ from ..gp.kernels import Kernel
 from ..gp.regression import GPState
 
 __all__ = ["StepResult", "safeopt_step", "safe_maximum",
-           "full_expander_sets", "boundary_scan", "safeopt_step_from_Q"]
+           "full_expander_sets", "boundary_scan", "safeopt_step_from_Q",
+           "certified_scan"]
 
 
 class StepResult(NamedTuple):
@@ -75,6 +76,28 @@ class StepResult(NamedTuple):
     safe_count: jnp.ndarray
     maximizer_count: jnp.ndarray
     expander_found: jnp.ndarray
+    # the same five scalars packed into ONE int32 buffer: on remote
+    # accelerators every host conversion is a full round trip (~5-40 ms
+    # through a tunnel), so optimize() pulls this single small array
+    # instead of five separate device scalars.
+    diag: jnp.ndarray       # (5,) i32 [has_safe, next_idx, |S|, |M|, anyG]
+
+
+def _pack_result(Q, S, M, G, next_idx, has_safe) -> StepResult:
+    """Assemble a StepResult, deriving the scalar stats and the packed
+    single-pull diagnostics buffer."""
+    safe_count = jnp.sum(S)
+    maximizer_count = jnp.sum(M)
+    expander_found = jnp.any(G)
+    diag = jnp.stack([has_safe.astype(jnp.int32),
+                      next_idx.astype(jnp.int32),
+                      safe_count.astype(jnp.int32),
+                      maximizer_count.astype(jnp.int32),
+                      expander_found.astype(jnp.int32)])
+    return StepResult(Q=Q, S=S, M=M, G=G, next_idx=next_idx,
+                      has_safe=has_safe, safe_count=safe_count,
+                      maximizer_count=maximizer_count,
+                      expander_found=expander_found, diag=diag)
 
 
 # ---------------------------------------------------------------------------
@@ -92,13 +115,17 @@ def _posterior_with_V(kernel: Kernel, state: GPState, grid: jnp.ndarray):
     return mu, var, V
 
 
-def _confidence_intervals(kernels, states, grid, beta, use_pallas=False):
+def _confidence_intervals(kernels, states, grid, beta, use_pallas=False,
+                          three_pass=False):
     """Q columns, plus per-GP (mu, sigma, V) retained for the expander.
 
     With ``use_pallas`` the interval columns come from the fused Pallas
     kernel (grid streamed once, no (cap, N) intermediates in HBM;
     ops/fused_posterior.py) and ``V`` is not materialized — the
     expander predicate recomputes its cross terms per chunk.
+    ``three_pass`` (Pallas path only) runs the whitened solve at the
+    emulated 3-pass bf16 precision — the certified reduced-precision
+    mode's interval pass.
     """
     mus, sigmas, Vs, cols = [], [], [], []
 
@@ -109,7 +136,8 @@ def _confidence_intervals(kernels, states, grid, beta, use_pallas=False):
         if supports_batched(kernels, states, grid.shape[1]):
             # one grid pass for every GP
             for l, u in fused_intervals_batched(kernels, states, grid,
-                                                beta):
+                                                beta,
+                                                three_pass=three_pass):
                 mus.append((l + u) * 0.5)
                 sigmas.append((u - l) / (2.0 * beta))
                 Vs.append(None)
@@ -118,7 +146,8 @@ def _confidence_intervals(kernels, states, grid, beta, use_pallas=False):
 
     for kern, st in zip(kernels, states):
         if use_pallas and supports_kernel(kern):
-            l, u = fused_intervals(kern, st, grid, beta)
+            l, u = fused_intervals(kern, st, grid, beta,
+                                   three_pass=three_pass)
             mus.append((l + u) * 0.5)
             sigmas.append((u - l) / (2.0 * beta))
             Vs.append(None)
@@ -377,10 +406,7 @@ def safeopt_step(kernels: Tuple[Kernel, ...], states: Tuple[GPState, ...],
                                  chunk, use_pallas=use_pallas)
 
     next_idx = _select_query(Q, S, M, G, scaling, ucb)
-    return StepResult(Q=Q, S=S, M=M, G=G, next_idx=next_idx,
-                      has_safe=has_safe, safe_count=jnp.sum(S),
-                      maximizer_count=jnp.sum(M),
-                      expander_found=jnp.any(G))
+    return _pack_result(Q, S, M, G, next_idx, has_safe)
 
 
 @partial(jax.jit, static_argnames=("use_pallas",))
@@ -389,7 +415,11 @@ def safe_maximum(kernels, states, grid, fmin, beta, num_valid=None, *,
                  use_pallas: bool = False):
     """Best safe point by objective lower bound (gp_opt.py:677-712).
 
-    Returns (idx, lower_bound, has_safe); host strips context columns.
+    Returns (idx, lower_bound, has_safe, Q, S, diag); host strips
+    context columns. ``diag`` packs [idx, lower_bound, has_safe] into
+    one small buffer in the grid dtype so the host needs a single
+    device pull (idx is exact as a float for N < 2^24 in f32; callers
+    with larger grids fall back to pulling idx separately).
     """
     N = grid.shape[0]
     valid = (jnp.ones((N,), bool) if num_valid is None
@@ -400,7 +430,10 @@ def safe_maximum(kernels, states, grid, fmin, beta, num_valid=None, *,
     S = jnp.all(l > fmin, axis=1) & valid
     value = jnp.where(S, Q[:, 0], -jnp.inf)
     idx = jnp.argmax(value)
-    return idx, value[idx], jnp.any(S), Q, S
+    has_safe = jnp.any(S)
+    diag = jnp.stack([idx.astype(Q.dtype), value[idx],
+                      has_safe.astype(Q.dtype)])
+    return idx, value[idx], has_safe, Q, S, diag
 
 
 @partial(jax.jit, static_argnames=("use_lipschitz", "chunk", "use_pallas"))
@@ -446,10 +479,7 @@ def full_expander_sets(kernels, states, grid, fmin, beta, scaling,
     G = jax.lax.fori_loop(0, num_chunks, body,
                           jnp.zeros((N,), dtype=bool))
     G = G & has_safe
-    return StepResult(Q=Q, S=S, M=M, G=G,
-                      next_idx=jnp.asarray(0, jnp.int32), has_safe=has_safe,
-                      safe_count=jnp.sum(S), maximizer_count=jnp.sum(M),
-                      expander_found=jnp.any(G))
+    return _pack_result(Q, S, M, G, jnp.asarray(0, jnp.int32), has_safe)
 
 
 # ---------------------------------------------------------------------------
@@ -540,7 +570,212 @@ def safeopt_step_from_Q(kernels, states, grid, Q, fix_idx, fix_bits,
                                  chunk, use_pallas=use_pallas)
 
     next_idx = _select_query(Q, S, M, G, scaling, ucb)
-    return StepResult(Q=Q, S=S, M=M, G=G, next_idx=next_idx,
-                      has_safe=has_safe, safe_count=jnp.sum(S),
-                      maximizer_count=jnp.sum(M),
-                      expander_found=jnp.any(G))
+    return _pack_result(Q, S, M, G, next_idx, has_safe)
+
+
+# ---------------------------------------------------------------------------
+# one-dispatch certified iteration (optimistic two-pass protocol)
+# ---------------------------------------------------------------------------
+
+def _moments_from_Q(Q, beta):
+    """Per-GP (mu, sigma) recovered exactly from interval columns."""
+    l = Q[:, 0::2]
+    u = Q[:, 1::2]
+    mus = [(l[:, i] + u[:, i]) * 0.5 for i in range(l.shape[1])]
+    sigmas = [(u[:, i] - l[:, i]) / (2.0 * beta) for i in range(l.shape[1])]
+    return mus, sigmas
+
+
+def _safety_margin(Q, fmin, scaling, valid):
+    """Scaled distance of each row's lower bounds to a safety threshold."""
+    l = Q[:, 0::2]
+    constrained = fmin > -jnp.inf
+    margins = jnp.abs(l - fmin) / scaling
+    margins = jnp.where(constrained[None, :], margins, jnp.inf)
+    return jnp.where(valid, jnp.min(margins, axis=1), jnp.inf)
+
+
+def _refine_Q(kernels, states, grid, Q, fmin, beta, scaling, valid,
+              rk: int, band_k: int, refine_band):
+    """Recompute the decision-critical rows of a reduced-precision Q at
+    full MATMUL_PRECISION and scatter them back in.
+
+    Used by the reduced-precision certified mode: the full-grid
+    interval pass ran at 1-pass MXU precision (~1e-2 absolute noise
+    through an ill-conditioned factor), and every interval that any
+    decision boundary touches must come from full-precision values.
+    The refined set is the union of
+
+    - the top-``band_k`` rows by closeness to a safety threshold —
+      sized to swallow the ENTIRE reduced-precision ambiguity band
+      (``refine_band``, ~2e-2 scaled for 1-pass bf16), so after the
+      scatter every near-boundary safe bit is f32-highest quality and
+      the downstream float64 certification band can stay at its usual
+      narrow width (~1e-3). The band population is returned so callers
+      can detect overflow (population > band_k ⇒ some in-band rows
+      kept bf16 noise and parity is voided);
+    - the top-``rk`` rows by (a) scaled interval width (selection
+      argmax, ``max_var``, the expander visit-order head), (b)
+      objective lower bound among currently-safe rows (``best_l0``)
+      and (c) closeness of the objective upper bound to the incumbent
+      ``best_l0`` (the maximizer boundary) — the global thresholds the
+      classification derives from Q.
+
+    Rows outside the union sit far from every decision boundary
+    relative to the reduced-precision error (validated on hardware by
+    bench.py's cap512-certified gate).
+
+    Cost: a (band_k + 3*rk)-point exact posterior per GP — (cap, cap)
+    x (cap, P) matmuls, well under a millisecond at band_k=32768 /
+    cap=512 next to the grid pass it replaces.
+    """
+    l = Q[:, 0::2]
+    u = Q[:, 1::2]
+
+    margin = _safety_margin(Q, fmin, scaling, valid)
+    _, i_b = jax.lax.top_k(-margin, band_k)
+    band_pop = jnp.sum(margin < refine_band)
+
+    if rk:
+        widths = jnp.max((u - l) / scaling, axis=1)
+        _, i_w = jax.lax.top_k(jnp.where(valid, widths, -jnp.inf), rk)
+
+        S0 = jnp.all(l > fmin, axis=1) & valid
+        l0v = jnp.where(S0, l[:, 0], -jnp.inf)
+        _, i_l = jax.lax.top_k(l0v, rk)
+
+        best_l0 = jnp.max(l0v)
+        dM = jnp.where(S0, jnp.abs(u[:, 0] - best_l0), jnp.inf)
+        _, i_m = jax.lax.top_k(-dM, rk)
+        idx = jnp.concatenate([i_b, i_w, i_l, i_m])    # dups are harmless
+    else:
+        # the 3-pass mode's width/threshold noise is f32-grade; only
+        # the safety band needs restoring, and skipping the three
+        # extra top_k sweeps (4.3 ms EACH over a 1e6 grid — measured)
+        # keeps the refinement cheaper than the precision saving
+        idx = i_b
+    pts = jnp.take(grid, idx, axis=0)
+    cols = []
+    for kern, st in zip(kernels, states):
+        mu, var, _ = _posterior_with_V(kern, st, pts)
+        sig = jnp.sqrt(var)
+        cols.append(mu - beta * sig)
+        cols.append(mu + beta * sig)
+    return Q.at[idx].set(jnp.stack(cols, axis=1)), band_pop, i_b
+
+
+@partial(jax.jit, static_argnames=("k", "refine_k", "refine_band_k", "ucb",
+                                   "use_lipschitz", "chunk", "use_pallas",
+                                   "interval_precision"))
+def certified_scan(kernels, states, grid, fmin, beta, scaling, threshold,
+                   band, lipschitz=None, num_valid=None, refine_band=None,
+                   *, k: int = 128, refine_k: int = 0,
+                   refine_band_k: int = 0, ucb: bool = False,
+                   use_lipschitz: bool = False, chunk: int = 64,
+                   use_pallas: bool = False,
+                   interval_precision=None):
+    """Pass 1 of an *optimistic* certified iteration, in ONE dispatch.
+
+    Runs the complete fused step (identical decisions to
+    ``safeopt_step``) AND the float64 boundary triage in the same
+    compiled program, returning ``(StepResult, packed)`` where
+    ``packed`` is a single int32 buffer
+    ``[diag(5), total_within, refine_pop, idx(k), within(k),
+    S[idx](k)]`` — one host pull tells the caller everything: the step
+    outcome, which rows sit inside the f32 ambiguity band, the f32
+    safe verdicts at those rows, and (reduced-precision mode) how many
+    rows the refinement band held. When the band is empty, or the host
+    float64 oracle confirms every in-band verdict, pass 1 IS the
+    certified result and no second dispatch happens (the common case
+    once a run converges); only an actual flip pays the
+    ``safeopt_step_from_Q`` correction.
+
+    ``interval_precision`` (static; ``'default'`` = 1-pass bf16) runs
+    the full-grid interval pass at reduced MXU precision — the only
+    legal route below the 6-pass-f32 matmul floor on large capacities
+    — and then restores full precision on the (data-chosen,
+    in-program) decision-critical rows via ``_refine_Q`` before
+    anything is classified: the whole reduced-precision safety
+    ambiguity band (``refine_band`` wide, top-``refine_band_k`` rows)
+    plus the global-threshold rows (top-``refine_k`` per criterion).
+    Safe-set decisions remain f64-exact through the (narrow, ~1e-3)
+    certification band exactly as in full-precision mode, because
+    every near-boundary row was already restored to full precision.
+    ``'high'`` (3-pass) is only available on the XLA interval path —
+    Mosaic kernels support DEFAULT and HIGHEST dot precisions only, so
+    with ``use_pallas`` the intervals fall back to XLA for ``'high'``.
+    Reference behavior protected: the strict interval comparisons of
+    /root/reference/safeopt/gp_opt.py:478-481.
+    """
+    from ..config import MATMUL_PRECISION
+
+    N = grid.shape[0]
+    valid = (jnp.ones((N,), bool) if num_valid is None
+             else jnp.arange(N) < num_valid)
+
+    prec = interval_precision or MATMUL_PRECISION
+    if prec == "high" and use_pallas:
+        # Mosaic lowers only DEFAULT/HIGHEST dots; 'high' on the Pallas
+        # path runs the whitened solve as the emulated 3-pass _dot3
+        # (every dot carries an explicit precision, so the ambient
+        # precision stays at the supported MATMUL_PRECISION).
+        with jax.default_matmul_precision(MATMUL_PRECISION):
+            Q, mus, sigmas, Vs = _confidence_intervals(
+                kernels, states, grid, beta, use_pallas=True,
+                three_pass=True)
+    else:
+        with jax.default_matmul_precision(prec):
+            Q, mus, sigmas, Vs = _confidence_intervals(
+                kernels, states, grid, beta, use_pallas=use_pallas)
+
+    with jax.default_matmul_precision(MATMUL_PRECISION):
+        refine_pop = jnp.asarray(0, jnp.int32)
+        refined_idx = None
+        if interval_precision is not None and (refine_k or refine_band_k):
+            rband = (band if refine_band is None else refine_band)
+            Q, refine_pop, refined_idx = _refine_Q(
+                kernels, states, grid, Q, fmin, beta, scaling, valid,
+                refine_k, max(refine_band_k, 1), rband)
+            mus, sigmas = _moments_from_Q(Q, beta)
+            Vs = [None] * len(mus)
+
+        S, M, cand, width, has_safe = _classify(
+            Q, fmin, scaling, threshold, beta, valid)
+
+        if ucb:
+            G = jnp.zeros_like(S)
+            M = jnp.zeros_like(S)
+        else:
+            lip = lipschitz if use_lipschitz else None
+            G = _find_first_expander(kernels, states, grid, Q, valid & ~S,
+                                     mus, sigmas, Vs, fmin, beta, lip,
+                                     cand, width, chunk,
+                                     use_pallas=use_pallas)
+
+        next_idx = _select_query(Q, S, M, G, scaling, ucb)
+        res = _pack_result(Q, S, M, G, next_idx, has_safe)
+
+        if refined_idx is not None and refined_idx.shape[0] >= k:
+            # Reduced-precision mode: every row whose TRUE margin can
+            # sit inside the narrow f64 band was refined (the refine
+            # band covers the reduced-precision noise), so the triage
+            # runs over the refined subset — one small top_k instead of
+            # a second 4.3 ms full-grid sweep.
+            sub = _safety_margin(Q[refined_idx], fmin, scaling,
+                                 jnp.ones((refined_idx.shape[0],), bool))
+            sub = jnp.where(jnp.take(valid, refined_idx), sub, jnp.inf)
+            neg, j = jax.lax.top_k(-sub, k)
+            idx = jnp.take(refined_idx, j)
+            within = (-neg) < band
+            total_within = jnp.sum(sub < band)
+        else:
+            margin = _safety_margin(Q, fmin, scaling, valid)
+            neg, idx = jax.lax.top_k(-margin, k)
+            within = (-neg) < band
+            total_within = jnp.sum(margin < band)
+        packed = jnp.concatenate([
+            res.diag, total_within.astype(jnp.int32)[None],
+            refine_pop.astype(jnp.int32)[None],
+            idx.astype(jnp.int32), within.astype(jnp.int32),
+            S[idx].astype(jnp.int32)])
+    return res, packed
