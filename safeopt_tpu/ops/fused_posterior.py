@@ -81,7 +81,35 @@ def supports_kernel(kernel) -> bool:
 _TRI_TILE = 128
 
 
-def _tri_matmul(lm, kmat, acc):
+def _dot3(a, b, acc):
+    """3-pass bf16 emulation of an f32 matmul (``Precision.HIGH``
+    semantics) for Mosaic, which lowers only DEFAULT/HIGHEST dots.
+
+    Both operands split into exact bf16 hi/lo limbs (``hi = bf16(x)``,
+    ``lo = x - hi`` — exactly representable residual); the three
+    significant single-pass products accumulate in f32 on the MXU. The
+    lo@lo term is below the f32 accumulation floor and is dropped,
+    exactly like XLA's HIGH. Halves the MXU passes of the 6-pass
+    HIGHEST whitened solve; decision error measured at ~1e-4 scaled
+    through a kappa~1e6 factor (vs ~1e-2 for single-pass bf16, which
+    is unsalvageable — see docs/design.md), small enough for the f64
+    boundary certification band to absorb.
+    """
+    a_hi = a.astype(jnp.bfloat16).astype(acc)
+    a_lo = a - a_hi
+    b_hi = b.astype(jnp.bfloat16).astype(acc)
+    b_lo = b - b_hi
+
+    def dot(x, y):
+        return jax.lax.dot_general(
+            x, y, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=acc)
+
+    return dot(a_hi, b_hi) + dot(a_hi, b_lo) + dot(a_lo, b_hi)
+
+
+def _tri_matmul(lm, kmat, acc, three_pass: bool = False):
     """``lm @ kmat`` exploiting that ``lm`` is lower-triangular.
 
     For capacities >= 2 tiles the multiply is blocked and the
@@ -90,11 +118,38 @@ def _tri_matmul(lm, kmat, acc):
     dominant FLOPs of the hard-mode (many-observation) interval pass.
     Identical results to the single dot up to f32 summation order
     (each output tile is still accumulated left-to-right).
+
+    ``three_pass`` runs every tile product at the emulated 3-pass
+    precision (certified reduced-precision mode). The hi/lo bf16
+    splits are hoisted OUT of the tile loops — one VPU pass over
+    ``lm`` and ``kmat`` each, instead of per-tile-product casts that
+    were measured to eat the entire MXU saving (docs/design.md).
     """
     cap = lm.shape[0]
+    if three_pass:
+        lm_hi = lm.astype(jnp.bfloat16).astype(acc)
+        lm_lo = lm - lm_hi
+        km_hi = kmat.astype(jnp.bfloat16).astype(acc)
+        km_lo = kmat - km_hi
+
+        def dotp(x, y):
+            return jax.lax.dot_general(
+                x, y, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.DEFAULT,
+                preferred_element_type=acc)
+
+        def dot_rows(r0, r1, c0, c1):
+            return (dotp(lm_hi[r0:r1, c0:c1], km_hi[c0:c1, :])
+                    + dotp(lm_hi[r0:r1, c0:c1], km_lo[c0:c1, :])
+                    + dotp(lm_lo[r0:r1, c0:c1], km_hi[c0:c1, :]))
+    else:
+        def dot_rows(r0, r1, c0, c1):
+            return jax.lax.dot_general(
+                lm[r0:r1, c0:c1], kmat[c0:c1, :],
+                (((1,), (0,)), ((), ())), preferred_element_type=acc)
+
     if cap < 2 * _TRI_TILE or cap % _TRI_TILE:
-        return jax.lax.dot_general(lm, kmat, (((1,), (0,)), ((), ())),
-                                   preferred_element_type=acc)
+        return dot_rows(0, cap, 0, cap)
     nt = cap // _TRI_TILE
     rows = []
     for i in range(nt):
@@ -102,10 +157,7 @@ def _tri_matmul(lm, kmat, acc):
         tile = None
         for j in range(i + 1):
             c0 = j * _TRI_TILE
-            part = jax.lax.dot_general(
-                lm[r0:r0 + _TRI_TILE, c0:c0 + _TRI_TILE],
-                kmat[c0:c0 + _TRI_TILE, :],
-                (((1,), (0,)), ((), ())), preferred_element_type=acc)
+            part = dot_rows(r0, r0 + _TRI_TILE, c0, c0 + _TRI_TILE)
             tile = part if tile is None else tile + part
         rows.append(tile)
     return jnp.concatenate(rows, axis=0)
@@ -227,7 +279,7 @@ def _part_gram(a, b_t, scales_ref, pvar_ref, kinds, acc,
 def _interval_kernel(zt_ref, xs_ref, lm_ref, w_ref, scales_ref, pvar_ref,
                      scal_ref, out_ref, *,
                      kinds: Tuple[Tuple[str, ...], ...],
-                     prescaled: bool):
+                     prescaled: bool, three_pass: bool = False):
     """One grid block: gram tile -> whitened solve -> intervals."""
     zt = zt_ref[:]                      # (d, B) grid block
     xs = xs_ref[:]                      # (cap, d) training inputs
@@ -242,7 +294,7 @@ def _interval_kernel(zt_ref, xs_ref, lm_ref, w_ref, scales_ref, pvar_ref,
                       prescaled=prescaled)
 
     # V = Lm @ kmat : (cap, cap) x (cap, B), upper tiles skipped
-    V = _tri_matmul(lm, kmat, acc)
+    V = _tri_matmul(lm, kmat, acc, three_pass=three_pass)
 
     # mu as a VPU reduction: a (1, cap) x (cap, B) MXU dot pads the
     # single row to a full tile and costs ~1/4 of the V matmul at
@@ -256,10 +308,12 @@ def _interval_kernel(zt_ref, xs_ref, lm_ref, w_ref, scales_ref, pvar_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("kinds", "block", "prescaled"))
+                   static_argnames=("kinds", "block", "prescaled",
+                                    "three_pass"))
 def _fused_intervals_impl(zt, xs, lm, w_row, scales, pvar, scal,
                           *, kinds: Tuple[Tuple[str, ...], ...],
-                          block: int, prescaled: bool):
+                          block: int, prescaled: bool,
+                          three_pass: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -274,7 +328,7 @@ def _fused_intervals_impl(zt, xs, lm, w_row, scales, pvar, scal,
 
     return pl.pallas_call(
         functools.partial(_interval_kernel, kinds=kinds,
-                          prescaled=prescaled),
+                          prescaled=prescaled, three_pass=three_pass),
         out_shape=jax.ShapeDtypeStruct((2, n), zt.dtype),
         grid=grid,
         in_specs=[
@@ -313,7 +367,8 @@ def _pick_block(cap: int, extra_rows: int = 0, budget_bytes: int = 6 << 20,
 
 
 def fused_intervals(kernel, state, grid: jnp.ndarray, beta,
-                    block: int = 0) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                    block: int = 0, three_pass: bool = False
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(l, u) interval columns for one GP over the grid, fused.
 
     Pads the grid to a block multiple; callers slice the result. Raises
@@ -354,7 +409,8 @@ def fused_intervals(kernel, state, grid: jnp.ndarray, beta,
             [zt, jnp.zeros((zt.shape[0], pad), dtype)], axis=1)
     out = _fused_intervals_impl(zt, xs, lm, w_row, scales, pvars[None, :],
                                 scal, kinds=kinds, block=block,
-                                prescaled=prescale_ls is not None)
+                                prescaled=prescale_ls is not None,
+                                three_pass=three_pass)
     return out[0, :n], out[1, :n]
 
 
@@ -363,7 +419,8 @@ def fused_intervals(kernel, state, grid: jnp.ndarray, beta,
 # ---------------------------------------------------------------------------
 
 def _interval_kernel_multi(zt_ref, ils_ref, xs_ref, lm_ref, w_ref, scal_ref,
-                           out_ref, *, kind: str, num_gps: int):
+                           out_ref, *, kind: str, num_gps: int,
+                           three_pass: bool = False):
     """All GPs' interval rows from one pass over the grid block.
 
     Identical math to ``_interval_kernel`` unrolled over a leading GP
@@ -401,7 +458,7 @@ def _interval_kernel_multi(zt_ref, ils_ref, xs_ref, lm_ref, w_ref, scal_ref,
             s3r = jnp.sqrt(jnp.asarray(3.0, acc)) * r
             kmat = variance * (1.0 + s3r) * jnp.exp(-s3r)
 
-        V = _tri_matmul(lm_ref[g], kmat, acc)
+        V = _tri_matmul(lm_ref[g], kmat, acc, three_pass=three_pass)
         # VPU mu reduction — see _interval_kernel
         mu = jnp.sum(w_ref[g][:, None] * V, axis=0)
         var = jnp.maximum(kdiag - jnp.sum(V * V, axis=0), 0.0)
@@ -410,9 +467,11 @@ def _interval_kernel_multi(zt_ref, ils_ref, xs_ref, lm_ref, w_ref, scal_ref,
         out_ref[g, 1, :] = mu + spread
 
 
-@functools.partial(jax.jit, static_argnames=("kind", "block", "num_gps"))
+@functools.partial(jax.jit, static_argnames=("kind", "block", "num_gps",
+                                             "three_pass"))
 def _fused_intervals_multi_impl(zt, ils, xs, lm, w, scal, *, kind: str,
-                                block: int, num_gps: int):
+                                block: int, num_gps: int,
+                                three_pass: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -423,7 +482,7 @@ def _fused_intervals_multi_impl(zt, ils, xs, lm, w, scal, *, kind: str,
 
     return pl.pallas_call(
         functools.partial(_interval_kernel_multi, kind=kind,
-                          num_gps=num_gps),
+                          num_gps=num_gps, three_pass=three_pass),
         out_shape=jax.ShapeDtypeStruct((num_gps, 2, n), zt.dtype),
         grid=grid,
         in_specs=[
@@ -472,7 +531,7 @@ def supports_batched(kernels, states, d=None) -> bool:
 
 
 def fused_intervals_batched(kernels, states, grid: jnp.ndarray, beta,
-                            block: int = 0):
+                            block: int = 0, three_pass: bool = False):
     """Per-GP (l, u) interval rows, one grid pass for every GP."""
     dtype = grid.dtype
     n, d = grid.shape
@@ -503,5 +562,6 @@ def fused_intervals_batched(kernels, states, grid: jnp.ndarray, beta,
     out = _fused_intervals_multi_impl(
         zt, jnp.stack(ils_rows), jnp.stack(xs_rows), jnp.stack(lm_rows),
         jnp.stack(w_rows), jnp.stack(scal_rows),
-        kind=_kind_of(kernels[0]), block=block, num_gps=num_gps)
+        kind=_kind_of(kernels[0]), block=block, num_gps=num_gps,
+        three_pass=three_pass)
     return [(out[g, 0, :n], out[g, 1, :n]) for g in range(num_gps)]

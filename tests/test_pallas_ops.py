@@ -343,3 +343,70 @@ def test_batched_rejects_narrow_kernels():
                     atol=1e-10)
     np.testing.assert_array_equal(np.asarray(r2.S), np.asarray(r1.S))
     assert int(r2.next_idx) == int(r1.next_idx)
+
+
+# ---------------------------------------------------------------------------
+# round 3: emulated 3-pass precision (certified reduced-precision mode)
+# ---------------------------------------------------------------------------
+
+
+def test_dot3_approximates_full_precision():
+    """The hi/lo bf16 3-pass emulation reproduces the full-precision
+    product to ~bf16^2 relative accuracy (the XLA HIGH contract)."""
+    import jax.numpy as jnp
+
+    from safeopt_tpu.ops.fused_posterior import _dot3
+
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.normal(size=(64, 64)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(64, 128)), jnp.float32)
+    exact = np.asarray(a) @ np.asarray(b)
+    approx = np.asarray(_dot3(a, b, jnp.float32))
+    scale = np.abs(exact).max()
+    assert np.max(np.abs(approx - exact)) / scale < 5e-5
+
+
+def test_fused_intervals_three_pass_close_to_exact():
+    d = 2
+    kern = RBF(d, variance=2.0, lengthscale=0.8)
+    X = RNG.uniform(-2, 2, size=(10, d))
+    Y = RNG.normal(size=(10, 1))
+    gp = GPRegression(X, Y, kern, noise_var=0.01)
+    grid = RNG.uniform(-3, 3, size=(300, d))
+    beta = 2.0
+    l3, u3 = fused_intervals(kern, gp.state, np.asarray(grid, float),
+                             beta, block=128, three_pass=True)
+    l, u = fused_intervals(kern, gp.state, np.asarray(grid, float),
+                           beta, block=128)
+    # three-pass noise is tiny relative to the interval magnitudes
+    assert_allclose(np.asarray(l3), np.asarray(l), atol=5e-4)
+    assert_allclose(np.asarray(u3), np.asarray(u), atol=5e-4)
+    assert not np.array_equal(np.asarray(l3), np.asarray(l))
+
+
+def test_certified_scan_high_precision_pallas_path():
+    """interval_precision='high' + use_pallas runs the emulated 3-pass
+    kernel (Mosaic has no HIGH dot) and, with the refinement bands,
+    reproduces the full-precision decisions on a benign problem."""
+    import jax.numpy as jnp
+
+    from safeopt_tpu import linearly_spaced_combinations
+    from safeopt_tpu.algorithms.safe_opt_core import certified_scan
+
+    d = 2
+    kern = RBF(d, variance=2.0, lengthscale=1.0)
+    X = RNG.uniform(-1.5, 1.5, size=(12, d))
+    Y = (1.0 + np.exp(-0.5 * np.sum(X ** 2, axis=1)))[:, None]
+    gp = GPRegression(X, Y, kern, noise_var=1e-3)
+    grid = jnp.asarray(np.asarray(linearly_spaced_combinations(
+        [(-3.0, 3.0), (-3.0, 3.0)], 40)))
+    dtype = gp.state.X.dtype
+    common = ((kern,), (gp.state,), grid, jnp.asarray([0.9], dtype),
+              jnp.asarray(2.0, dtype), jnp.asarray([np.sqrt(2.0)], dtype),
+              jnp.asarray([0.0], dtype), jnp.asarray(1e-3, dtype))
+    res3, packed3 = certified_scan(
+        *common, refine_band=jnp.asarray(5e-3, dtype), k=64, refine_k=32,
+        refine_band_k=256, use_pallas=True, interval_precision="high")
+    res, packed = certified_scan(*common, k=64, use_pallas=True)
+    np.testing.assert_array_equal(np.asarray(res3.S), np.asarray(res.S))
+    assert int(np.asarray(packed3)[1]) == int(np.asarray(packed)[1])
