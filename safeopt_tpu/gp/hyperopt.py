@@ -25,7 +25,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["log_marginal_likelihood", "fit_hyperparameters"]
+__all__ = ["log_marginal_likelihood", "sparse_log_marginal_likelihood",
+           "fit_hyperparameters"]
 
 
 def log_marginal_likelihood(kernel, X: jnp.ndarray, Y: jnp.ndarray,
@@ -44,20 +45,62 @@ def log_marginal_likelihood(kernel, X: jnp.ndarray, Y: jnp.ndarray,
             - 0.5 * n * jnp.log(2.0 * jnp.pi))
 
 
+def sparse_log_marginal_likelihood(kernel, X, Y, Z, noise_var):
+    """DTC log marginal likelihood in O(m^2 n).
+
+    ``log N(y; 0, K_xz K_zz^-1 K_zx + s2 I)`` via the Woodbury
+    identity with ``A = K_zz + K_zx K_xz / s2``:
+
+        logdet = n log s2 + logdet A - logdet K_zz
+        quad   = (y.y - (K_zx y)^T A^-1 (K_zx y) / s2) / s2
+
+    Differentiable through both Choleskys, so the same log-space Adam
+    machinery fits sparse models (``lml_fn`` hook of
+    ``fit_hyperparameters``). Inducing locations Z stay fixed.
+    """
+    X = jnp.asarray(X)
+    Y = jnp.asarray(Y).reshape(X.shape[0], -1)
+    Z = jnp.asarray(Z)
+    n, m = X.shape[0], Z.shape[0]
+    s2 = noise_var
+    Kzz = kernel.K(Z) + 1e-8 * jnp.eye(m, dtype=X.dtype)
+    Kzx = kernel.K(Z, X)
+    A = Kzz + Kzx @ Kzx.T / s2
+    La = jnp.linalg.cholesky(A)
+    Lz = jnp.linalg.cholesky(Kzz)
+    logdet = (n * jnp.log(s2)
+              + 2.0 * jnp.sum(jnp.log(jnp.diag(La)))
+              - 2.0 * jnp.sum(jnp.log(jnp.diag(Lz))))
+    y = Y[:, 0]
+    b = Kzx @ y
+    c = jax.scipy.linalg.cho_solve((La, True), b)
+    quad = (jnp.dot(y, y) - jnp.dot(b, c) / s2) / s2
+    return -0.5 * (quad + logdet + n * jnp.log(2.0 * jnp.pi))
+
+
 def fit_hyperparameters(kernel, X, Y, noise_var: float, *,
                         steps: int = 200, learning_rate: float = 0.05,
                         optimize_noise: bool = True,
-                        noise_floor: float = 1e-6
+                        noise_floor: float = 1e-6,
+                        restarts: int = 0, restart_scale: float = 1.5,
+                        seed: int = 0, lml_fn=None
                         ) -> Tuple[object, float, float]:
     """Maximize the marginal likelihood over kernel params (+ noise).
 
     All kernel pytree leaves (variances, lengthscales — scalar or ARD,
     through product compositions) are optimized in log space with Adam.
 
-    Returns ``(kernel, noise_var, final_lml)``. If the optimization
-    produces a non-finite marginal likelihood or non-finite parameters
-    (e.g. a degenerate gram collapsed the Cholesky), the input
-    hyperparameters are returned unchanged together with their own LML.
+    ``restarts`` adds that many extra runs from log-space-perturbed
+    initial points (``restart_scale`` standard deviations in log space,
+    deterministic per ``seed``) — the GPy ``optimize_restarts`` idiom
+    for multimodal LML surfaces. All runs are vmapped into ONE compiled
+    program; the best finite result wins. ``lml_fn(kernel, noise_var)
+    -> scalar`` overrides the objective (used by the sparse DTC model).
+
+    Returns ``(kernel, noise_var, best_lml)``. If every run produces a
+    non-finite marginal likelihood or non-finite parameters (e.g. a
+    degenerate gram collapsed the Cholesky), the input hyperparameters
+    are returned unchanged together with their own LML.
     """
     import logging
 
@@ -70,6 +113,9 @@ def fit_hyperparameters(kernel, X, Y, noise_var: float, *,
         X = jnp.asarray(np.asarray(X, dtype=np.float64), jnp.float64)
         Y = jnp.asarray(np.asarray(Y, dtype=np.float64).reshape(-1, 1),
                         jnp.float64)
+        if lml_fn is None:
+            def lml_fn(kern, nv):
+                return log_marginal_likelihood(kern, X, Y, nv)
 
         leaves, treedef = jax.tree_util.tree_flatten(kernel)
         params = {
@@ -88,7 +134,7 @@ def fit_hyperparameters(kernel, X, Y, noise_var: float, *,
 
         def loss(p):
             kern, nv = unpack(p)
-            return -log_marginal_likelihood(kern, X, Y, nv)
+            return -lml_fn(kern, nv)
 
         opt = optax.adam(learning_rate)
 
@@ -99,6 +145,10 @@ def fit_hyperparameters(kernel, X, Y, noise_var: float, *,
             def step(carry, _):
                 params, state = carry
                 val, grads = jax.value_and_grad(loss)(params)
+                # a NaN loss poisons Adam state permanently; freeze
+                # that restart instead so diverged inits fail cleanly
+                grads = jax.tree_util.tree_map(
+                    lambda g: jnp.where(jnp.isfinite(g), g, 0.0), grads)
                 updates, state = opt.update(grads, state)
                 params = optax.apply_updates(params, updates)
                 return (params, state), val
@@ -107,6 +157,27 @@ def fit_hyperparameters(kernel, X, Y, noise_var: float, *,
                                              length=steps)
             return params, -loss(params)
 
+        # Restart fan-out: run 0 starts from the CURRENT hyperparameters
+        # (preserving the single-run behavior); runs 1..r perturb every
+        # log-space coordinate. One vmapped program, not r compiles.
+        r = int(restarts)
+        if r > 0:
+            key = jax.random.key(seed)
+            # deterministic distinct keys per leaf position
+            flat, tdef = jax.tree_util.tree_flatten(params)
+            keys = jax.random.split(key, len(flat))
+            pert = [jax.random.normal(keys[i], (r,) + jnp.shape(f),
+                                      jnp.float64) * restart_scale
+                    for i, f in enumerate(flat)]
+            stacked = [jnp.concatenate(
+                [jnp.broadcast_to(f, (1,) + jnp.shape(f)),
+                 f[None] + p], axis=0) for f, p in zip(flat, pert)]
+            params_b = jax.tree_util.tree_unflatten(tdef, stacked)
+            runner = jax.jit(jax.vmap(run))
+        else:
+            params_b = jax.tree_util.tree_map(lambda v: v[None], params)
+            runner = jax.jit(jax.vmap(run))
+
         # Tiny problem; host CPU avoids per-step accelerator round trips.
         try:
             cpu = jax.devices("cpu")[0]
@@ -114,22 +185,29 @@ def fit_hyperparameters(kernel, X, Y, noise_var: float, *,
             cpu = None
         if cpu is not None:
             with jax.default_device(cpu):
-                params, lml = run(params)
+                params_b, lmls = runner(params_b)
         else:
-            params, lml = run(params)
+            params_b, lmls = runner(params_b)
 
-        params = jax.device_get(params)
-        lml = float(lml)
-        finite = np.isfinite(lml) and all(
-            np.all(np.isfinite(np.asarray(v)))
-            for v in jax.tree_util.tree_leaves(params))
-        if not finite:
+        params_b = jax.device_get(params_b)
+        lmls = np.asarray(lmls)
+        leaves_b = jax.tree_util.tree_leaves(params_b)
+        finite_params = np.array([
+            all(np.all(np.isfinite(np.asarray(v)[i])) for v in leaves_b)
+            for i in range(lmls.shape[0])])
+        ok = np.isfinite(lmls) & finite_params
+        if not ok.any():
             logging.warning(
-                "hyperparameter fit produced non-finite LML/params; "
-                "keeping the input hyperparameters")
-            lml0 = float(log_marginal_likelihood(
-                kernel, X, Y, jnp.asarray(noise_var, jnp.float64)))
+                "hyperparameter fit produced non-finite LML/params in "
+                "all %d run(s); keeping the input hyperparameters",
+                lmls.shape[0])
+            kern0, nv0 = unpack(params)
+            lml0 = float(lml_fn(kern0, nv0))
             return kernel, float(noise_var), lml0
+
+        best = int(np.argmax(np.where(ok, lmls, -np.inf)))
+        params = jax.tree_util.tree_map(lambda v: v[best], params_b)
+        lml = float(lmls[best])
 
         kern, nv = unpack(params)
         # Hand back host numpy leaves: the caller's device state casts

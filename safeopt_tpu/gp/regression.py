@@ -364,14 +364,21 @@ class GPRegression:
 
     def optimize_hyperparameters(self, steps: int = 200,
                                  learning_rate: float = 0.05,
-                                 optimize_noise: bool = True) -> float:
+                                 optimize_noise: bool = True,
+                                 restarts: int = 0,
+                                 seed: int = 0) -> float:
         """Fit kernel hyperparameters (and optionally the noise) by
         maximizing the exact log marginal likelihood (Adam in log
         space; see gp/hyperopt.py). GPy exposes this as
         ``gp.optimize()``; the reference never calls it, so this is
         new capability, not parity surface.
 
-        Returns the final log marginal likelihood.
+        ``restarts`` adds that many additional runs from log-space-
+        perturbed starting points (all vmapped into one compiled
+        program) and keeps the best finite fit — the standard defense
+        against multimodal LML surfaces (GPy's ``optimize_restarts``).
+
+        Returns the best log marginal likelihood.
         """
         from .hyperopt import fit_hyperparameters
 
@@ -379,7 +386,7 @@ class GPRegression:
         kern, noise, lml = fit_hyperparameters(
             self.kern, self._host.X[:n], self._host.Y[:n],
             self.noise_var, steps=steps, learning_rate=learning_rate,
-            optimize_noise=optimize_noise)
+            optimize_noise=optimize_noise, restarts=restarts, seed=seed)
         self.kern = kern
         self._host.kernel = kern
         self._host.noise_var = noise
@@ -397,6 +404,18 @@ class GPRegression:
         and ignored). Returns the final log marginal likelihood.
         """
         return self.optimize_hyperparameters(steps=max_iters)
+
+    def optimize_restarts(self, num_restarts: int = 5,
+                          max_iters: int = 200, seed: int = 0,
+                          **_gpy_compat) -> float:
+        """GPy-compatible multi-start hyperparameter fitting.
+
+        Mirrors ``GPy.core.GP.optimize_restarts(num_restarts=...)``:
+        one run from the current hyperparameters plus ``num_restarts``
+        perturbed starts, best finite LML wins. Returns that LML.
+        """
+        return self.optimize_hyperparameters(
+            steps=max_iters, restarts=num_restarts, seed=seed)
 
     def refit(self) -> None:
         """Refactorize from scratch (numerical hygiene escape hatch)."""

