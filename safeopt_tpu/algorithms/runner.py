@@ -50,7 +50,7 @@ def run_safeopt_loop(kernels, states, grid, fmin, beta, scaling, threshold,
                      use_lipschitz: bool = False, chunk: int = 64,
                      use_pallas: bool = False,
                      objective_args=None, contexts=None,
-                     betas=None) -> BOLoopResult:
+                     betas=None, it_keys=None) -> BOLoopResult:
     """Run ``n_iter`` complete SafeOpt iterations on device.
 
     Parameters
@@ -78,6 +78,12 @@ def run_safeopt_loop(kernels, states, grid, fmin, beta, scaling, threshold,
     betas : (n_iter,) array, optional
         Per-iteration confidence scale (the reference's callable
         ``beta(t)``, precomputed by the host); overrides ``beta``.
+    it_keys : (n_iter,) PRNG key array, optional
+        Explicit per-iteration keys instead of splitting ``key``. This
+        is the resume protocol: precompute ``jax.random.split(key,
+        total)`` once, run a prefix, checkpoint (utils/checkpoint.
+        save_state), and relaunch with the remaining key slice — the
+        resumed trajectory is bit-identical to the uninterrupted one.
 
     Every iteration performs the fused SafeOpt step (posterior +
     classification + expander search + selection), evaluates the
@@ -119,7 +125,7 @@ def run_safeopt_loop(kernels, states, grid, fmin, beta, scaling, threshold,
         out = (x, ys, result.next_idx, result.safe_count, result.has_safe)
         return states, out
 
-    keys = jax.random.split(key, n_iter)
+    keys = jax.random.split(key, n_iter) if it_keys is None else it_keys
     ctx_stream = (jnp.zeros((n_iter, 0), dtype) if contexts is None
                   else jnp.asarray(contexts, dtype))
     beta_stream = (jnp.broadcast_to(jnp.asarray(beta, dtype), (n_iter,))
@@ -150,7 +156,7 @@ def run_swarmopt_loop(kernels, states, iter_state, key, velocity_scale,
                       blb0, *, objectives: Tuple[Callable, ...],
                       n_iter: int, swarm_size: int, max_iters: int,
                       noise_std=0.0, ucb: bool = False,
-                      objective_args=None) -> SwarmLoopResult:
+                      objective_args=None, it_keys=None) -> SwarmLoopResult:
     """Run ``n_iter`` complete SafeOptSwarm iterations on device.
 
     The swarm analog of ``run_safeopt_loop`` — the reference's
@@ -170,6 +176,9 @@ def run_swarmopt_loop(kernels, states, iter_state, key, velocity_scale,
         host; t advances by one observation per iteration).
     greedy0, blb0 : (d,) array, scalar
         Initial greedy estimate and best lower bound.
+    it_keys : (n_iter,) PRNG key array, optional
+        Explicit per-iteration keys (the resume protocol; see
+        ``run_safeopt_loop``).
 
     Exact GPs only: the greedy swarm's special particles (most recent /
     best observation) are read from the GP state's padded X/Y buffers,
@@ -223,7 +232,7 @@ def run_swarmopt_loop(kernels, states, iter_state, key, velocity_scale,
                jnp.min(out.num_safe))
         return carry, rec
 
-    keys = jax.random.split(key, n_iter)
+    keys = jax.random.split(key, n_iter) if it_keys is None else it_keys
     init = (tuple(states), iter_state, jnp.asarray(greedy0, dtype),
             jnp.asarray(blb0, dtype))
     (states, sstate, _, _), (xs, ys, blbs, counts, ns_min) = jax.lax.scan(

@@ -57,7 +57,8 @@ def shard_campaigns(tree, mesh, axis: str = "data"):
 def run_safeopt_campaigns(kernels, states_batch, grid, fmin, beta, scaling,
                           threshold, keys, *, objectives, n_iter: int,
                           mesh=None, axis: str = "data",
-                          objective_args_batch=None, **loop_kwargs):
+                          objective_args_batch=None, it_keys=None,
+                          **loop_kwargs):
     """Run K independent on-device SafeOpt campaigns, one program.
 
     ``states_batch`` carries a leading campaign axis (see
@@ -76,11 +77,11 @@ def run_safeopt_campaigns(kernels, states_batch, grid, fmin, beta, scaling,
     """
     from ..algorithms.runner import run_safeopt_loop
 
-    def one(states, key, obj_args):
+    def one(states, key, obj_args, it_keys_k):
         return run_safeopt_loop(kernels, states, grid, fmin, beta, scaling,
                                 threshold, key, objectives=objectives,
                                 n_iter=n_iter, objective_args=obj_args,
-                                **loop_kwargs)
+                                it_keys=it_keys_k, **loop_kwargs)
 
     if mesh is not None:
         states_batch = shard_campaigns(states_batch, mesh, axis)
@@ -88,9 +89,12 @@ def run_safeopt_campaigns(kernels, states_batch, grid, fmin, beta, scaling,
         if objective_args_batch is not None:
             objective_args_batch = shard_campaigns(objective_args_batch,
                                                    mesh, axis)
-    in_axes = (0, 0, None if objective_args_batch is None else 0)
+        if it_keys is not None:
+            it_keys = shard_campaigns(it_keys, mesh, axis)
+    in_axes = (0, 0, None if objective_args_batch is None else 0,
+               None if it_keys is None else 0)
     return jax.vmap(one, in_axes=in_axes)(states_batch, keys,
-                                          objective_args_batch)
+                                          objective_args_batch, it_keys)
 
 
 def run_swarmopt_campaigns(kernels, states_batch, iter_states, keys,
@@ -98,7 +102,8 @@ def run_swarmopt_campaigns(kernels, states_batch, iter_states, keys,
                            betas, greedy0s, blb0s, *, objectives,
                            n_iter: int, swarm_size: int, max_iters: int,
                            mesh=None, axis: str = "data",
-                           objective_args_batch=None, **loop_kwargs):
+                           objective_args_batch=None, it_keys=None,
+                           **loop_kwargs):
     """Run K independent on-device SafeOptSwarm campaigns, one program.
 
     The swarm analog of ``run_safeopt_campaigns``: ``states_batch``,
@@ -113,13 +118,14 @@ def run_swarmopt_campaigns(kernels, states_batch, iter_states, keys,
     """
     from ..algorithms.runner import run_swarmopt_loop
 
-    def one(states, sstate, key, greedy0, blb0, obj_args):
+    def one(states, sstate, key, greedy0, blb0, obj_args, it_keys_k):
         return run_swarmopt_loop(kernels, states, sstate, key,
                                  velocity_scale, bounds, fmin, scaling,
                                  threshold, betas, greedy0, blb0,
                                  objectives=objectives, n_iter=n_iter,
                                  swarm_size=swarm_size, max_iters=max_iters,
-                                 objective_args=obj_args, **loop_kwargs)
+                                 objective_args=obj_args,
+                                 it_keys=it_keys_k, **loop_kwargs)
 
     if mesh is not None:
         states_batch = shard_campaigns(states_batch, mesh, axis)
@@ -130,8 +136,11 @@ def run_swarmopt_campaigns(kernels, states_batch, iter_states, keys,
         if objective_args_batch is not None:
             objective_args_batch = shard_campaigns(objective_args_batch,
                                                    mesh, axis)
+        if it_keys is not None:
+            it_keys = shard_campaigns(it_keys, mesh, axis)
     in_axes = (0, 0, 0, 0, 0,
-               None if objective_args_batch is None else 0)
+               None if objective_args_batch is None else 0,
+               None if it_keys is None else 0)
     return jax.vmap(one, in_axes=in_axes)(states_batch, iter_states, keys,
                                           greedy0s, blb0s,
-                                          objective_args_batch)
+                                          objective_args_batch, it_keys)

@@ -31,7 +31,7 @@ from ..gp import kernels as _kernels
 from ..gp.regression import GPRegression
 from ..gp.sparse import SparseGPRegression
 
-__all__ = ["save", "load"]
+__all__ = ["save", "load", "save_state", "load_state"]
 
 _KERNEL_CLASSES = {"RBF": _kernels.RBF, "Matern32": _kernels.Matern32,
                    "Matern52": _kernels.Matern52,
@@ -143,6 +143,11 @@ def save(opt, path: str) -> None:
         meta["exact_boundaries"] = bool(opt._exact_boundaries)
         meta["boundary_band"] = float(opt._boundary_band)
         meta["boundary_k"] = int(opt._boundary_k)
+        if opt._interval_precision is not None:
+            meta["interval_precision"] = str(opt._interval_precision)
+        meta["refine_k"] = int(opt._refine_k)
+        meta["refine_band"] = float(opt._refine_band)
+        meta["refine_band_k"] = int(opt._refine_band_k)
         if opt.num_contexts:
             arrays["context"] = np.asarray(opt.context)
     elif isinstance(opt, SafeOptSwarm):
@@ -212,7 +217,11 @@ def load(path: str, beta=None):
                       use_pallas=meta.get("use_pallas"),
                       exact_boundaries=meta.get("exact_boundaries", False),
                       boundary_band=meta.get("boundary_band", 1e-3),
-                      boundary_k=meta.get("boundary_k", 1024))
+                      boundary_k=meta.get("boundary_k", 1024),
+                      interval_precision=meta.get("interval_precision"),
+                      refine_k=meta.get("refine_k", 0),
+                      refine_band=meta.get("refine_band", 5e-3),
+                      refine_band_k=meta.get("refine_band_k", 8192))
         if "use_lipschitz" in meta:
             opt.use_lipschitz = meta["use_lipschitz"]
         for i, g in enumerate(opt.gps):
@@ -242,3 +251,109 @@ def load(path: str, beta=None):
     opt._x = arrays["x"]
     opt._y = arrays["y"]
     return opt
+
+
+# ---------------------------------------------------------------------------
+# device loop-state persistence (on-device campaigns / fleets)
+# ---------------------------------------------------------------------------
+#
+# The host-object checkpointing above covers the wrapper classes; the
+# on-device loops (algorithms/runner.py) and vmapped fleets
+# (parallel/campaigns.py) instead carry their whole state as pytrees of
+# device arrays — batched GPStates, SwarmIterState safe-set buffers,
+# PRNG key streams, iteration cursors. save_state/load_state serialize
+# ANY such pytree (named-tuple structure encoded by field name, PRNG
+# keys via key_data) so a fleet that dies mid-campaign resumes exactly:
+# checkpoint {states, iter_state, remaining it_keys, cursor}, reload,
+# and relaunch the runner on the tail (see run_safeopt_loop's it_keys).
+
+
+def _state_types():
+    from ..algorithms.runner import BOLoopResult, SwarmLoopResult
+    from ..algorithms.swarm_opt_fused import SwarmIterState
+    from ..gp.regression import GPState
+
+    return {"GPState": GPState, "SwarmIterState": SwarmIterState,
+            "BOLoopResult": BOLoopResult, "SwarmLoopResult": SwarmLoopResult}
+
+
+def _is_prng_key(x) -> bool:
+    try:
+        return jax.dtypes.issubdtype(x.dtype, jax.dtypes.prng_key)
+    except (AttributeError, TypeError):
+        return False
+
+
+def _encode_state(obj, arrays, prefix):
+    types = _state_types()
+    for name, cls in types.items():
+        if isinstance(obj, cls):
+            return {"type": name, "fields": {
+                f: _encode_state(getattr(obj, f), arrays,
+                                 f"{prefix}{f}_")
+                for f in obj._fields}}
+    if isinstance(obj, dict):
+        return {"type": "dict", "items": {
+            k: _encode_state(v, arrays, f"{prefix}{k}_")
+            for k, v in obj.items()}}
+    if isinstance(obj, (tuple, list)):
+        return {"type": "tuple" if isinstance(obj, tuple) else "list",
+                "items": [_encode_state(v, arrays, f"{prefix}{i}_")
+                          for i, v in enumerate(obj)]}
+    if obj is None:
+        return {"type": "none"}
+    if _is_prng_key(obj):
+        key = prefix + "key"
+        arrays[key] = np.asarray(jax.random.key_data(obj))
+        return {"type": "prngkey", "key": key}
+    if isinstance(obj, (int, float, bool)):
+        return {"type": "scalar", "value": obj}
+    # arrays (device or host) — pulled to host numpy here
+    key = prefix + "a"
+    arrays[key] = np.asarray(obj)
+    return {"type": "array", "key": key}
+
+
+def _decode_state(spec, arrays):
+    types = _state_types()
+    t = spec["type"]
+    if t in types:
+        cls = types[t]
+        return cls(**{f: _decode_state(s, arrays)
+                      for f, s in spec["fields"].items()})
+    if t == "dict":
+        return {k: _decode_state(s, arrays)
+                for k, s in spec["items"].items()}
+    if t in ("tuple", "list"):
+        vals = [_decode_state(s, arrays) for s in spec["items"]]
+        return tuple(vals) if t == "tuple" else vals
+    if t == "none":
+        return None
+    if t == "prngkey":
+        return jax.random.wrap_key_data(arrays[spec["key"]])
+    if t == "scalar":
+        return spec["value"]
+    return arrays[spec["key"]]
+
+
+def save_state(path: str, tree) -> None:
+    """Serialize a device loop-state pytree to ``path`` (.npz).
+
+    Accepts any nesting of tuples/lists/dicts, the framework's state
+    NamedTuples (GPState, SwarmIterState, BOLoopResult,
+    SwarmLoopResult), JAX/numpy arrays (batched fleet axes included),
+    typed PRNG key arrays and Python scalars. Everything is pulled to
+    host numpy; ``load_state`` returns host arrays that feed straight
+    back into the jitted runners (which ship them to the device).
+    """
+    arrays = {}
+    spec = _encode_state(tree, arrays, "s_")
+    np.savez(path, __state__=json.dumps(spec), **arrays)
+
+
+def load_state(path: str):
+    """Rebuild a device loop-state pytree saved by ``save_state``."""
+    data = np.load(path, allow_pickle=False)
+    spec = json.loads(str(data["__state__"]))
+    arrays = {k: data[k] for k in data.files if k != "__state__"}
+    return _decode_state(spec, arrays)
