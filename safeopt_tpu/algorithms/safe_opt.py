@@ -162,13 +162,24 @@ class SafeOpt(GaussianProcessOptimization):
             # Fused Mosaic path on real TPUs when every kernel supports
             # it (stationary kernels and their products, including the
             # contextual composition); XLA path on CPU (tests) and for
-            # anything else.
+            # anything else. Composite (Product/Sum) kernels measure a
+            # fused win only away from the latency floor — hardware
+            # sweep (bench context_* rows): 0.9-1.1x at 1 GP/cap64,
+            # 1.6-1.9x at 2 GPs/cap>=256 — so products auto-enable only
+            # when the problem is big enough (capacity >= 128 or
+            # multiple GPs); plain stationary kernels always win fused.
             import jax
 
+            from ..gp.kernels import Product, Sum
             from ..ops.fused_posterior import supports_kernel
-            use_pallas = (jax.default_backend() not in ("cpu",)
-                          and all(supports_kernel(g.kern)
-                                  for g in self.gps))
+
+            on_tpu = jax.default_backend() not in ("cpu",)
+            supported = all(supports_kernel(g.kern) for g in self.gps)
+            composite = any(isinstance(g.kern, (Product, Sum))
+                            for g in self.gps)
+            big = (len(self.gps) >= 2
+                   or any(g.state.capacity >= 128 for g in self.gps))
+            use_pallas = on_tpu and supported and (not composite or big)
         self._use_pallas = bool(use_pallas)
 
         # Boundary certification: recompute the few near-threshold
@@ -520,7 +531,11 @@ class SafeOpt(GaussianProcessOptimization):
             safe_count=int(safe_count),
             maximizer_count=int(maximizer_count),
             expander_found=bool(expander_found),
-            next_index=idx, beta=float(self.beta(self.t))))
+            next_index=idx, beta=float(self.beta(self.t)),
+            band_population=int(self._band_population),
+            certified_corrections=int(self._certified_corrections),
+            band_overflow=bool(self._band_overflow
+                               or self._refine_band_overflow)))
         x = self.inputs[idx, :]
         if self.num_contexts:
             return x[: -self.num_contexts]

@@ -134,7 +134,12 @@ def _confidence_intervals(kernels, states, grid, beta, use_pallas=False,
                                            fused_intervals_batched,
                                            supports_batched, supports_kernel)
         if supports_batched(kernels, states, grid.shape[1]):
-            # one grid pass for every GP
+            # one grid pass for every GP. (A batched-parts variant for
+            # same-structure PRODUCT stacks was built and measured
+            # bit-identical but marginally SLOWER than one fused pass
+            # per GP — the 8 MB grid re-read is negligible while the
+            # split VMEM block budget is not — and removed; see
+            # docs/design.md round-3 negative results.)
             for l, u in fused_intervals_batched(kernels, states, grid,
                                                 beta,
                                                 three_pass=three_pass):

@@ -26,7 +26,7 @@ import numpy as np
 import scipy.linalg
 
 from .kernels import (Bias, Exponential, Kernel, Matern32, Matern52,
-                      Product, RatQuad, RBF, Sum, White)
+                      Product, RatQuad, RBF, StdPeriodic, Sum, White)
 
 __all__ = ["np_kernel", "np_kdiag", "HostFactor"]
 
@@ -65,6 +65,21 @@ def np_kernel(kernel: Kernel, X: np.ndarray,
         n = np.atleast_2d(X).shape[0]
         m = n if X2 is None else np.atleast_2d(X2).shape[0]
         return float(kernel.variance) * np.ones((n, m))
+    if isinstance(kernel, StdPeriodic):
+        dims = list(kernel.active_dims)
+        Xa = np.atleast_2d(np.asarray(X, dtype=np.float64))[:, dims]
+        Za = (Xa if X2 is None
+              else np.atleast_2d(np.asarray(X2, dtype=np.float64))[:, dims])
+        period = np.broadcast_to(np.asarray(kernel.period, np.float64),
+                                 (kernel.input_dim,))
+        ls = np.broadcast_to(np.asarray(kernel.lengthscale, np.float64),
+                             (kernel.input_dim,))
+        s2 = np.zeros((Xa.shape[0], Za.shape[0]))
+        for j in range(kernel.input_dim):
+            base = np.pi * (Xa[:, j][:, None] - Za[:, j][None, :]) \
+                / period[j]
+            s2 += (np.sin(base) / ls[j]) ** 2
+        return float(kernel.variance) * np.exp(-0.5 * s2)
     if not isinstance(kernel, (RBF, Matern32, Matern52, Exponential,
                                RatQuad)):
         raise TypeError(f"no host implementation for {type(kernel).__name__}")

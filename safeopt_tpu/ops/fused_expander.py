@@ -60,10 +60,12 @@ def _expander_kernel(zt_ref, unsafe_ref, mu_ref, sigma_ref, xs_ref,
 
     # gram tiles by explicit per-dimension differences, product parts
     # multiplied in VMEM (see fused_posterior._part_gram)
-    kmat = _part_gram(xs, zt, scales_ref, pvar_ref, kinds, acc,
+    kmat = _part_gram(xs, zt, lambda p: pvar_ref[0, p],
+                      lambda p, k: scales_ref[p, k], kinds, acc,
                       prescaled=prescaled)                       # (cap, B)
     var = sigma * sigma
-    kc = _part_gram(xc, zt, scales_ref, pvar_ref, kinds, acc,
+    kc = _part_gram(xc, zt, lambda p: pvar_ref[0, p],
+                    lambda p, k: scales_ref[p, k], kinds, acc,
                     prescaled=prescaled)                         # (C, B)
     cross = jax.lax.dot_general(m2, kmat, (((1,), (0,)), ((), ())),
                                 preferred_element_type=acc)

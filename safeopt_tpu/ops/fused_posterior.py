@@ -221,11 +221,14 @@ def _part_plan(kernel, d: int, dtype):
     return kinds, scales, pvars, None, kdiag
 
 
-def _part_gram(a, b_t, scales_ref, pvar_ref, kinds, acc,
+def _part_gram(a, b_t, var_at, scale_at, kinds, acc,
                prescaled: bool = False):
     """Gram tile for a sum-of-products algebra of stationary kernels.
 
-    ``a`` is (rows, d), ``b_t`` is (d, B) features-first; scaled squared
+    ``var_at(p)`` / ``scale_at(p, k)`` read leaf p's variance and its
+    per-dim inverse lengthscale (accessors so single-GP and batched
+    multi-GP kernels share this body). ``a`` is (rows, d), ``b_t`` is
+    (d, B) features-first; scaled squared
     distances accumulate by explicit per-dimension differences — for
     the small input dims of BO problems this is a handful of VPU
     passes, avoids the catastrophic-cancellation form
@@ -245,7 +248,7 @@ def _part_gram(a, b_t, scales_ref, pvar_ref, kinds, acc,
     for term in kinds:
         kmat = None
         for kind in term:
-            variance = pvar_ref[0, p]
+            variance = var_at(p)
             if kind == "bias":
                 kp = jnp.full((a.shape[0], b_t.shape[1]), 1.0, acc) * variance
                 p += 1
@@ -254,7 +257,7 @@ def _part_gram(a, b_t, scales_ref, pvar_ref, kinds, acc,
                 for k in range(d):
                     diff = a[:, k][:, None] - b_t[k, :][None, :]
                     if not prescaled:
-                        diff = diff * scales_ref[p, k]
+                        diff = diff * scale_at(p, k)
                     r2 = r2 + diff * diff
                 if kind == "rbf":
                     kp = variance * jnp.exp(-0.5 * r2)
@@ -290,7 +293,8 @@ def _interval_kernel(zt_ref, xs_ref, lm_ref, w_ref, scales_ref, pvar_ref,
     kdiag = scal_ref[0, 1]
     beta = scal_ref[0, 2]
 
-    kmat = _part_gram(xs, zt, scales_ref, pvar_ref, kinds, acc,
+    kmat = _part_gram(xs, zt, lambda p: pvar_ref[0, p],
+                      lambda p, k: scales_ref[p, k], kinds, acc,
                       prescaled=prescaled)
 
     # V = Lm @ kmat : (cap, cap) x (cap, B), upper tiles skipped

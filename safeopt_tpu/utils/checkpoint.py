@@ -51,6 +51,13 @@ def _kernel_spec(kern, arrays, prefix):
             s1 = _kernel_spec(kern.k1, arrays, prefix + "p1_")
             s2 = _kernel_spec(kern.k2, arrays, prefix + "p2_")
             return {"type": cname, "k1": s1, "k2": s2}
+    if isinstance(kern, _kernels.StdPeriodic):
+        arrays[prefix + "variance"] = np.asarray(kern.variance)
+        arrays[prefix + "period"] = np.asarray(kern.period)
+        arrays[prefix + "lengthscale"] = np.asarray(kern.lengthscale)
+        return {"type": "StdPeriodic", "input_dim": kern.input_dim,
+                "ARD1": kern.ARD1, "ARD2": kern.ARD2,
+                "active_dims": list(kern.active_dims), "prefix": prefix}
     name = type(kern).__name__
     if name in _EXTRA_PARAM_CLASSES:
         _, extras = _EXTRA_PARAM_CLASSES[name]
@@ -79,6 +86,12 @@ def _kernel_from_spec(spec, arrays):
             _kernel_from_spec(spec["k1"], arrays),
             _kernel_from_spec(spec["k2"], arrays))
     p = spec["prefix"]
+    if spec["type"] == "StdPeriodic":
+        return _kernels.StdPeriodic(
+            spec["input_dim"], variance=arrays[p + "variance"],
+            period=arrays[p + "period"],
+            lengthscale=arrays[p + "lengthscale"], ARD1=spec["ARD1"],
+            ARD2=spec["ARD2"], active_dims=spec["active_dims"])
     if spec["type"] in _EXTRA_PARAM_CLASSES:
         cls, extras = _EXTRA_PARAM_CLASSES[spec["type"]]
         kw = {e: arrays[p + e] for e in extras}

@@ -78,6 +78,23 @@ def _register_serializations() -> None:
     for cls in (K.RBF, K.Matern32, K.Matern52, K.Exponential, K.RatQuad,
                 K.Bias, K.White):
         _once(_stationary, cls)
+
+    def _periodic(cls):
+        def ser(aux):
+            input_dim, ard1, ard2, active_dims, name = aux
+            return json.dumps([input_dim, ard1, ard2, list(active_dims),
+                               name]).encode()
+
+        def de(blob):
+            input_dim, ard1, ard2, active_dims, name = json.loads(
+                blob.decode())
+            return (input_dim, ard1, ard2, tuple(active_dims), name)
+
+        jexport.register_pytree_node_serialization(
+            cls, serialized_name=f"safeopt_tpu.{cls.__name__}",
+            serialize_auxdata=ser, deserialize_auxdata=de)
+
+    _once(_periodic, K.StdPeriodic)
     for cls in (K.Product, K.Sum):
         _once(_composite, cls)
     for nt in (GPState, StepResult, BOLoopResult, SwarmLoopResult,
@@ -88,7 +105,8 @@ def _register_serializations() -> None:
 
 #: kernel classes whose pytree aux can round-trip through jax.export.
 _SERIALIZABLE_KERNELS = ("RBF", "Matern32", "Matern52", "Exponential",
-                         "RatQuad", "Bias", "White", "Product", "Sum")
+                         "RatQuad", "StdPeriodic", "Bias", "White",
+                         "Product", "Sum")
 
 
 def _check_kernels_serializable(kernels) -> None:

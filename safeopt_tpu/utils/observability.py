@@ -31,6 +31,14 @@ class IterationStats:
     expander_found: bool        # G nonempty
     next_index: Optional[int]   # chosen grid index (SafeOpt only)
     beta: float
+    # certified-path telemetry (exact_boundaries runs only; zeros
+    # otherwise): candidates inside the f64 ambiguity band, f32
+    # verdicts the oracle overturned (each costs the correction
+    # dispatch), and whether any budget overflowed (voids the
+    # certification guarantee for the un-triaged rows)
+    band_population: int = 0
+    certified_corrections: int = 0
+    band_overflow: bool = False
 
     def as_dict(self):
         return dataclasses.asdict(self)

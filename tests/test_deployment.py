@@ -156,9 +156,11 @@ def test_every_public_kernel_exports():
         [(-2.0, 2.0), (-2.0, 2.0)], 7)))
     concrete = [K.RBF(2, variance=2.0), K.Matern32(2), K.Matern52(2),
                 K.Exponential(2), K.RatQuad(2, power=1.3),
+                K.StdPeriodic(2, period=[2.0, 3.0], ARD1=True),
                 K.RBF(2) + K.Bias(2, variance=0.1),
                 K.RBF(2) + K.White(2, variance=1e-3),
                 K.RBF(1, active_dims=[0]) * K.Matern32(1, active_dims=[1]),
+                K.StdPeriodic(2, period=1.5) * K.RBF(2, lengthscale=4.0),
                 K.RatQuad(2, power=2.0) + K.RBF(2)]
     for kern in concrete:
         gp = GPRegression(X, Y, kern, noise_var=0.01, capacity=8)

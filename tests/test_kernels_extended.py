@@ -334,3 +334,143 @@ class TestRatQuad:
         assert_allclose(float(np.asarray(opt2.gps[0].kern.power)), 1.7)
         assert_allclose(np.asarray(opt2.optimize()), np.asarray(x0),
                         atol=0)
+
+
+# ---------------------------------------------------------------------------
+# round 3: StdPeriodic (GPy standard periodic kernel)
+# ---------------------------------------------------------------------------
+
+
+class TestStdPeriodic:
+    def test_matches_direct_formula(self):
+        from safeopt_tpu.gp import StdPeriodic
+
+        rng = np.random.default_rng(0)
+        X = rng.uniform(-3, 3, size=(7, 2))
+        Z = rng.uniform(-3, 3, size=(5, 2))
+        kern = StdPeriodic(2, variance=1.7, period=[2.0, 3.0],
+                           lengthscale=0.8, ARD1=True)
+        K = np.asarray(kern.K(X, Z))
+        s2 = np.zeros((7, 5))
+        for j, T in enumerate([2.0, 3.0]):
+            base = np.pi * (X[:, j][:, None] - Z[:, j][None, :]) / T
+            s2 += (np.sin(base) / 0.8) ** 2
+        assert_allclose(K, 1.7 * np.exp(-0.5 * s2), rtol=1e-6)
+        assert_allclose(np.asarray(kern.Kdiag(X)), np.full(7, 1.7),
+                        rtol=1e-6)
+
+    def test_periodicity(self):
+        from safeopt_tpu.gp import StdPeriodic
+
+        kern = StdPeriodic(1, variance=2.0, period=1.5, lengthscale=0.7)
+        x = np.array([[0.3]])
+        z = np.array([[0.3 + 4 * 1.5]])       # shifted by whole periods
+        assert_allclose(float(kern.K(x, z)[0, 0]), 2.0, rtol=1e-5)
+
+    def test_host_f64_mirror_matches_device(self):
+        from safeopt_tpu.gp import StdPeriodic
+        from safeopt_tpu.gp.host_math import np_kernel, np_kdiag
+
+        rng = np.random.default_rng(1)
+        X = rng.uniform(-2, 2, size=(6, 2))
+        kern = StdPeriodic(2, variance=1.2, period=2.5,
+                           lengthscale=[0.5, 1.5], ARD2=True)
+        assert_allclose(np_kernel(kern, X), np.asarray(kern.K(X)),
+                        rtol=1e-6, atol=1e-8)
+        assert_allclose(np_kdiag(kern, X), np.asarray(kern.Kdiag(X)),
+                        rtol=1e-8)
+
+    def test_gp_regression_and_safeopt(self):
+        from safeopt_tpu import SafeOpt, linearly_spaced_combinations
+        from safeopt_tpu.gp import GPRegression, StdPeriodic
+
+        period = 2.0
+        X = np.linspace(-2, 2, 9)[:, None]
+        Y = 1.0 + np.cos(np.pi * X)            # period-2 signal
+        kern = StdPeriodic(1, variance=2.0, period=period,
+                           lengthscale=1.0)
+        gp = GPRegression(X, Y, kern, noise_var=1e-4)
+        # posterior mean repeats with the period
+        mu1, _ = gp.predict_noiseless(np.array([[0.25]]))
+        mu2, _ = gp.predict_noiseless(np.array([[0.25 + 2 * period]]))
+        assert abs(float(mu1[0, 0]) - float(mu2[0, 0])) < 1e-3
+
+        grid = linearly_spaced_combinations([(-4.0, 4.0)], 80)
+        opt = SafeOpt(gp, grid, fmin=[0.5])
+        x = opt.optimize()
+        assert -4.0 <= float(np.asarray(x)[0]) <= 4.0
+
+    def test_sum_and_product_composition(self):
+        from safeopt_tpu.gp import RBF, StdPeriodic
+        from safeopt_tpu.gp.host_math import np_kernel
+
+        rng = np.random.default_rng(2)
+        X = rng.uniform(-2, 2, size=(5, 1))
+        quasi = StdPeriodic(1, period=1.0) * RBF(1, lengthscale=5.0)
+        assert_allclose(np_kernel(quasi, X), np.asarray(quasi.K(X)),
+                        rtol=1e-6, atol=1e-8)
+        both = StdPeriodic(1, period=1.0) + RBF(1)
+        assert_allclose(np_kernel(both, X), np.asarray(both.K(X)),
+                        rtol=1e-6, atol=1e-8)
+
+    def test_hyperopt_fits_period(self):
+        from safeopt_tpu.gp import GPRegression, StdPeriodic
+
+        rng = np.random.default_rng(3)
+        X = np.sort(rng.uniform(-4, 4, size=(60, 1)), axis=0)
+        Y = np.sin(2 * np.pi * X / 1.5) + 0.05 * rng.normal(size=(60, 1))
+        gp = GPRegression(X, Y, StdPeriodic(1, variance=1.0, period=1.3,
+                                            lengthscale=1.0),
+                          noise_var=0.05)
+        lml0 = None
+        from safeopt_tpu.gp.hyperopt import log_marginal_likelihood
+        import jax
+        with jax.enable_x64(True):
+            lml0 = float(log_marginal_likelihood(gp.kern, X, Y, 0.05))
+        lml = gp.optimize_hyperparameters(steps=200)
+        assert lml > lml0
+        assert 1.2 < float(np.asarray(gp.kern.period)) < 1.8
+
+    def test_checkpoint_roundtrip(self, tmp_path):
+        from safeopt_tpu import SafeOpt, linearly_spaced_combinations
+        from safeopt_tpu.gp import GPRegression, StdPeriodic
+        from safeopt_tpu.utils import checkpoint
+
+        X = np.array([[0.0]])
+        Y = np.array([[1.5]])
+        kern = StdPeriodic(1, variance=2.0, period=1.7, lengthscale=0.9)
+        gp = GPRegression(X, Y, kern, noise_var=1e-3)
+        grid = linearly_spaced_combinations([(-2.0, 2.0)], 40)
+        opt = SafeOpt(gp, grid, fmin=[0.0])
+        path = str(tmp_path / "periodic.npz")
+        checkpoint.save(opt, path)
+        opt2 = checkpoint.load(path)
+        k2 = opt2.gps[0].kern
+        assert type(k2).__name__ == "StdPeriodic"
+        assert_allclose(float(np.asarray(k2.period)), 1.7)
+        np.testing.assert_array_equal(np.asarray(opt2.optimize()),
+                                      np.asarray(opt.optimize()))
+
+    def test_export_roundtrip(self):
+        import jax.numpy as jnp
+
+        from safeopt_tpu import linearly_spaced_combinations
+        from safeopt_tpu.algorithms.safe_opt_core import safeopt_step
+        from safeopt_tpu.gp import GPRegression, StdPeriodic
+        from safeopt_tpu.utils.deployment import export_step, load_step
+
+        X = np.linspace(-1, 1, 5)[:, None]
+        Y = 1.0 + np.cos(np.pi * X)
+        kern = StdPeriodic(1, variance=2.0, period=2.0, lengthscale=1.0)
+        gp = GPRegression(X, Y, kern, noise_var=1e-3, capacity=8)
+        grid = jnp.asarray(np.asarray(
+            linearly_spaced_combinations([(-2.0, 2.0)], 30)))
+        dtype = gp.state.X.dtype
+        args = ((gp.kern,), (gp.state,), grid, jnp.asarray([0.2], dtype),
+                jnp.asarray(2.0, dtype), jnp.asarray([np.sqrt(2.0)], dtype),
+                jnp.asarray([0.0], dtype))
+        served = load_step(export_step(*args, chunk=8))
+        out = served(*args)
+        ref = safeopt_step(*args, chunk=8)
+        np.testing.assert_array_equal(np.asarray(out.S), np.asarray(ref.S))
+        assert int(out.next_idx) == int(ref.next_idx)
