@@ -106,6 +106,14 @@ def fit_hyperparameters(kernel, X, Y, noise_var: float, *,
 
     import optax
 
+    from ..config import default_dtype
+
+    # The session's float width, captured BEFORE the x64 island: the
+    # fitted kernel leaves are cast back to it so an f32 session does
+    # not end up tracing f64 numpy hyperparameters (dtype-truncation
+    # warnings on every subsequent jit).
+    session_dtype = np.dtype(default_dtype())
+
     # Float64 island (CLAUDE.md invariant): the whole optimization —
     # gram, Cholesky, Adam state — runs in f64 even when the session
     # default is f32 (TPU sessions leave jax_enable_x64 off).
@@ -210,8 +218,9 @@ def fit_hyperparameters(kernel, X, Y, noise_var: float, *,
         lml = float(lmls[best])
 
         kern, nv = unpack(params)
-        # Hand back host numpy leaves: the caller's device state casts
-        # them to the session dtype; live f64 jnp leaves would clash
-        # with an f32 session once the x64 context exits.
-        kern = jax.tree_util.tree_map(lambda v: np.asarray(v), kern)
+        # Hand back host numpy leaves at the SESSION float width: live
+        # f64 jnp leaves (or f64 numpy) would clash with an f32 session
+        # once the x64 context exits.
+        kern = jax.tree_util.tree_map(
+            lambda v: np.asarray(v, dtype=session_dtype), kern)
     return kern, float(nv), lml

@@ -38,6 +38,8 @@ def _run(script, *argv):
     ("example_pendulum_tuning.py", ("--iters", "8")),
     ("example_pendulum_tuning.py", ("--iters", "3", "--fleet", "8")),
     ("example_campaign_fleet.py", ("--iters", "3")),
+    ("example_long_campaign.py", ("--n-pre", "60", "--iters", "6",
+                                  "--inducing", "9")),
 ], ids=["1d-grid", "1d-swarm", "2d", "multi-constraint", "context",
         "on-device-loop", "pendulum", "pendulum-fleet", "campaign-fleet"])
 def test_example_runs(script, argv, capsys):
