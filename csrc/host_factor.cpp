@@ -107,6 +107,52 @@ int gram_exponential(const double* X, int n, const double* Z, int m, int d,
     return 0;
 }
 
+// Rational quadratic gram: k = var * (1 + r^2/2)^(-power)
+// (GPy.kern.RatQuad; a scale mixture of RBFs).
+int gram_ratquad(const double* X, int n, const double* Z, int m, int d,
+                 const double* ls, double var, double power, double* out) {
+    double inv_ls[64];
+    if (d > 64) return 1;
+    for (int k = 0; k < d; ++k) inv_ls[k] = 1.0 / ls[k];
+    for (int i = 0; i < n; ++i) {
+        const double* xi = X + (size_t)i * d;
+        for (int j = 0; j < m; ++j) {
+            const double r2 = sq_scaled_dist(xi, Z + (size_t)j * d,
+                                             inv_ls, d);
+            out[(size_t)i * m + j] = var * std::pow(1.0 + 0.5 * r2,
+                                                    -power);
+        }
+    }
+    return 0;
+}
+
+// Standard periodic gram (GPy.kern.StdPeriodic convention):
+// k = var * exp(-0.5 * sum_j (sin(pi (x_j - z_j) / T_j) / l_j)^2)
+int gram_stdperiodic(const double* X, int n, const double* Z, int m,
+                     int d, const double* period, const double* ls,
+                     double var, double* out) {
+    double inv_ls[64], inv_T[64];
+    if (d > 64) return 1;
+    for (int k = 0; k < d; ++k) {
+        inv_ls[k] = 1.0 / ls[k];
+        inv_T[k] = M_PI / period[k];
+    }
+    for (int i = 0; i < n; ++i) {
+        const double* xi = X + (size_t)i * d;
+        for (int j = 0; j < m; ++j) {
+            const double* zj = Z + (size_t)j * d;
+            double s2 = 0.0;
+            for (int k = 0; k < d; ++k) {
+                const double s = std::sin((xi[k] - zj[k]) * inv_T[k])
+                                 * inv_ls[k];
+                s2 += s * s;
+            }
+            out[(size_t)i * m + j] = var * std::exp(-0.5 * s2);
+        }
+    }
+    return 0;
+}
+
 // In-place lower Cholesky of the leading n x n block of A (row-major,
 // stride = lda). Upper triangle is zeroed. Returns the 1-based index of
 // a non-positive pivot, or 0 on success.

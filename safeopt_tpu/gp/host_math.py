@@ -45,6 +45,12 @@ def _native_kind(kernel: Kernel):
     if isinstance(kernel, Exponential) and kernel.active_dims == tuple(
             range(kernel.input_dim)):
         return "exponential"
+    if isinstance(kernel, RatQuad) and kernel.active_dims == tuple(
+            range(kernel.input_dim)):
+        return "ratquad"
+    if isinstance(kernel, StdPeriodic) and kernel.active_dims == tuple(
+            range(kernel.input_dim)):
+        return "stdperiodic"
     return None
 
 
@@ -143,11 +149,20 @@ class HostFactor:
         self._use_native = native.available()
         self._native = native if self._use_native else None
 
+    def _native_gram(self, X: np.ndarray, Z: np.ndarray) -> np.ndarray:
+        kern = self.kernel
+        extras = {}
+        if self._native_kind == "ratquad":
+            extras["power"] = float(np.asarray(kern.power))
+        elif self._native_kind == "stdperiodic":
+            extras["period"] = np.asarray(kern.period, dtype=np.float64)
+        return self._native.gram(self._native_kind, X, Z,
+                                 np.asarray(kern.lengthscale),
+                                 float(kern.variance), **extras)
+
     def _gram(self, X: np.ndarray, Z: np.ndarray) -> np.ndarray:
         if self._use_native and self._native_kind is not None:
-            return self._native.gram(self._native_kind, X, Z,
-                                     np.asarray(self.kernel.lengthscale),
-                                     float(self.kernel.variance))
+            return self._native_gram(X, Z)
         return np_kernel(self.kernel, X, Z)
 
     def _gram_sym(self, X: np.ndarray) -> np.ndarray:
@@ -158,9 +173,7 @@ class HostFactor:
         but return 0 across two sets (kernels.White).
         """
         if self._use_native and self._native_kind is not None:
-            return self._native.gram(self._native_kind, X, X,
-                                     np.asarray(self.kernel.lengthscale),
-                                     float(self.kernel.variance))
+            return self._native_gram(X, X)
         return np_kernel(self.kernel, X)
 
     @property

@@ -62,11 +62,14 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.gram_matern32.argtypes = [_D, ci, _D, ci, ci, _D, cd, _D]
     lib.gram_matern52.argtypes = [_D, ci, _D, ci, ci, _D, cd, _D]
     lib.gram_exponential.argtypes = [_D, ci, _D, ci, ci, _D, cd, _D]
+    lib.gram_ratquad.argtypes = [_D, ci, _D, ci, ci, _D, cd, cd, _D]
+    lib.gram_stdperiodic.argtypes = [_D, ci, _D, ci, ci, _D, _D, cd, _D]
     lib.cholesky_lower.argtypes = [_D, ci, ci]
     lib.tri_inverse_lower.argtypes = [_D, ci, ci, _D]
     lib.border_append.argtypes = [_D, _D, _D, ci, ci, _D, cd, cd, _D]
     for f in (lib.gram_rbf, lib.gram_matern32, lib.gram_matern52,
-              lib.gram_exponential,
+              lib.gram_exponential, lib.gram_ratquad,
+              lib.gram_stdperiodic,
               lib.cholesky_lower, lib.tri_inverse_lower,
               lib.border_append):
         f.restype = ci
@@ -84,8 +87,9 @@ def _ptr(a: np.ndarray):
 
 
 def gram(kind: str, X: np.ndarray, Z: np.ndarray, ls: np.ndarray,
-         var: float) -> np.ndarray:
-    """Float64 gram k(X, Z): 'rbf'|'matern32'|'matern52'|'exponential'."""
+         var: float, power: float = None, period=None) -> np.ndarray:
+    """Float64 gram k(X, Z): 'rbf'|'matern32'|'matern52'|'exponential'
+    |'ratquad' (pass ``power``)|'stdperiodic' (pass ``period``)."""
     lib = _load()
     X = np.ascontiguousarray(X, dtype=np.float64)
     Z = np.ascontiguousarray(Z, dtype=np.float64)
@@ -93,11 +97,22 @@ def gram(kind: str, X: np.ndarray, Z: np.ndarray, ls: np.ndarray,
     ls = np.ascontiguousarray(np.broadcast_to(
         np.asarray(ls, dtype=np.float64).reshape(-1), (d,)))
     out = np.empty((X.shape[0], Z.shape[0]), dtype=np.float64)
-    fn = {"rbf": lib.gram_rbf, "matern32": lib.gram_matern32,
-          "matern52": lib.gram_matern52,
-          "exponential": lib.gram_exponential}[kind]
-    rc = fn(_ptr(X), X.shape[0], _ptr(Z), Z.shape[0], d, _ptr(ls),
-            float(var), _ptr(out))
+    if kind == "ratquad":
+        rc = lib.gram_ratquad(_ptr(X), X.shape[0], _ptr(Z), Z.shape[0],
+                              d, _ptr(ls), float(var), float(power),
+                              _ptr(out))
+    elif kind == "stdperiodic":
+        T = np.ascontiguousarray(np.broadcast_to(
+            np.asarray(period, dtype=np.float64).reshape(-1), (d,)))
+        rc = lib.gram_stdperiodic(_ptr(X), X.shape[0], _ptr(Z),
+                                  Z.shape[0], d, _ptr(T), _ptr(ls),
+                                  float(var), _ptr(out))
+    else:
+        fn = {"rbf": lib.gram_rbf, "matern32": lib.gram_matern32,
+              "matern52": lib.gram_matern52,
+              "exponential": lib.gram_exponential}[kind]
+        rc = fn(_ptr(X), X.shape[0], _ptr(Z), Z.shape[0], d, _ptr(ls),
+                float(var), _ptr(out))
     if rc != 0:
         raise RuntimeError(f"native gram failed (rc={rc})")
     return out

@@ -80,3 +80,60 @@ def test_host_factor_native_vs_scipy_paths():
     assert_allclose(hf_native.L, hf_scipy.L, rtol=1e-9, atol=1e-11)
     assert_allclose(hf_native.Linv, hf_scipy.Linv, rtol=1e-9, atol=1e-11)
     assert_allclose(hf_native.w, hf_scipy.w, rtol=1e-9, atol=1e-11)
+
+
+def test_native_ratquad_matches_numpy():
+    from safeopt_tpu import native
+    from safeopt_tpu.gp import RatQuad
+    from safeopt_tpu.gp.host_math import np_kernel
+
+    if not native.available():
+        import pytest
+        pytest.skip("native engine unavailable")
+    rng = np.random.default_rng(0)
+    X = rng.uniform(-2, 2, size=(7, 2))
+    Z = rng.uniform(-2, 2, size=(5, 2))
+    kern = RatQuad(2, variance=1.7, lengthscale=[0.8, 1.6], power=1.3,
+                   ARD=True)
+    got = native.gram("ratquad", X, Z, np.asarray(kern.lengthscale),
+                      1.7, power=1.3)
+    np.testing.assert_allclose(got, np_kernel(kern, X, Z), rtol=1e-12)
+
+
+def test_native_stdperiodic_matches_numpy():
+    from safeopt_tpu import native
+    from safeopt_tpu.gp import StdPeriodic
+    from safeopt_tpu.gp.host_math import np_kernel
+
+    if not native.available():
+        import pytest
+        pytest.skip("native engine unavailable")
+    rng = np.random.default_rng(1)
+    X = rng.uniform(-2, 2, size=(6, 2))
+    Z = rng.uniform(-2, 2, size=(4, 2))
+    kern = StdPeriodic(2, variance=2.1, period=[1.5, 2.5],
+                       lengthscale=0.7, ARD1=True)
+    got = native.gram("stdperiodic", X, Z, np.asarray(kern.lengthscale),
+                      2.1, period=np.asarray(kern.period))
+    np.testing.assert_allclose(got, np_kernel(kern, X, Z), rtol=1e-12)
+
+
+def test_hostfactor_native_dispatch_new_kernels():
+    """GPRegression on RatQuad/StdPeriodic rides the native gram when
+    available and stays equal to the NumPy path."""
+    from safeopt_tpu import native
+    from safeopt_tpu.gp import GPRegression, RatQuad, StdPeriodic
+    from safeopt_tpu.gp.host_math import _native_kind
+
+    rng = np.random.default_rng(2)
+    X = rng.uniform(-2, 2, size=(12, 2))
+    Y = np.sin(X[:, :1]) + 0.05 * rng.normal(size=(12, 1))
+    for kern in (RatQuad(2, variance=1.5, power=1.1),
+                 StdPeriodic(2, variance=1.5, period=2.0)):
+        assert _native_kind(kern) is not None
+        gp = GPRegression(X, Y, kern, noise_var=0.01)
+        if native.available():
+            assert gp._host._use_native
+        mu, var = gp.predict_noiseless(X[:4])
+        assert np.all(np.isfinite(np.asarray(mu)))
+        assert np.all(np.asarray(var) >= 0)
