@@ -83,7 +83,7 @@ def fit_hyperparameters(kernel, X, Y, noise_var: float, *,
                         optimize_noise: bool = True,
                         noise_floor: float = 1e-6,
                         restarts: int = 0, restart_scale: float = 1.5,
-                        seed: int = 0, lml_fn=None
+                        seed: int = 0, lml_fn=None, polish: bool = True
                         ) -> Tuple[object, float, float]:
     """Maximize the marginal likelihood over kernel params (+ noise).
 
@@ -94,8 +94,10 @@ def fit_hyperparameters(kernel, X, Y, noise_var: float, *,
     initial points (``restart_scale`` standard deviations in log space,
     deterministic per ``seed``) — the GPy ``optimize_restarts`` idiom
     for multimodal LML surfaces. All runs are vmapped into ONE compiled
-    program; the best finite result wins. ``lml_fn(kernel, noise_var)
-    -> scalar`` overrides the objective (used by the sparse DTC model).
+    program; the best finite result wins, then a BFGS ``polish`` pass
+    (GPy's optimizer family) sharpens it — kept only when finite and
+    better. ``lml_fn(kernel, noise_var) -> scalar`` overrides the
+    objective (used by the sparse DTC model).
 
     Returns ``(kernel, noise_var, best_lml)``. If every run produces a
     non-finite marginal likelihood or non-finite parameters (e.g. a
@@ -216,6 +218,38 @@ def fit_hyperparameters(kernel, X, Y, noise_var: float, *,
         best = int(np.argmax(np.where(ok, lmls, -np.inf)))
         params = jax.tree_util.tree_map(lambda v: v[best], params_b)
         lml = float(lmls[best])
+
+        if polish:
+            # BFGS polish from the best Adam iterate — GPy's
+            # ``optimize()`` is (L-)BFGS; Adam finds the basin, a
+            # quasi-Newton pass sharpens convergence (Adam's fixed step
+            # stalls ~1e-2 from the optimum on stiff LML surfaces).
+            # Kept only when finite AND better.
+            from jax.flatten_util import ravel_pytree
+            from jax.scipy.optimize import minimize as _jmin
+
+            v0, unravel = ravel_pytree(params)
+
+            def vec_loss(v):
+                return loss(unravel(v))
+
+            try:
+                if cpu is not None:
+                    with jax.default_device(cpu):
+                        res = _jmin(vec_loss, v0, method="BFGS",
+                                    options={"maxiter": 100})
+                else:
+                    res = _jmin(vec_loss, v0, method="BFGS",
+                                options={"maxiter": 100})
+                v1 = np.asarray(res.x)
+                lml1 = -float(res.fun)
+                if np.all(np.isfinite(v1)) and np.isfinite(lml1) \
+                        and lml1 > lml:
+                    params = jax.device_get(unravel(jnp.asarray(v1)))
+                    lml = lml1
+            except Exception:   # pragma: no cover - BFGS is best-effort
+                logging.debug("BFGS polish failed; keeping Adam result",
+                              exc_info=True)
 
         kern, nv = unpack(params)
         # Hand back host numpy leaves at the SESSION float width: live

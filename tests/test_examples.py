@@ -41,7 +41,8 @@ def _run(script, *argv):
     ("example_long_campaign.py", ("--n-pre", "60", "--iters", "6",
                                   "--inducing", "9")),
 ], ids=["1d-grid", "1d-swarm", "2d", "multi-constraint", "context",
-        "on-device-loop", "pendulum", "pendulum-fleet", "campaign-fleet"])
+        "on-device-loop", "pendulum", "pendulum-fleet", "campaign-fleet",
+        "long-campaign"])
 def test_example_runs(script, argv, capsys):
     _run(script, *argv)
     out = capsys.readouterr().out
