@@ -261,20 +261,27 @@ def _certified_secondary(gp_f, gp_g, grid):
 
     from safeopt_tpu import SafeOpt
 
+    def windows(fn, reps=5, k=3):
+        """Best of k short averaging windows: each optimize() pays one
+        mandatory blocking sync whose tunnel latency is bimodal (see
+        the expander-stress note) — the best window tracks the
+        iteration, not the tunnel."""
+        best = np.inf
+        for _ in range(k):
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                fn()
+            best = min(best, (time.perf_counter() - t0) / reps * 1e3)
+        return best
+
     opt = SafeOpt([gp_f, gp_g], grid, fmin=[0.2, 0.5],
                   exact_boundaries=True, boundary_band=1e-3)
     plain = SafeOpt([gp_f, gp_g], grid, fmin=[0.2, 0.5])
     opt.optimize()                       # compile both passes
-    reps = 10
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        opt.optimize()
-    cert_ms = (time.perf_counter() - t0) / reps * 1e3
+    reps = 5
+    cert_ms = windows(opt.optimize)
     plain.optimize()
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        plain.optimize()
-    plain_ms = (time.perf_counter() - t0) / reps * 1e3
+    plain_ms = windows(plain.optimize)
     S_cert = opt.S
     S_plain = plain.S
 
@@ -290,10 +297,7 @@ def _certified_secondary(gp_f, gp_g, grid):
     noflip = SafeOpt(gps2, grid, fmin=[-50.0, -50.0],
                      exact_boundaries=True, boundary_band=1e-3)
     noflip.optimize()
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        noflip.optimize()
-    noflip_ms = (time.perf_counter() - t0) / reps * 1e3
+    noflip_ms = windows(noflip.optimize)
 
     return {
         "certified_step_ms": round(cert_ms, 3),

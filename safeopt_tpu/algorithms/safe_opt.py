@@ -204,6 +204,15 @@ class SafeOpt(GaussianProcessOptimization):
                 "interval_precision requires exact_boundaries=True: "
                 "reduced-precision intervals are only safe under f64 "
                 "boundary certification")
+        if (interval_precision is not None
+                and self._refine_band < self._boundary_band):
+            # the f64 triage runs over the refined subset, which is
+            # selected by the refine band: a narrower refine band would
+            # silently hide true in-band rows from the oracle
+            raise ValueError(
+                f"refine_band ({self._refine_band}) must be >= "
+                f"boundary_band ({self._boundary_band}) so the refined "
+                "subset covers every possible f64-band row")
         if self._exact_boundaries:
             for g in self.gps:
                 if not hasattr(g, "_host"):

@@ -203,7 +203,8 @@ class TestReducedPrecisionIntervals:
         plain = SafeOpt(gp1, grid, fmin=[0.0], threshold=0.1)
         fast = SafeOpt(gp2, grid, fmin=[0.0], threshold=0.1,
                        exact_boundaries=True, boundary_band=1e-2,
-                       interval_precision="default", refine_k=64)
+                       interval_precision="default", refine_k=64,
+                       refine_band=2e-2)
         for _ in range(5):
             xp = np.asarray(plain.optimize())
             xf = np.asarray(fast.optimize())
@@ -267,3 +268,13 @@ class TestBudgetAndValidation:
         assert opt2._exact_boundaries is True
         assert opt2._boundary_band == 2e-3
         assert opt2._boundary_k == 16
+
+
+def test_refine_band_must_cover_boundary_band():
+    gp = GPRegression(np.array([[0.0]]), np.array([[1.5]]),
+                      RBF(1, variance=2.0), noise_var=1e-4)
+    grid = linearly_spaced_combinations([(-2.0, 2.0)], 50)
+    with pytest.raises(ValueError, match="refine_band"):
+        SafeOpt(gp, grid, fmin=[0.0], exact_boundaries=True,
+                interval_precision="high", refine_band=1e-4,
+                boundary_band=1e-3)
