@@ -279,7 +279,7 @@ class SafeOpt(GaussianProcessOptimization):
             self.inputs[:, -self.num_contexts:] = context
             self._grid_dirty = True
 
-    # -- lazy host mirrors of device results -----------------------------------
+    # -- lazy host mirrors of device results ---------------------------------
 
     def _mirror(self, name: str) -> np.ndarray:
         v = self._host_cache[name]
@@ -457,7 +457,7 @@ class SafeOpt(GaussianProcessOptimization):
             self._host_cache["G"] = None
         return result, diag
 
-    # -- reference API ---------------------------------------------------------
+    # -- reference API -------------------------------------------------------
 
     def update_confidence_intervals(self, context=None) -> None:
         """Recompute Q from the current GP posteriors.

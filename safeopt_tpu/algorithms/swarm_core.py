@@ -25,7 +25,7 @@ same stream to the NumPy reference implementation.
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Optional, Tuple
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -34,6 +34,8 @@ __all__ = ["SwarmRunResult", "swarm_scan", "make_uniform_stream"]
 
 
 class SwarmRunResult(NamedTuple):
+    """Device-side outputs of one full constrained-PSO run."""
+
     positions: jnp.ndarray        # (S, d) final particle positions
     velocities: jnp.ndarray       # (S, d) final velocities
     best_positions: jnp.ndarray   # (S, d) per-particle best (safe) positions

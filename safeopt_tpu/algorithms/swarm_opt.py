@@ -376,7 +376,7 @@ class SafeOptSwarm(GaussianProcessOptimization):
                 jnp.asarray(self.fmin, dtype),
                 jnp.asarray(self.scaling, dtype))
 
-    # -- reference API ----------------------------------------------------------
+    # -- reference API -------------------------------------------------------
 
     def optimize_particle_velocity(self) -> np.ndarray:
         """Optimal per-dimension particle velocities.

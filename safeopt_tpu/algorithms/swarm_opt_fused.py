@@ -271,7 +271,7 @@ def fused_swarm_optimize(kernels, states, state: SwarmIterState,
     best_lower_bound = jnp.where(has_safe_g, best_val,
                                  best_lower_bound_init)
 
-    # -- maximizers ------------------------------------------------------------
+    # -- maximizers ----------------------------------------------------------
     S, count, ns, pr, has_safe_m, res_m = run_one(
         S, count, greedy_point, best_lower_bound, key_m, "maximizers")
     num_safe.append(ns)
@@ -311,7 +311,7 @@ def fused_swarm_optimize(kernels, states, state: SwarmIterState,
                             greedy_point, best_lower_bound, std_maxi,
                             zero, ns, npr, na, count))
 
-    # -- expanders --------------------------------------------------------------
+    # -- expanders -----------------------------------------------------------
     S, count, ns, pr, has_safe_e, res_e = run_one(
         S, count, greedy_point, best_lower_bound, key_e, "expanders")
     num_safe.append(ns)

@@ -72,7 +72,8 @@ class Kernel:
 
     def copy(self) -> "Kernel":
         leaves, treedef = jax.tree_util.tree_flatten(self)
-        return jax.tree_util.tree_unflatten(treedef, [l.copy() for l in leaves])
+        return jax.tree_util.tree_unflatten(treedef,
+                                            [l.copy() for l in leaves])
 
     def __mul__(self, other: "Kernel") -> "Product":
         return Product(self, other)

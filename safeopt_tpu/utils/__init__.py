@@ -9,4 +9,5 @@ from .sampling import sample_gp_function
 
 __all__ = ["linearly_spaced_combinations", "sample_gp_function",
            "plot_2d_gp", "plot_3d_gp", "plot_contour_gp",
-           "export_step", "load_step", "export_campaign", "export_swarm_campaign"]
+           "export_step", "load_step", "export_campaign",
+           "export_swarm_campaign"]
