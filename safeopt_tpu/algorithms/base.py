@@ -110,10 +110,12 @@ class GaussianProcessOptimization:
 
     @property
     def x(self) -> np.ndarray:
+        """Global observation inputs (union across GPs; GPy-style)."""
         return self._x
 
     @property
     def y(self) -> np.ndarray:
+        """Global observations, one column per GP (NaN = unobserved)."""
         return self._y
 
     @property

@@ -295,13 +295,18 @@ class SafeOpt(GaussianProcessOptimization):
         self._host_cache[name] = value
 
     Q = property(lambda self: self._mirror("Q"),
-                 lambda self, v: self._set_mirror("Q", v))
+                 lambda self, v: self._set_mirror("Q", v),
+                 doc="(N, 2G) confidence intervals [l0, u0, l1, u1, ...]"
+                     " (lazy host mirror of the device result).")
     S = property(lambda self: self._mirror("S"),
-                 lambda self, v: self._set_mirror("S", v))
+                 lambda self, v: self._set_mirror("S", v),
+                 doc="(N,) certified-safe mask (lazy host mirror).")
     M = property(lambda self: self._mirror("M"),
-                 lambda self, v: self._set_mirror("M", v))
+                 lambda self, v: self._set_mirror("M", v),
+                 doc="(N,) potential-maximizer mask (lazy host mirror).")
     G = property(lambda self: self._mirror("G"),
-                 lambda self, v: self._set_mirror("G", v))
+                 lambda self, v: self._set_mirror("G", v),
+                 doc="(N,) potential-expander mask (lazy host mirror).")
 
     # -- device plumbing ------------------------------------------------------
 

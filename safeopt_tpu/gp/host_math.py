@@ -178,6 +178,7 @@ class HostFactor:
 
     @property
     def capacity(self) -> int:
+        """Padded buffer size of the factor state."""
         return self.X.shape[0]
 
     def set_data(self, X: np.ndarray, Y: np.ndarray) -> None:

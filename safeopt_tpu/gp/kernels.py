@@ -71,6 +71,7 @@ class Kernel:
         raise NotImplementedError
 
     def copy(self) -> "Kernel":
+        """Deep copy via the pytree protocol (GPy ``kern.copy()``)."""
         leaves, treedef = jax.tree_util.tree_flatten(self)
         return jax.tree_util.tree_unflatten(treedef,
                                             [l.copy() for l in leaves])
@@ -110,12 +111,14 @@ class _Stationary(Kernel):
 
     # -- pytree protocol -------------------------------------------------
     def tree_flatten(self):
+        """Pytree protocol: (traced hyperparameters, static aux)."""
         children = (self.variance, self.lengthscale)
         aux = (self.input_dim, self.ARD, self.active_dims, self.name)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
+        """Pytree protocol: rebuild from (aux, traced leaves)."""
         obj = object.__new__(cls)
         obj.input_dim, obj.ARD, obj.active_dims, obj.name = aux
         obj.variance, obj.lengthscale = children
@@ -237,12 +240,14 @@ class RatQuad(_Stationary):
                                  ).reshape(())
 
     def tree_flatten(self):
+        """Pytree protocol: power is a traced leaf like the others."""
         children = (self.variance, self.lengthscale, self.power)
         aux = (self.input_dim, self.ARD, self.active_dims, self.name)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
+        """Pytree protocol: rebuild from (aux, traced leaves)."""
         obj = object.__new__(cls)
         obj.input_dim, obj.ARD, obj.active_dims, obj.name = aux
         obj.variance, obj.lengthscale, obj.power = children
@@ -295,6 +300,7 @@ class StdPeriodic(Kernel):
                             if self.ARD2 else lengthscale.reshape(()))
 
     def tree_flatten(self):
+        """Pytree protocol: period is a traced leaf like the others."""
         children = (self.variance, self.period, self.lengthscale)
         aux = (self.input_dim, self.ARD1, self.ARD2, self.active_dims,
                self.name)
@@ -302,6 +308,7 @@ class StdPeriodic(Kernel):
 
     @classmethod
     def tree_unflatten(cls, aux, children):
+        """Pytree protocol: rebuild from (aux, traced leaves)."""
         obj = object.__new__(cls)
         (obj.input_dim, obj.ARD1, obj.ARD2, obj.active_dims,
          obj.name) = aux
@@ -400,10 +407,12 @@ class _Composite(Kernel):
                             | set(self.k2.active_dims)))
 
     def tree_flatten(self):
+        """Pytree protocol: both parts are child pytrees."""
         return (self.k1, self.k2), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
+        """Pytree protocol: rebuild from the two part kernels."""
         obj = object.__new__(cls)
         obj.k1, obj.k2 = children
         return obj

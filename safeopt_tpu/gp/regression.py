@@ -63,10 +63,12 @@ class GPState(NamedTuple):
 
     @property
     def capacity(self) -> int:
+        """Padded buffer size (compilation-stable row count)."""
         return self.X.shape[0]
 
     @property
     def input_dim(self) -> int:
+        """Input dimensionality d."""
         return self.X.shape[1]
 
 
@@ -260,20 +262,24 @@ class GPRegression:
     # -- GPy API surface ---------------------------------------------------
     @property
     def state(self) -> GPState:
+        """Device posterior state pytree feeding the jitted pipeline."""
         return self._state
 
     @property
     def num_data(self) -> int:
-        # host-side count: reading the device scalar would cost a full
-        # device->host round trip per access on remote accelerators
+        """Active observation count (host-side: reading the device
+        scalar would cost a full round trip per access on remote
+        accelerators)."""
         return int(self._host.count)
 
     @property
     def X(self) -> jnp.ndarray:
+        """Training inputs (device array, GPy ``gp.X``)."""
         return self._state.X[: self.num_data]
 
     @property
     def Y(self) -> jnp.ndarray:
+        """Training targets (device array, GPy ``gp.Y``)."""
         return self._state.Y[: self.num_data]
 
     @property
@@ -288,10 +294,12 @@ class GPRegression:
 
     @property
     def input_dim(self) -> int:
+        """Input dimensionality d (GPy ``gp.input_dim``)."""
         return self._state.input_dim
 
     @property
     def noise_var(self) -> float:
+        """Gaussian observation-noise variance."""
         return float(self._state.noise_var)
 
     def predict_noiseless(self, Xq) -> Tuple[jnp.ndarray, jnp.ndarray]:

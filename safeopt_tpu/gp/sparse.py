@@ -170,22 +170,27 @@ class SparseGPRegression:
 
     @property
     def state(self) -> GPState:
+        """Pseudo-factor GPState (inducing rows) for the device path."""
         return self._state
 
     @property
     def num_data(self) -> int:
+        """Observation count n (can far exceed the inducing count)."""
         return self._X.shape[0]
 
     @property
     def num_inducing(self) -> int:
+        """Inducing-point count m (bounds per-iteration cost)."""
         return self._m
 
     @property
     def X(self):
+        """Training inputs (host float64, all n rows)."""
         return self._X
 
     @property
     def Y(self):
+        """Training targets (host float64, all n rows)."""
         return self._Y
 
     # already host numpy; aliases keep the GPRegression surface uniform
@@ -194,6 +199,7 @@ class SparseGPRegression:
 
     @property
     def input_dim(self) -> int:
+        """Input dimensionality d."""
         return self._X.shape[1]
 
     def predict_noiseless(self, Xq):
@@ -250,6 +256,7 @@ class SparseGPRegression:
         self._refit()
 
     def refit(self) -> None:
+        """Full O(m^2 n) rebuild (numerical hygiene escape hatch)."""
         self._refit()
 
     def optimize_hyperparameters(self, steps: int = 200,

@@ -41,6 +41,7 @@ class IterationStats:
     band_overflow: bool = False
 
     def as_dict(self):
+        """Plain-dict view (for logging/JSON sinks)."""
         return dataclasses.asdict(self)
 
 
@@ -52,6 +53,7 @@ class StatsRecorder:
         self.history: List[IterationStats] = []
 
     def record(self, stats: IterationStats) -> None:
+        """Append one iteration's stats (evicts past ``maxlen``)."""
         self.history.append(stats)
         if len(self.history) > self.maxlen:
             self.history.pop(0)
@@ -59,9 +61,11 @@ class StatsRecorder:
 
     @property
     def last(self) -> Optional[IterationStats]:
+        """Most recent iteration's stats (None before any record)."""
         return self.history[-1] if self.history else None
 
     def summary(self) -> dict:
+        """Aggregate view: iteration count, mean step time, last |S|."""
         if not self.history:
             return {}
         times = [s.duration_s for s in self.history]
