@@ -271,6 +271,22 @@ class HostFactor:
         var = kdiag - np.sum(V * V, axis=0)
         return mu, np.maximum(var, 0.0)
 
+    def posterior_cov(self, Xq: np.ndarray) -> np.ndarray:
+        """Float64 full latent posterior covariance at query rows.
+
+        ``K(Xq, Xq) - V^T V`` with ``V = L^{-1} K(X, Xq)`` —
+        O(n^2 m + n m^2) for m query rows; used by posterior function
+        sampling (``GPRegression.posterior_samples_f``).
+        """
+        n = self.count
+        Xq = np.atleast_2d(np.asarray(Xq, dtype=np.float64))
+        Kqq = np_kernel(self.kernel, Xq)
+        if n == 0:
+            return Kqq
+        kvec = self._gram(self.X[:n], Xq)
+        V = self.Linv[:n, :n] @ kvec
+        return Kqq - V.T @ V
+
     def grown(self, new_capacity: int) -> "HostFactor":
         """Copy into a larger buffer (refactorizes for exactness)."""
         out = HostFactor(self.kernel, new_capacity, self.X.shape[1],

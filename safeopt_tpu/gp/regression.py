@@ -312,6 +312,62 @@ class GPRegression:
     # Gaussian likelihood equals predict_noiseless.
     _raw_predict = predict_noiseless
 
+    def predict(self, Xq, include_likelihood: bool = True
+                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Posterior (mean, var) at Xq, GPy ``gp.predict`` semantics:
+        the variance INCLUDES the observation-noise variance (set
+        ``include_likelihood=False`` for the latent posterior).
+
+        Beyond the reference's consumed surface (it only calls
+        ``predict_noiseless``, gp_opt.py:469); provided for GPy users
+        who predict observations rather than latent values.
+        """
+        mu, var = self.predict_noiseless(Xq)
+        if include_likelihood:
+            var = var + self._state.noise_var
+        return mu, var
+
+    def log_likelihood(self) -> float:
+        """Exact log marginal likelihood at the current
+        hyperparameters (GPy ``gp.log_likelihood()``), computed on the
+        host float64 island.
+        """
+        from .hyperopt import log_marginal_likelihood
+
+        n = self.num_data
+        with jax.enable_x64(True):
+            return float(log_marginal_likelihood(
+                self.kern, jnp.asarray(self._host.X[:n]),
+                jnp.asarray(self._host.Y[:n]),
+                jnp.asarray(float(self.noise_var), jnp.float64)))
+
+    def posterior_samples_f(self, Xq, size: int = 1, key=None
+                            ) -> np.ndarray:
+        """Draw joint samples of the LATENT function at ``Xq`` —
+        GPy ``gp.posterior_samples_f`` (shape (m, 1, size)).
+
+        The full posterior covariance is assembled and factored on the
+        host in float64 (an f32 factorization of a near-singular
+        posterior covariance NaNs out — same invariant as the training
+        factor); explicit ``key`` for reproducibility, seeded default.
+        """
+        Xq = np.atleast_2d(np.asarray(Xq, dtype=np.float64))
+        mu, _ = self._host.predict(Xq)
+        cov = self._host.posterior_cov(Xq)
+        cov = 0.5 * (cov + cov.T) + 1e-10 * np.eye(cov.shape[0])
+        # eigh handles the (common) near-singular posterior covariance
+        # where Cholesky would fail on a tiny negative eigenvalue
+        evals, evecs = np.linalg.eigh(cov)
+        root = evecs * np.sqrt(np.maximum(evals, 0.0))
+        if key is None:
+            key = jax.random.key(0)
+        eps = np.asarray(jax.random.normal(
+            key, (cov.shape[0], int(size)), dtype=jnp.float64
+            if jax.config.jax_enable_x64 else jnp.float32),
+            dtype=np.float64)
+        draws = mu[:, None] + root @ eps
+        return draws[:, None, :]                       # (m, 1, size)
+
     def append_data(self, x, y) -> None:
         """Fast path: append one observation (O(n^2) exact update)."""
         if self.num_data + 1 > self._host.capacity:

@@ -158,6 +158,7 @@ class SparseGPRegression:
         Yp = np.zeros((cap, 1))
 
         self._alpha = alpha
+        self._R = R                     # host f64 pseudo-factor (m, m)
         dtype = default_dtype()
         self._state = GPState(
             X=jnp.asarray(Xp, dtype), Y=jnp.asarray(Yp, dtype),
@@ -213,6 +214,50 @@ class SparseGPRegression:
         return mu[:, None], np.maximum(var, 0.0)[:, None]
 
     _raw_predict = predict_noiseless
+
+    def predict(self, Xq, include_likelihood: bool = True):
+        """DTC posterior (mean, var); variance includes the
+        observation noise unless ``include_likelihood=False`` (GPy
+        ``gp.predict`` semantics)."""
+        mu, var = self.predict_noiseless(Xq)
+        if include_likelihood:
+            var = var + self.noise_var
+        return mu, var
+
+    def log_likelihood(self) -> float:
+        """DTC log marginal likelihood at the current hyperparameters
+        (host float64, Woodbury identity — see
+        hyperopt.sparse_log_marginal_likelihood)."""
+        import jax
+
+        from .hyperopt import sparse_log_marginal_likelihood
+
+        with jax.enable_x64(True):
+            return float(sparse_log_marginal_likelihood(
+                self.kern, self._X, self._Y, self.Z, self.noise_var))
+
+    def posterior_samples_f(self, Xq, size: int = 1, key=None):
+        """Joint latent samples from the DTC posterior process at
+        ``Xq`` (GPy ``posterior_samples_f`` shape (m, 1, size));
+        float64 host covariance through the pseudo-factor R."""
+        import jax
+        import numpy as _np
+
+        Xq = _np.atleast_2d(_np.asarray(Xq, dtype=_np.float64))
+        kz = np_kernel(self.kern, self.Z, Xq)          # (m, q)
+        mu = kz.T @ self._alpha
+        V = self._R @ kz
+        cov = (np_kernel(self.kern, Xq) - V.T @ V
+               + 1e-10 * _np.eye(Xq.shape[0]))
+        evals, evecs = _np.linalg.eigh(0.5 * (cov + cov.T))
+        root = evecs * _np.sqrt(_np.maximum(evals, 0.0))
+        if key is None:
+            key = jax.random.key(0)
+        eps = _np.asarray(jax.random.normal(key,
+                                            (cov.shape[0], int(size))),
+                          dtype=_np.float64)
+        draws = mu[:, None] + root @ eps
+        return draws[:, None, :]
 
     def append_data(self, x, y) -> None:
         """O(m^2 + m^3) incremental append (no pass over the n rows)."""

@@ -370,3 +370,110 @@ class TestMatern52:
         m2, _ = opt2.gp.predict_noiseless(q)
         np.testing.assert_allclose(np.asarray(m2), np.asarray(m1),
                                    atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# round 3: GPy-compat prediction surface beyond the reference's consumption
+# ---------------------------------------------------------------------------
+
+
+class TestGPyCompatSurface:
+    def _gp(self, n=20, seed=4):
+        rng = np.random.default_rng(seed)
+        X = np.sort(rng.uniform(-3, 3, size=(n, 1)), axis=0)
+        Y = np.sin(X) + 0.05 * rng.normal(size=(n, 1))
+        return GPRegression(X, Y, RBF(1, variance=2.0, lengthscale=1.0),
+                            noise_var=0.05 ** 2)
+
+    def test_predict_adds_likelihood_noise(self):
+        gp = self._gp()
+        Xq = np.linspace(-3, 3, 9)[:, None]
+        mu_n, var_n = gp.predict_noiseless(Xq)
+        mu_p, var_p = gp.predict(Xq)
+        np.testing.assert_allclose(np.asarray(mu_p), np.asarray(mu_n))
+        np.testing.assert_allclose(np.asarray(var_p),
+                                   np.asarray(var_n) + 0.05 ** 2,
+                                   rtol=1e-6)
+        _, var_l = gp.predict(Xq, include_likelihood=False)
+        np.testing.assert_allclose(np.asarray(var_l), np.asarray(var_n))
+
+    def test_log_likelihood_matches_direct_formula(self):
+        gp = self._gp(n=15)
+        X = np.asarray(gp.X_host)
+        Y = np.asarray(gp.Y_host)
+        K = 2.0 * np.exp(-0.5 * (X - X.T) ** 2) + 0.05 ** 2 * np.eye(15)
+        sign, logdet = np.linalg.slogdet(K)
+        want = (-0.5 * Y[:, 0] @ np.linalg.solve(K, Y[:, 0])
+                - 0.5 * logdet - 7.5 * np.log(2 * np.pi))
+        np.testing.assert_allclose(gp.log_likelihood(), want, rtol=1e-8)
+
+    def test_posterior_samples_f_statistics(self):
+        import jax
+
+        gp = self._gp()
+        Xq = np.linspace(-3, 3, 7)[:, None]
+        draws = gp.posterior_samples_f(Xq, size=4000,
+                                       key=jax.random.key(1))
+        assert draws.shape == (7, 1, 4000)
+        mu, var = gp.predict_noiseless(Xq)
+        emp_mu = draws[:, 0, :].mean(axis=1)
+        emp_var = draws[:, 0, :].var(axis=1)
+        np.testing.assert_allclose(emp_mu, np.asarray(mu)[:, 0],
+                                   atol=4 * np.sqrt(
+                                       np.asarray(var)[:, 0].max() / 4000)
+                                   + 0.02)
+        np.testing.assert_allclose(emp_var, np.asarray(var)[:, 0],
+                                   rtol=0.15, atol=1e-4)
+        # samples at training points interpolate the data closely
+        d0 = gp.posterior_samples_f(np.asarray(gp.X_host)[:3], size=50,
+                                    key=jax.random.key(2))
+        spread = d0[:, 0, :].std(axis=1)
+        assert np.all(spread < 0.1)      # pinned by observations
+
+    def test_posterior_samples_respect_joint_correlation(self):
+        """Nearby query points must draw CORRELATED values (a diagonal-
+        only sampler fails this)."""
+        import jax
+
+        gp = self._gp(n=5)
+        Xq = np.array([[5.0], [5.01]])   # far from data: prior-like
+        draws = gp.posterior_samples_f(Xq, size=2000,
+                                       key=jax.random.key(3))
+        a, b = draws[0, 0, :], draws[1, 0, :]
+        corr = np.corrcoef(a, b)[0, 1]
+        assert corr > 0.98
+
+    def test_sparse_predict_and_samples(self):
+        import jax
+
+        from safeopt_tpu.gp.sparse import SparseGPRegression
+
+        rng = np.random.default_rng(6)
+        X = np.sort(rng.uniform(-3, 3, size=(40, 1)), axis=0)
+        Y = np.sin(X) + 0.05 * rng.normal(size=(40, 1))
+        gp = SparseGPRegression(X, Y, RBF(1, variance=2.0), noise_var=0.01,
+                                inducing=12)
+        Xq = np.linspace(-3, 3, 6)[:, None]
+        mu_n, var_n = gp.predict_noiseless(Xq)
+        mu_p, var_p = gp.predict(Xq)
+        np.testing.assert_allclose(var_p, var_n + 0.01, rtol=1e-8)
+        assert np.isfinite(gp.log_likelihood())
+        draws = gp.posterior_samples_f(Xq, size=3000,
+                                       key=jax.random.key(4))
+        assert draws.shape == (6, 1, 3000)
+        np.testing.assert_allclose(draws[:, 0, :].mean(axis=1),
+                                   mu_n[:, 0], atol=0.05)
+        np.testing.assert_allclose(draws[:, 0, :].var(axis=1),
+                                   var_n[:, 0], rtol=0.2, atol=1e-3)
+
+    def test_sparse_log_likelihood_equals_exact_when_z_is_x(self):
+        from safeopt_tpu.gp.sparse import SparseGPRegression
+
+        rng = np.random.default_rng(8)
+        X = rng.uniform(-2, 2, size=(12, 1))
+        Y = np.sin(X)
+        exact = GPRegression(X, Y, RBF(1, variance=2.0), noise_var=0.05)
+        sparse = SparseGPRegression(X, Y, RBF(1, variance=2.0),
+                                    noise_var=0.05, inducing=X)
+        np.testing.assert_allclose(sparse.log_likelihood(),
+                                   exact.log_likelihood(), rtol=1e-4)
