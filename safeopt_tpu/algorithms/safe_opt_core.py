@@ -56,6 +56,7 @@ import jax.numpy as jnp
 
 from ..config import with_matmul_precision
 from ..gp.kernels import Kernel
+from ..ops.topk import partial_top_k
 from ..gp.regression import GPState
 
 __all__ = ["StepResult", "safeopt_step", "safe_maximum",
@@ -309,15 +310,17 @@ def _next_chunk(remaining, width, chunk):
 
     Order is (width descending, grid index descending among exact
     ties) — exactly what the reference's reversed ascending argsort
-    yields (gp_opt.py:542-552). One ``top_k`` over the *flipped* key
-    array: top_k breaks ties toward the lower index, so flipping makes
-    ties resolve to the larger original grid index — exact reference
-    order in two passes over the grid instead of a full O(N log N)
-    sort (the search almost always ends within the first chunk).
+    yields (gp_opt.py:542-552). One hierarchical ``partial_top_k``
+    (ops/topk.py; bit-identical to ``lax.top_k`` and a measured ~5x
+    faster on a 1e6 grid) over the *flipped* key array: top_k breaks
+    ties toward the lower index, so flipping makes ties resolve to the
+    larger original grid index — exact reference order without a full
+    O(N log N) sort (the search almost always ends within the first
+    chunk).
     """
     N = width.shape[0]
     key = jnp.where(remaining, width, -jnp.inf)
-    vals, ridx = jax.lax.top_k(jnp.flip(key), chunk)
+    vals, ridx = partial_top_k(jnp.flip(key), chunk)
     idxs = (N - 1 - ridx).astype(jnp.int32)
     valids = vals > -jnp.inf
     remaining = remaining.at[idxs].set(False)   # already-False for pads
@@ -522,7 +525,7 @@ def boundary_scan(kernels, states, grid, fmin, beta, scaling, band,
     margin = jnp.min(margins, axis=1)
     margin = jnp.where(valid, margin, jnp.inf)
 
-    neg, idx = jax.lax.top_k(-margin, k)
+    neg, idx = partial_top_k(-margin, k)
     within = (-neg) < band
     total_within = jnp.sum(margin < band)
     return Q, idx.astype(jnp.int32), within, total_within
@@ -638,20 +641,20 @@ def _refine_Q(kernels, states, grid, Q, fmin, beta, scaling, valid,
     u = Q[:, 1::2]
 
     margin = _safety_margin(Q, fmin, scaling, valid)
-    _, i_b = jax.lax.top_k(-margin, band_k)
+    _, i_b = partial_top_k(-margin, band_k)
     band_pop = jnp.sum(margin < refine_band)
 
     if rk:
         widths = jnp.max((u - l) / scaling, axis=1)
-        _, i_w = jax.lax.top_k(jnp.where(valid, widths, -jnp.inf), rk)
+        _, i_w = partial_top_k(jnp.where(valid, widths, -jnp.inf), rk)
 
         S0 = jnp.all(l > fmin, axis=1) & valid
         l0v = jnp.where(S0, l[:, 0], -jnp.inf)
-        _, i_l = jax.lax.top_k(l0v, rk)
+        _, i_l = partial_top_k(l0v, rk)
 
         best_l0 = jnp.max(l0v)
         dM = jnp.where(S0, jnp.abs(u[:, 0] - best_l0), jnp.inf)
-        _, i_m = jax.lax.top_k(-dM, rk)
+        _, i_m = partial_top_k(-dM, rk)
         idx = jnp.concatenate([i_b, i_w, i_l, i_m])    # dups are harmless
     else:
         # the 3-pass mode's width/threshold noise is f32-grade; only
@@ -769,13 +772,13 @@ def certified_scan(kernels, states, grid, fmin, beta, scaling, threshold,
             sub = _safety_margin(Q[refined_idx], fmin, scaling,
                                  jnp.ones((refined_idx.shape[0],), bool))
             sub = jnp.where(jnp.take(valid, refined_idx), sub, jnp.inf)
-            neg, j = jax.lax.top_k(-sub, k)
+            neg, j = partial_top_k(-sub, k)
             idx = jnp.take(refined_idx, j)
             within = (-neg) < band
             total_within = jnp.sum(sub < band)
         else:
             margin = _safety_margin(Q, fmin, scaling, valid)
-            neg, idx = jax.lax.top_k(-margin, k)
+            neg, idx = partial_top_k(-margin, k)
             within = (-neg) < band
             total_within = jnp.sum(margin < band)
         packed = jnp.concatenate([

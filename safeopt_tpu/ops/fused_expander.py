@@ -217,8 +217,17 @@ def fused_expander_predicate(kernel, state, grid, unsafe, mu, sigma, Xc,
 
 def _expander_kernel_multi(zt_ref, unsafe_ref, mu_ref, sigma_ref, ils_ref,
                            xs_ref, xc_ref, m2_ref, cvec_ref, scal_ref,
-                           out_ref, *, kind: str, num_gps: int):
-    """(G, C) expander predicates from one pass over the grid block."""
+                           out_ref, *, kind: str, num_gps: int,
+                           group_size: int = 1):
+    """(G, C) expander predicates from one pass over the grid block.
+
+    ``group_size > 1`` (small capacities): the per-GP ``cross`` dots
+    run as ONE block-diagonal MXU dot per group — ``m2_ref`` holds
+    (ngroups, gsz*C, gsz*cap) block-diagonal candidate projections and
+    the member grams concatenate on the contraction axis, filling the
+    128-deep systolic array (see fused_posterior's stacked solve;
+    bit-identical, the zero blocks add exact +0.0 terms).
+    """
     zt = zt_ref[:]                       # (d, B) raw grid block
     unsafe = unsafe_ref[:]               # (1, B)
     acc = zt.dtype
@@ -228,39 +237,32 @@ def _expander_kernel_multi(zt_ref, unsafe_ref, mu_ref, sigma_ref, ils_ref,
     def _():
         out_ref[:] = jnp.zeros_like(out_ref[:])
 
-    for g in range(num_gps):
+    def gram(g, a):
         variance = scal_ref[g, 0]
+        r2 = jnp.zeros((a.shape[0], zt.shape[1]), acc)
+        for k in range(d):
+            zk = zt[k, :] * ils_ref[g, k]
+            diff = a[:, k][:, None] - zk[None, :]
+            r2 = r2 + diff * diff
+        if kind == "rbf":
+            return variance * jnp.exp(-0.5 * r2)
+        r = jnp.sqrt(r2 + 1e-36)
+        if kind == "exponential":
+            return variance * jnp.exp(-r)
+        if kind == "matern52":
+            s5r = jnp.sqrt(jnp.asarray(5.0, acc)) * r
+            return (variance * (1.0 + s5r + (5.0 / 3.0) * r2)
+                    * jnp.exp(-s5r))
+        s3r = jnp.sqrt(jnp.asarray(3.0, acc)) * r
+        return variance * (1.0 + s3r) * jnp.exp(-s3r)
+
+    def emit(g, cross):
         beta = scal_ref[g, 2]
         fmin_i = scal_ref[g, 3]
         mu = mu_ref[g][None, :]          # (1, B)
         sigma = sigma_ref[g][None, :]
-        xs = xs_ref[g]                   # (cap, d)
-        xc = xc_ref[g]                   # (C, d)
-        m2 = m2_ref[g]                   # (C, cap)
         cvec = cvec_ref[g]               # (3, C)
-
-        def gram(a, scale_grid=True):
-            r2 = jnp.zeros((a.shape[0], zt.shape[1]), acc)
-            for k in range(d):
-                zk = zt[k, :] * ils_ref[g, k]
-                diff = a[:, k][:, None] - zk[None, :]
-                r2 = r2 + diff * diff
-            if kind == "rbf":
-                return variance * jnp.exp(-0.5 * r2)
-            r = jnp.sqrt(r2 + 1e-36)
-            if kind == "exponential":
-                return variance * jnp.exp(-r)
-            if kind == "matern52":
-                s5r = jnp.sqrt(jnp.asarray(5.0, acc)) * r
-                return (variance * (1.0 + s5r + (5.0 / 3.0) * r2)
-                        * jnp.exp(-s5r))
-            s3r = jnp.sqrt(jnp.asarray(3.0, acc)) * r
-            return variance * (1.0 + s3r) * jnp.exp(-s3r)
-
-        kmat = gram(xs)                                  # (cap, B)
-        kc = gram(xc)                                    # (C, B)
-        cross = jax.lax.dot_general(m2, kmat, (((1,), (0,)), ((), ())),
-                                    preferred_element_type=acc)
+        kc = gram(g, xc_ref[g])                          # (C, B)
         inv_dd = cvec[0, :][:, None]
         gain = cvec[1, :][:, None]
         valid = cvec[2, :][:, None]
@@ -272,11 +274,33 @@ def _expander_kernel_multi(zt_ref, unsafe_ref, mu_ref, sigma_ref, ils_ref,
         partial = jnp.any(hit, axis=1).astype(acc)       # (C,)
         out_ref[g, :] = jnp.maximum(out_ref[g, :], partial)
 
+    if group_size == 1:
+        for g in range(num_gps):
+            kmat = gram(g, xs_ref[g])                    # (cap, B)
+            cross = jax.lax.dot_general(
+                m2_ref[g], kmat, (((1,), (0,)), ((), ())),
+                preferred_element_type=acc)
+            emit(g, cross)
+        return
 
-@functools.partial(jax.jit, static_argnames=("kind", "block", "num_gps"))
+    C = xc_ref.shape[1]
+    for t in range(num_gps // group_size):
+        members = range(t * group_size, (t + 1) * group_size)
+        kstack = jnp.concatenate(
+            [gram(g, xs_ref[g]) for g in members], axis=0)
+        cross_stack = jax.lax.dot_general(
+            m2_ref[t], kstack, (((1,), (0,)), ((), ())),
+            preferred_element_type=acc)                  # (gsz*C, B)
+        for j, g in enumerate(members):
+            emit(g, cross_stack[j * C:(j + 1) * C])
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "block", "num_gps",
+                                             "group_size"))
 def _fused_expander_multi_impl(zt, unsafe_row, mu_rows, sigma_rows, ils,
                                xs, xc, m2, cvec, scal, *, kind: str,
-                               block: int, num_gps: int):
+                               block: int, num_gps: int,
+                               group_size: int = 1):
     from jax.experimental.pallas import tpu as pltpu
 
     d, n = zt.shape
@@ -285,9 +309,13 @@ def _fused_expander_multi_impl(zt, unsafe_row, mu_rows, sigma_rows, ils,
     grid = (n // block,)
     interpret = jax.default_backend() == "cpu"
 
+    # m2 is (num_gps, C, cap) when group_size == 1, else block-diagonal
+    # group projections (ngroups, gsz*C, gsz*cap).
+    m2_shape = tuple(m2.shape)
+
     out = pl.pallas_call(
         functools.partial(_expander_kernel_multi, kind=kind,
-                          num_gps=num_gps),
+                          num_gps=num_gps, group_size=group_size),
         out_shape=jax.ShapeDtypeStruct((num_gps, C), zt.dtype),
         grid=grid,
         in_specs=[
@@ -305,7 +333,7 @@ def _fused_expander_multi_impl(zt, unsafe_row, mu_rows, sigma_rows, ils,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((num_gps, C, d), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((num_gps, C, cap), lambda i: (0, 0, 0),
+            pl.BlockSpec(m2_shape, lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((num_gps, 3, C), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -379,9 +407,29 @@ def fused_expander_predicate_batched(kernels, states, grid, unsafe, mus,
         mu_rows = jnp.concatenate([mu_rows, gp_pad], axis=1)
         sigma_rows = jnp.concatenate([sigma_rows, gp_pad], axis=1)
 
+    # Small capacities: stack group_size GPs' cross dots into one
+    # block-diagonal dot (see _expander_kernel_multi).
+    group_size = 1
+    if cap < 128:
+        group_size = max(1, min(num_gps, 128 // cap))
+        while group_size > 1 and num_gps % group_size:
+            group_size -= 1
+    if group_size > 1:
+        groups = []
+        for t in range(num_gps // group_size):
+            blk = jnp.zeros((group_size * C, group_size * cap), dtype)
+            for j in range(group_size):
+                g = t * group_size + j
+                blk = blk.at[j * C:(j + 1) * C,
+                             j * cap:(j + 1) * cap].set(m2_r[g])
+            groups.append(blk)
+        m2_in = jnp.stack(groups)
+    else:
+        m2_in = jnp.stack(m2_r)
+
     kind = _kind_of(kernels[0])
     return _fused_expander_multi_impl(
         zt, unsafe_row, mu_rows, sigma_rows, jnp.stack(ils_r),
-        jnp.stack(xs_r), jnp.stack(xc_r), jnp.stack(m2_r),
+        jnp.stack(xs_r), jnp.stack(xc_r), m2_in,
         jnp.stack(cvec_r), jnp.stack(scal_r), kind=kind, block=block,
-        num_gps=num_gps)
+        num_gps=num_gps, group_size=group_size)

@@ -424,45 +424,52 @@ def fused_intervals(kernel, state, grid: jnp.ndarray, beta,
 
 def _interval_kernel_multi(zt_ref, ils_ref, xs_ref, lm_ref, w_ref, scal_ref,
                            out_ref, *, kind: str, num_gps: int,
-                           three_pass: bool = False):
+                           group_size: int = 1, three_pass: bool = False):
     """All GPs' interval rows from one pass over the grid block.
 
     Identical math to ``_interval_kernel`` unrolled over a leading GP
     axis; the raw grid block is scaled per GP in-kernel (inv
     lengthscales in ``ils``), so the grid is read from HBM once instead
     of once per GP.
+
+    ``group_size > 1`` (small capacities): the whitened solves of
+    ``group_size`` GPs run as ONE block-diagonal MXU dot. A cap=64
+    contraction uses half the 128-deep systolic array, so two 64-cap
+    GPs stacked into a (128, 128) x (128, B) dot finish in the wall
+    time of one half-utilized per-GP dot. ``lm_ref`` then holds the
+    per-group block-diagonal factors (ngroups, R, R), R = group_size *
+    cap, and results are bit-identical: the off-diagonal zero blocks
+    contribute exact ``+ 0.0`` terms to each f32 accumulation.
     """
     zt = zt_ref[:]                      # (d, B) raw grid block
     acc = zt.dtype
     d = zt.shape[0]
 
-    for g in range(num_gps):
+    def gram(g, xs):
         variance = scal_ref[g, 0]
-        kdiag = scal_ref[g, 1]
-        beta = scal_ref[g, 2]
-        xs = xs_ref[g]                  # (cap, d) pre-scaled data
-
         r2 = jnp.zeros((xs.shape[0], zt.shape[1]), acc)
         for k in range(d):
             diff = xs[:, k][:, None] - (zt[k, :] * ils_ref[g, k])[None, :]
             r2 = r2 + diff * diff
 
         if kind == "rbf":
-            kmat = variance * jnp.exp(-0.5 * r2)
+            return variance * jnp.exp(-0.5 * r2)
         elif kind == "exponential":
             r = jnp.sqrt(r2 + 1e-36)
-            kmat = variance * jnp.exp(-r)
+            return variance * jnp.exp(-r)
         elif kind == "matern52":
             r = jnp.sqrt(r2 + 1e-36)
             s5r = jnp.sqrt(jnp.asarray(5.0, acc)) * r
-            kmat = (variance * (1.0 + s5r + (5.0 / 3.0) * r2)
+            return (variance * (1.0 + s5r + (5.0 / 3.0) * r2)
                     * jnp.exp(-s5r))
         else:
             r = jnp.sqrt(r2 + 1e-36)
             s3r = jnp.sqrt(jnp.asarray(3.0, acc)) * r
-            kmat = variance * (1.0 + s3r) * jnp.exp(-s3r)
+            return variance * (1.0 + s3r) * jnp.exp(-s3r)
 
-        V = _tri_matmul(lm_ref[g], kmat, acc, three_pass=three_pass)
+    def emit(g, V):
+        kdiag = scal_ref[g, 1]
+        beta = scal_ref[g, 2]
         # VPU mu reduction — see _interval_kernel
         mu = jnp.sum(w_ref[g][:, None] * V, axis=0)
         var = jnp.maximum(kdiag - jnp.sum(V * V, axis=0), 0.0)
@@ -470,11 +477,29 @@ def _interval_kernel_multi(zt_ref, ils_ref, xs_ref, lm_ref, w_ref, scal_ref,
         out_ref[g, 0, :] = mu - spread
         out_ref[g, 1, :] = mu + spread
 
+    if group_size == 1:
+        for g in range(num_gps):
+            V = _tri_matmul(lm_ref[g], gram(g, xs_ref[g]), acc,
+                            three_pass=three_pass)
+            emit(g, V)
+        return
+
+    cap = xs_ref.shape[1]
+    for t in range(num_gps // group_size):
+        members = range(t * group_size, (t + 1) * group_size)
+        kstack = jnp.concatenate(
+            [gram(g, xs_ref[g]) for g in members], axis=0)   # (R, B)
+        Vstack = _tri_matmul(lm_ref[t], kstack, acc,
+                             three_pass=three_pass)
+        for j, g in enumerate(members):
+            emit(g, Vstack[j * cap:(j + 1) * cap])
+
 
 @functools.partial(jax.jit, static_argnames=("kind", "block", "num_gps",
-                                             "three_pass"))
+                                             "group_size", "three_pass"))
 def _fused_intervals_multi_impl(zt, ils, xs, lm, w, scal, *, kind: str,
                                 block: int, num_gps: int,
+                                group_size: int = 1,
                                 three_pass: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -484,9 +509,14 @@ def _fused_intervals_multi_impl(zt, ils, xs, lm, w, scal, *, kind: str,
     grid = (n // block,)
     interpret = jax.default_backend() == "cpu"
 
+    # lm is (num_gps, cap, cap) per-GP factors when group_size == 1,
+    # else (ngroups, R, R) block-diagonal group factors.
+    nfac, R = lm.shape[0], lm.shape[1]
+
     return pl.pallas_call(
         functools.partial(_interval_kernel_multi, kind=kind,
-                          num_gps=num_gps, three_pass=three_pass),
+                          num_gps=num_gps, group_size=group_size,
+                          three_pass=three_pass),
         out_shape=jax.ShapeDtypeStruct((num_gps, 2, n), zt.dtype),
         grid=grid,
         in_specs=[
@@ -496,7 +526,7 @@ def _fused_intervals_multi_impl(zt, ils, xs, lm, w, scal, *, kind: str,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((num_gps, cap, d), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((num_gps, cap, cap), lambda i: (0, 0, 0),
+            pl.BlockSpec((nfac, R, R), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((num_gps, cap), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -563,9 +593,31 @@ def fused_intervals_batched(kernels, states, grid: jnp.ndarray, beta,
     if pad:
         zt = jnp.concatenate([zt, jnp.zeros((d, pad), dtype)], axis=1)
 
+    # Small capacities under-fill the 128-deep MXU contraction: stack
+    # group_size = 128 // cap GPs' whitened solves into one
+    # block-diagonal dot per group (see _interval_kernel_multi).
+    group_size = 1
+    if cap < 128:
+        group_size = max(1, min(num_gps, 128 // cap))
+        while group_size > 1 and num_gps % group_size:
+            group_size -= 1
+    if group_size > 1:
+        R = group_size * cap
+        groups = []
+        for t in range(num_gps // group_size):
+            blk = jnp.zeros((R, R), dtype)
+            for j in range(group_size):
+                g = t * group_size + j
+                blk = blk.at[j * cap:(j + 1) * cap,
+                             j * cap:(j + 1) * cap].set(lm_rows[g])
+            groups.append(blk)
+        lm_in = jnp.stack(groups)
+    else:
+        lm_in = jnp.stack(lm_rows)
+
     out = _fused_intervals_multi_impl(
-        zt, jnp.stack(ils_rows), jnp.stack(xs_rows), jnp.stack(lm_rows),
+        zt, jnp.stack(ils_rows), jnp.stack(xs_rows), lm_in,
         jnp.stack(w_rows), jnp.stack(scal_rows),
         kind=_kind_of(kernels[0]), block=block, num_gps=num_gps,
-        three_pass=three_pass)
+        group_size=group_size, three_pass=three_pass)
     return [(out[g, 0, :n], out[g, 1, :n]) for g in range(num_gps)]

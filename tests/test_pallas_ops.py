@@ -410,3 +410,67 @@ def test_certified_scan_high_precision_pallas_path():
     res, packed = certified_scan(*common, k=64, use_pallas=True)
     np.testing.assert_array_equal(np.asarray(res3.S), np.asarray(res.S))
     assert int(np.asarray(packed3)[1]) == int(np.asarray(packed)[1])
+
+
+@pytest.mark.parametrize("num_gps,cap", [(2, 64), (4, 32), (3, 64)],
+                         ids=["2gp-cap64", "4gp-cap32", "3gp-odd"])
+def test_batched_group_stacking_matches_single(num_gps, cap):
+    """The block-diagonal stacked whitened solve (group_size > 1 for
+    cap < 128) must reproduce the per-GP solve exactly — the
+    off-diagonal zero blocks contribute exact +0.0 terms. 3gp-odd has
+    no even group split and must fall back to per-GP factors."""
+    import jax.numpy as jnp
+
+    from safeopt_tpu.ops.fused_posterior import (fused_intervals,
+                                                 fused_intervals_batched,
+                                                 supports_batched)
+
+    kernels, gps = [], []
+    for g in range(num_gps):
+        k = RBF(2, variance=1.0 + g, lengthscale=0.7 + 0.3 * g)
+        X = RNG.uniform(-2, 2, size=(cap - 7, 2))
+        gps.append(GPRegression(X, RNG.normal(size=(cap - 7, 1)), k,
+                                noise_var=0.01 * (g + 1), capacity=cap))
+        kernels.append(k)
+    states = tuple(gp.state for gp in gps)
+    assert supports_batched(tuple(kernels), states, 2)
+
+    grid = jnp.asarray(RNG.uniform(-3, 3, size=(384, 2)), float)
+    batched = fused_intervals_batched(tuple(kernels), states, grid, 2.0,
+                                      block=128)
+    for g in range(num_gps):
+        l_ref, u_ref = fused_intervals(kernels[g], states[g], grid, 2.0,
+                                       block=128)
+        assert_allclose(np.asarray(batched[g][0]), np.asarray(l_ref),
+                        rtol=1e-10, atol=1e-12)
+        assert_allclose(np.asarray(batched[g][1]), np.asarray(u_ref),
+                        rtol=1e-10, atol=1e-12)
+
+
+def test_batched_group_stacking_three_pass():
+    """Stacked solve under the emulated 3-pass precision: same hi/lo
+    split semantics as the per-GP path."""
+    import jax.numpy as jnp
+
+    from safeopt_tpu.ops.fused_posterior import (fused_intervals,
+                                                 fused_intervals_batched)
+
+    kernels, gps = [], []
+    for g in range(2):
+        k = RBF(2, variance=2.0 - 0.5 * g, lengthscale=1.0 + 0.4 * g)
+        X = RNG.uniform(-2, 2, size=(50, 2))
+        gps.append(GPRegression(X, RNG.normal(size=(50, 1)), k,
+                                noise_var=0.01, capacity=64))
+        kernels.append(k)
+    states = tuple(gp.state for gp in gps)
+
+    grid = jnp.asarray(RNG.uniform(-3, 3, size=(384, 2)), float)
+    batched = fused_intervals_batched(tuple(kernels), states, grid, 2.0,
+                                      block=128, three_pass=True)
+    for g in range(2):
+        l_ref, u_ref = fused_intervals(kernels[g], states[g], grid, 2.0,
+                                       block=128, three_pass=True)
+        assert_allclose(np.asarray(batched[g][0]), np.asarray(l_ref),
+                        rtol=1e-10, atol=1e-12)
+        assert_allclose(np.asarray(batched[g][1]), np.asarray(u_ref),
+                        rtol=1e-10, atol=1e-12)
