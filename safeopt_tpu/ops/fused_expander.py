@@ -284,15 +284,21 @@ def _expander_kernel_multi(zt_ref, unsafe_ref, mu_ref, sigma_ref, ils_ref,
         return
 
     C = xc_ref.shape[1]
-    for t in range(num_gps // group_size):
+    cap = xs_ref.shape[1]
+    for t in range(-(-num_gps // group_size)):
         members = range(t * group_size, (t + 1) * group_size)
+        # A partial last group pads with zero gram blocks (matching the
+        # zero projection blocks built host-side) — exact, one dot.
         kstack = jnp.concatenate(
-            [gram(g, xs_ref[g]) for g in members], axis=0)
+            [gram(g, xs_ref[g]) if g < num_gps
+             else jnp.zeros((cap, zt.shape[1]), acc)
+             for g in members], axis=0)
         cross_stack = jax.lax.dot_general(
             m2_ref[t], kstack, (((1,), (0,)), ((), ())),
             preferred_element_type=acc)                  # (gsz*C, B)
         for j, g in enumerate(members):
-            emit(g, cross_stack[j * C:(j + 1) * C])
+            if g < num_gps:
+                emit(g, cross_stack[j * C:(j + 1) * C])
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "block", "num_gps",
@@ -409,19 +415,26 @@ def fused_expander_predicate_batched(kernels, states, grid, unsafe, mus,
 
     # Small capacities: stack group_size GPs' cross dots into one
     # block-diagonal dot (see _expander_kernel_multi).
+    # Grouping helps the expander dot only while the grouped OUTPUT
+    # rows (group_size * C) still fit one MXU row tile: at C=32 the
+    # per-GP dot under-fills both axes and stacking is a measured win,
+    # but at C=256 the output rows already fill the MXU and the
+    # block-diagonal zeros are pure extra passes + VMEM pressure — a
+    # measured 2x slowdown on the chunk-256 expander-stress config.
     group_size = 1
     if cap < 128:
-        group_size = max(1, min(num_gps, 128 // cap))
-        while group_size > 1 and num_gps % group_size:
-            group_size -= 1
+        group_size = max(1, min(num_gps, 128 // cap, 128 // C))
     if group_size > 1:
+        # Non-dividing num_gps: zero-pad the last group (see the
+        # fused_posterior wrapper) — exact, still fewer dots.
         groups = []
-        for t in range(num_gps // group_size):
+        for t in range(-(-num_gps // group_size)):
             blk = jnp.zeros((group_size * C, group_size * cap), dtype)
             for j in range(group_size):
                 g = t * group_size + j
-                blk = blk.at[j * C:(j + 1) * C,
-                             j * cap:(j + 1) * cap].set(m2_r[g])
+                if g < num_gps:
+                    blk = blk.at[j * C:(j + 1) * C,
+                                 j * cap:(j + 1) * cap].set(m2_r[g])
             groups.append(blk)
         m2_in = jnp.stack(groups)
     else:

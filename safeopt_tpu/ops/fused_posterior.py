@@ -485,14 +485,19 @@ def _interval_kernel_multi(zt_ref, ils_ref, xs_ref, lm_ref, w_ref, scal_ref,
         return
 
     cap = xs_ref.shape[1]
-    for t in range(num_gps // group_size):
+    for t in range(-(-num_gps // group_size)):
         members = range(t * group_size, (t + 1) * group_size)
+        # A partial last group pads with zero gram blocks (matching the
+        # zero factor blocks built host-side) — exact and still one dot.
         kstack = jnp.concatenate(
-            [gram(g, xs_ref[g]) for g in members], axis=0)   # (R, B)
+            [gram(g, xs_ref[g]) if g < num_gps
+             else jnp.zeros((cap, zt.shape[1]), acc)
+             for g in members], axis=0)                      # (R, B)
         Vstack = _tri_matmul(lm_ref[t], kstack, acc,
                              three_pass=three_pass)
         for j, g in enumerate(members):
-            emit(g, Vstack[j * cap:(j + 1) * cap])
+            if g < num_gps:
+                emit(g, Vstack[j * cap:(j + 1) * cap])
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "block", "num_gps",
@@ -599,17 +604,19 @@ def fused_intervals_batched(kernels, states, grid: jnp.ndarray, beta,
     group_size = 1
     if cap < 128:
         group_size = max(1, min(num_gps, 128 // cap))
-        while group_size > 1 and num_gps % group_size:
-            group_size -= 1
     if group_size > 1:
+        # A non-dividing num_gps pads the last group's factor (and, in
+        # the kernel, its gram rows) with zeros — exact, and two padded
+        # 128-deep dots still beat three half-filled 64-deep ones.
         R = group_size * cap
         groups = []
-        for t in range(num_gps // group_size):
+        for t in range(-(-num_gps // group_size)):
             blk = jnp.zeros((R, R), dtype)
             for j in range(group_size):
                 g = t * group_size + j
-                blk = blk.at[j * cap:(j + 1) * cap,
-                             j * cap:(j + 1) * cap].set(lm_rows[g])
+                if g < num_gps:
+                    blk = blk.at[j * cap:(j + 1) * cap,
+                                 j * cap:(j + 1) * cap].set(lm_rows[g])
             groups.append(blk)
         lm_in = jnp.stack(groups)
     else:

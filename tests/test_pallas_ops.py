@@ -418,7 +418,8 @@ def test_batched_group_stacking_matches_single(num_gps, cap):
     """The block-diagonal stacked whitened solve (group_size > 1 for
     cap < 128) must reproduce the per-GP solve exactly — the
     off-diagonal zero blocks contribute exact +0.0 terms. 3gp-odd has
-    no even group split and must fall back to per-GP factors."""
+    no even group split: the last group zero-pads its factor and gram
+    blocks and must stay exact."""
     import jax.numpy as jnp
 
     from safeopt_tpu.ops.fused_posterior import (fused_intervals,
