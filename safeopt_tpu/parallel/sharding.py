@@ -36,11 +36,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..gp.regression import GPState
 
-__all__ = ["make_mesh", "shard_grid", "shard_state", "replicate",
-           "GRID_AXIS", "MODEL_AXIS"]
+__all__ = ["make_mesh", "make_hier_mesh", "shard_grid", "shard_state",
+           "replicate", "GRID_AXIS", "MODEL_AXIS", "DCN_AXIS"]
 
 GRID_AXIS = "data"
 MODEL_AXIS = "model"
+DCN_AXIS = "dcn"
 
 
 def make_mesh(n_devices: Optional[int] = None, model_parallel: int = 1,
@@ -62,8 +63,55 @@ def make_mesh(n_devices: Optional[int] = None, model_parallel: int = 1,
     return Mesh(arr, (GRID_AXIS, MODEL_AXIS))
 
 
+def make_hier_mesh(n_hosts: int, model_parallel: int = 1,
+                   n_devices: Optional[int] = None, devices=None) -> Mesh:
+    """Build a (dcn, data, model) mesh for a multi-host slice.
+
+    Axis order encodes the interconnect hierarchy (docs/design.md,
+    "Beyond one host"): the slowest-varying ``dcn`` axis strides
+    across hosts — ``jax.devices()`` orders devices host-major, so
+    consecutive chips of one host land in one ``dcn`` row — while
+    ``model`` is fastest-varying, keeping the factor contraction's
+    psum on a host's adjacent chips (ICI). The candidate grid shards
+    over BOTH ``(dcn, data)`` (see ``shard_grid``): its only
+    cross-host traffic is the step's scalar reductions. Campaign
+    fleets shard their campaign axis over ``dcn``
+    (``shard_campaigns(..., axis=DCN_AXIS)``) — zero cross-chip
+    traffic inside the loop, the ideal DCN shape.
+
+    On an actual multi-host slice run ``jax.distributed.initialize()``
+    per host first; here the same program is validated on a virtual
+    device mesh (tests/test_sharding.py, driver dryrun).
+    """
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    if n % n_hosts != 0:
+        raise ValueError(f"{n} devices not divisible by n_hosts={n_hosts}")
+    per_host = n // n_hosts
+    if per_host % model_parallel != 0:
+        raise ValueError(f"{per_host} devices/host not divisible by "
+                         f"model_parallel={model_parallel}")
+    arr = np.asarray(devices).reshape(
+        n_hosts, per_host // model_parallel, model_parallel)
+    return Mesh(arr, (DCN_AXIS, GRID_AXIS, MODEL_AXIS))
+
+
+def _grid_axes(mesh: Mesh):
+    """Mesh axes the candidate grid rows shard over."""
+    if DCN_AXIS in mesh.axis_names:
+        return (DCN_AXIS, GRID_AXIS)
+    return (GRID_AXIS,)
+
+
 def shard_grid(grid, mesh: Mesh):
     """Place the candidate grid row-sharded over the data axis.
+
+    On a hierarchical ``make_hier_mesh`` the rows shard over
+    ``(dcn, data)`` jointly — grid rows never move between shards, so
+    spanning hosts costs only the step's scalar reductions.
 
     Rows are padded to a multiple of the axis size so every shard is
     equal (XLA requires even partitions for best layouts); padding rows
@@ -72,11 +120,13 @@ def shard_grid(grid, mesh: Mesh):
     (ties resolve to the first/lowest index).
     """
     grid = np.asarray(grid)
-    n_shards = mesh.shape[GRID_AXIS]
+    axes = _grid_axes(mesh)
+    n_shards = int(np.prod([mesh.shape[a] for a in axes]))
     pad = (-grid.shape[0]) % n_shards
     if pad:
         grid = np.concatenate([grid, np.repeat(grid[-1:], pad, axis=0)])
-    return jax.device_put(grid, NamedSharding(mesh, P(GRID_AXIS, None))), pad
+    spec = P(axes if len(axes) > 1 else axes[0], None)
+    return jax.device_put(grid, NamedSharding(mesh, spec)), pad
 
 
 def shard_state(state: GPState, mesh: Mesh) -> GPState:
