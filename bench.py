@@ -598,7 +598,17 @@ def _sparse_secondary(grid_dev, n=2000, m=64):
         (kern,), (exact.state,), grid_dev, fmin, beta, scaling,
         threshold, chunk=32, use_pallas=False), reps=3)
 
-    S_s, S_e = jax.device_get((r_s.S, r_e.S))
+    S_s, S_e, Q_e = jax.device_get((r_s.S, r_e.S, r_e.Q))
+
+    # Drift characterization: is the S disagreement a boundary-band
+    # phenomenon? Scaled exact-model safety margin per grid point;
+    # drifted rows should sit near zero relative to the grid's spread.
+    l_e = Q_e[:, 0::2]
+    margin_e = np.min((l_e - np.asarray(jax.device_get(fmin)))
+                      / np.asarray(jax.device_get(scaling)), axis=1)
+    drift = S_s != S_e
+    drift_margins = np.abs(margin_e[drift]) if drift.any() else np.array([0.0])
+    spread = float(np.percentile(np.abs(margin_e), 95))
 
     # per-point model update: incremental rank-1 vs bordered Cholesky
     xq = np.array([0.7, -0.3])
@@ -620,6 +630,12 @@ def _sparse_secondary(grid_dev, n=2000, m=64):
         "sparse_exact_append_ms": round(exact_append_ms, 3),
         "sparse_build_s": round(sparse_build_s, 2),
         "sparse_decision_drift": int(np.count_nonzero(S_s != S_e)),
+        "sparse_drift_optimistic": int(np.count_nonzero(S_s & ~S_e)),
+        "sparse_drift_conservative": int(np.count_nonzero(~S_s & S_e)),
+        "sparse_drift_max_margin": round(float(drift_margins.max()), 4),
+        "sparse_drift_margin_p95": round(
+            float(np.percentile(drift_margins, 95)), 4),
+        "sparse_grid_margin_p95": round(spread, 4),
         "sparse_safe_count": int(S_s.sum()),
     }
 

@@ -55,11 +55,22 @@ class SparseGPRegression:
     inducing : int or array (m, d)
         Number of inducing points (selected as a uniform subset of X,
         topped up with jittered copies if n < m) or their locations.
+    refit_every : int
+        Incremental rank-1 updates between full rebuilds.
+    jitter : float
+        Diagonal added to ``K_ZZ``. The pseudo-factor's magnitude
+        grows with ``K_ZZ``'s condition number, and the DEVICE grid
+        pass runs in float32 — a factor with entries in the thousands
+        carries interval noise that flips knife-edge safe decisions
+        (host-f64 ``predict`` is unaffected). Dense inducing sets
+        (m large relative to the lengthscale coverage of the domain)
+        may need a larger jitter; a warning fires when the factor
+        scale threatens f32 decision fidelity.
     """
 
     def __init__(self, X, Y, kernel: Optional[Kernel] = None,
                  noise_var: float = 1.0, inducing=16,
-                 refit_every: int = 512):
+                 refit_every: int = 512, jitter: float = 1e-8):
         X = np.atleast_2d(np.asarray(X, dtype=np.float64))
         Y = np.asarray(Y, dtype=np.float64).reshape(X.shape[0], -1)
         if kernel is None:
@@ -86,6 +97,7 @@ class SparseGPRegression:
         # rounding-level drift in f64, but a periodic full rebuild
         # keeps long campaigns bit-honest.
         self._refit_every = int(refit_every)
+        self._jitter = float(jitter)
         self._pending = 0
 
         self._X = X
@@ -108,7 +120,7 @@ class SparseGPRegression:
         m = Z.shape[0]
         s2 = self.noise_var
 
-        self._Kzz = np_kernel(self.kern, Z) + 1e-8 * np.eye(m)
+        self._Kzz = np_kernel(self.kern, Z) + self._jitter * np.eye(m)
         self._Kzz_cho = scipy.linalg.cho_factor(self._Kzz, lower=True)
         Kzx = np_kernel(self.kern, Z, X)
         self._A = self._Kzz + (Kzx @ Kzx.T) / s2
@@ -142,11 +154,30 @@ class SparseGPRegression:
         B = 0.5 * (B + B.T)
         evals, evecs = np.linalg.eigh(B)
         evals = np.maximum(evals, 0.0)
-        R = (evecs * np.sqrt(evals)) @ evecs.T        # symmetric sqrt
-        # w solves R w = alpha in the least-squares sense (R may be
+        R0 = (evecs * np.sqrt(evals)) @ evecs.T       # symmetric sqrt
+        # The GPState contract requires a LOWER-TRIANGULAR pseudo-factor:
+        # the fused interval kernel's blocked multiply skips the
+        # strictly-upper tile products (_tri_matmul), which silently
+        # drops half of a dense factor once m spans >1 MXU tile. Any
+        # R with R^T R = B preserves the posterior (var = kdiag -
+        # k^T B k), so take the QL decomposition of the symmetric root:
+        # R0 = Q L  =>  L^T L = R0^T R0 = B, with L lower-triangular.
+        # (QL via flipped QR: P (P R0 P) P with P the index reversal.)
+        r_flip = np.linalg.qr(R0[::-1, ::-1])[1]
+        R = r_flip[::-1, ::-1]                        # lower-triangular
+        scale = float(np.abs(R).max())
+        if scale > 1e4:
+            import warnings
+            warnings.warn(
+                f"sparse pseudo-factor max entry {scale:.3g}: K_ZZ is "
+                "ill-conditioned enough that float32 device intervals "
+                "will carry material noise (host-f64 predict is "
+                "unaffected). Raise `jitter` or reduce the inducing "
+                "density.", RuntimeWarning, stacklevel=3)
+        # w solves R^T w = alpha in the least-squares sense (R may be
         # singular when Sigma -> Kzz^-1, i.e. no data): mu = k^T alpha
         # must be preserved exactly, so keep alpha and solve via pinv.
-        w = np.linalg.pinv(R, rcond=1e-12) @ alpha
+        w = np.linalg.pinv(R.T, rcond=1e-12) @ alpha
 
         cap = self._cap
         Xp = np.zeros((cap, self.Z.shape[1]))
