@@ -327,35 +327,126 @@ def _next_chunk(remaining, width, chunk):
     return remaining, idxs, valids
 
 
+_EXPANDER_PREFETCH = 16384
+
+
 def _find_first_expander(kernels, states, grid, Q, unsafe, mus, sigmas, Vs,
                          fmin, beta, lipschitz, cand, width, chunk,
-                         use_pallas=False):
+                         use_pallas=False, prefetch=_EXPANDER_PREFETCH):
     """Walk candidates in visit order, chunk by chunk, early-exiting.
 
     Replicates the sequential early-exit semantics of
     gp_opt.py:557-612: the selected expander is the first candidate in
     descending-width order whose predicate holds.
+
+    The visit order is fixed before the walk starts, so re-deriving the
+    next chunk with a full-grid ``partial_top_k`` every round is wasted
+    work for any search that runs more than one round — the exhaustion
+    case (no expander exists, every candidate visited) paid it ~16x on
+    the hard-mode bench. The first chunk still comes from one
+    ``partial_top_k`` (~0.23 ms at 1e6; the search almost always ends
+    there, and the O(N) compaction below would cost ~2x that), but if
+    the walk must continue, the remaining (data-dependent, usually
+    small) candidate set is compacted once with a cumsum scatter — O(N)
+    elementwise, no full sort — and the <= ``prefetch`` survivors are
+    sorted by the exact reference comparator (width descending, larger
+    grid index on ties, gp_opt.py:542-552); each later round then just
+    slices the next ``chunk`` indices. When more than ``prefetch``
+    candidates remain (early iterations of a fresh run at most), the
+    compacted prefix would be grid-order- not width-order-complete, so
+    the old masked top_k-per-round walk runs instead — bit-identical
+    either way.
     """
     N = grid.shape[0]
 
-    def cond(carry):
-        remaining, found, _ = carry
-        return (~found) & jnp.any(remaining)
+    def masked_walk(start_remaining):
+        def cond(carry):
+            remaining, found, _ = carry
+            return (~found) & jnp.any(remaining)
 
-    def body(carry):
-        remaining, _, winner = carry
-        remaining, gidx, valid = _next_chunk(remaining, width, chunk)
-        pred = _chunk_expander_predicate(
-            kernels, states, grid, Q, unsafe, mus, sigmas, Vs, fmin, beta,
-            lipschitz, gidx, valid, use_pallas=use_pallas)
-        found = jnp.any(pred)
-        first = jnp.argmax(pred)                 # first True in chunk order
-        winner = jnp.where(found, gidx[first], winner)
-        return remaining, found, winner
+        def body(carry):
+            remaining, _, winner = carry
+            remaining, gidx, valid = _next_chunk(remaining, width, chunk)
+            pred = _chunk_expander_predicate(
+                kernels, states, grid, Q, unsafe, mus, sigmas, Vs, fmin,
+                beta, lipschitz, gidx, valid, use_pallas=use_pallas)
+            found = jnp.any(pred)
+            first = jnp.argmax(pred)             # first True in chunk order
+            winner = jnp.where(found, gidx[first], winner)
+            return remaining, found, winner
 
-    _, found, winner = jax.lax.while_loop(
-        cond, body, (cand, jnp.asarray(False), jnp.asarray(0, jnp.int32)))
+        _, found, winner = jax.lax.while_loop(
+            cond, body,
+            (start_remaining, jnp.asarray(False), jnp.asarray(0, jnp.int32)))
+        return found, winner
 
+    if N <= chunk:
+        found, winner = masked_walk(cand)
+        return jnp.zeros((N,), dtype=bool).at[winner].set(found)
+
+    # A chunk multiple, so every dynamic_slice below starts in bounds
+    # (a clamped slice would misalign positions against the validity
+    # mask and silently skip tail candidates).
+    B = -(-min(max(prefetch, chunk), N) // chunk) * chunk
+
+    def ordered_walk(remaining):
+        # Compact candidate (width, index) pairs into a B-slot buffer in
+        # grid order; complete whenever n_rest <= B.
+        n_rest = jnp.sum(remaining)
+        pos = jnp.cumsum(remaining.astype(jnp.int32)) - 1
+        slot = jnp.where(remaining & (pos < B), pos, B)
+        all_idx = jnp.arange(N, dtype=jnp.int32)
+        cw = jnp.full((B + 1,), -jnp.inf, width.dtype).at[slot].set(
+            jnp.where(remaining, width, -jnp.inf))[:B]
+        ci = jnp.full((B + 1,), 0, jnp.int32).at[slot].set(all_idx)[:B]
+        # Reference visit order: width descending, larger grid index on
+        # exact ties — ascending lexicographic sort on (-width, -index).
+        _, _, sidx = jax.lax.sort((-cw, -ci, ci), num_keys=2)
+        limit = jnp.minimum(n_rest, B)
+
+        def cond(carry):
+            r, found, _ = carry
+            return (~found) & (r * chunk < limit)
+
+        def body(carry):
+            r, _, winner = carry
+            gidx = jax.lax.dynamic_slice(sidx, (r * chunk,), (chunk,))
+            valid = r * chunk + jnp.arange(chunk) < limit
+            pred = _chunk_expander_predicate(
+                kernels, states, grid, Q, unsafe, mus, sigmas, Vs, fmin,
+                beta, lipschitz, gidx, valid, use_pallas=use_pallas)
+            found = jnp.any(pred)
+            first = jnp.argmax(pred)             # first True in chunk order
+            winner = jnp.where(found, gidx[first], winner)
+            return r + 1, found, winner
+
+        _, found, winner = jax.lax.while_loop(
+            cond, body, (jnp.asarray(0, jnp.int32), jnp.asarray(False),
+                         jnp.asarray(0, jnp.int32)))
+        return found, winner
+
+    def with_candidates(_):
+        # Round 0: one hierarchical top_k — the common case ends here.
+        remaining, gidx0, valid0 = _next_chunk(cand, width, chunk)
+        pred0 = _chunk_expander_predicate(
+            kernels, states, grid, Q, unsafe, mus, sigmas, Vs, fmin,
+            beta, lipschitz, gidx0, valid0, use_pallas=use_pallas)
+        found0 = jnp.any(pred0)
+        winner0 = jnp.where(found0, gidx0[jnp.argmax(pred0)],
+                            jnp.asarray(0, jnp.int32))
+
+        def keep_walking(_):
+            n_rest = jnp.sum(remaining)
+            return jax.lax.cond(n_rest <= B, ordered_walk, masked_walk,
+                                remaining)
+
+        return jax.lax.cond(found0 | ~jnp.any(remaining),
+                            lambda _: (found0, winner0), keep_walking,
+                            None)
+
+    found, winner = jax.lax.cond(
+        jnp.any(cand), with_candidates,
+        lambda _: (jnp.asarray(False), jnp.asarray(0, jnp.int32)), None)
     G = jnp.zeros((N,), dtype=bool).at[winner].set(found)
     return G
 
