@@ -67,7 +67,11 @@ def _expander_kernel(zt_ref, unsafe_ref, mu_ref, sigma_ref, xs_ref,
     kc = _part_gram(xc, zt, lambda p: pvar_ref[0, p],
                     lambda p, k: scales_ref[p, k], kinds, acc,
                     prescaled=prescaled)                         # (C, B)
+    # Explicit HIGHEST — see fused_posterior._tri_matmul: precision-less
+    # dots inherit the ambient setting (bf16 garbage on a bare call,
+    # Mosaic lowering crash under ambient 'high').
     cross = jax.lax.dot_general(m2, kmat, (((1,), (0,)), ((), ())),
+                                precision=jax.lax.Precision.HIGHEST,
                                 preferred_element_type=acc)
     inv_dd = cvec[0, :][:, None]                           # (C, 1)
     gain = cvec[1, :][:, None]
@@ -163,13 +167,18 @@ def fused_expander_predicate(kernel, state, grid, unsafe, mu, sigma, Xc,
     mask = (jnp.arange(cap) < state.count).astype(dtype)
     lm = state.Linv * mask[None, :]
 
-    # candidate-side rank-1 terms (all O(C * cap^2))
-    kmat_c = kernel.K(state.X, Xc) * mask[:, None]       # (cap, C)
-    Cm = state.Linv @ kmat_c                             # (cap, C)
-    dd2 = kernel.Kdiag(Xc) + state.noise_var - jnp.sum(Cm * Cm, axis=0)
-    dd = jnp.sqrt(jnp.maximum(dd2, 1e-30))
-    gain = (uc - Cm.T @ state.w) / dd
-    M2 = Cm.T @ lm                                        # (C, cap)
+    # candidate-side rank-1 terms (all O(C * cap^2)); pin the decision
+    # precision so a bare call outside `with_matmul_precision` cannot
+    # silently run these at single-pass bf16
+    from .. import config
+    with jax.default_matmul_precision(config.MATMUL_PRECISION):
+        kmat_c = kernel.K(state.X, Xc) * mask[:, None]   # (cap, C)
+        Cm = state.Linv @ kmat_c                         # (cap, C)
+        dd2 = (kernel.Kdiag(Xc) + state.noise_var
+               - jnp.sum(Cm * Cm, axis=0))
+        dd = jnp.sqrt(jnp.maximum(dd2, 1e-30))
+        gain = (uc - Cm.T @ state.w) / dd
+        M2 = Cm.T @ lm                                    # (C, cap)
 
     cvec = jnp.stack([1.0 / dd, gain,
                       valid.astype(dtype)], axis=0)       # (3, C)
@@ -279,6 +288,7 @@ def _expander_kernel_multi(zt_ref, unsafe_ref, mu_ref, sigma_ref, ils_ref,
             kmat = gram(g, xs_ref[g])                    # (cap, B)
             cross = jax.lax.dot_general(
                 m2_ref[g], kmat, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=acc)
             emit(g, cross)
         return
@@ -295,6 +305,7 @@ def _expander_kernel_multi(zt_ref, unsafe_ref, mu_ref, sigma_ref, ils_ref,
              for g in members], axis=0)
         cross_stack = jax.lax.dot_general(
             m2_ref[t], kstack, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=acc)                  # (gsz*C, B)
         for j, g in enumerate(members):
             if g < num_gps:
@@ -376,21 +387,26 @@ def fused_expander_predicate_batched(kernels, states, grid, unsafe, mus,
 
     ils_r, xs_r, xc_r, m2_r, cvec_r, scal_r, mu_r, sg_r = \
         [], [], [], [], [], [], [], []
+    from .. import config
     for g, (kern, st) in enumerate(zip(kernels, states)):
         ls = jnp.broadcast_to(jnp.asarray(kern.lengthscale, dtype), (d,))
         mask = (jnp.arange(cap) < st.count).astype(dtype)
         lm = st.Linv * mask[None, :]
 
-        kmat_c = kern.K(st.X, Xc) * mask[:, None]
-        Cm = st.Linv @ kmat_c
-        dd2 = kern.Kdiag(Xc) + st.noise_var - jnp.sum(Cm * Cm, axis=0)
-        dd = jnp.sqrt(jnp.maximum(dd2, 1e-30))
-        gain = (ucs[g] - Cm.T @ st.w) / dd
+        # pinned decision precision — see fused_expander_predicate
+        with jax.default_matmul_precision(config.MATMUL_PRECISION):
+            kmat_c = kern.K(st.X, Xc) * mask[:, None]
+            Cm = st.Linv @ kmat_c
+            dd2 = (kern.Kdiag(Xc) + st.noise_var
+                   - jnp.sum(Cm * Cm, axis=0))
+            dd = jnp.sqrt(jnp.maximum(dd2, 1e-30))
+            gain = (ucs[g] - Cm.T @ st.w) / dd
+            m2 = Cm.T @ lm
 
         ils_r.append(1.0 / ls)
         xs_r.append(st.X / ls)
         xc_r.append(Xc / ls)
-        m2_r.append(Cm.T @ lm)
+        m2_r.append(m2)
         cvec_r.append(jnp.stack([1.0 / dd, gain, valid.astype(dtype)]))
         scal_r.append(jnp.stack([
             jnp.asarray(kern.variance, dtype),

@@ -143,10 +143,18 @@ def _tri_matmul(lm, kmat, acc, three_pass: bool = False):
                     + dotp(lm_hi[r0:r1, c0:c1], km_lo[c0:c1, :])
                     + dotp(lm_lo[r0:r1, c0:c1], km_hi[c0:c1, :]))
     else:
+        # Explicit HIGHEST: an ambient-precision dot here is a footgun
+        # twice over — a caller invoking the fused ops outside
+        # `with_matmul_precision` would silently get single-pass bf16
+        # MXU passes (measured ~1e1 absolute interval error through an
+        # |R|~1e3 factor), and an ambient 'high' crashes Mosaic
+        # lowering of any precision-less dot outright.
         def dot_rows(r0, r1, c0, c1):
             return jax.lax.dot_general(
                 lm[r0:r1, c0:c1], kmat[c0:c1, :],
-                (((1,), (0,)), ((), ())), preferred_element_type=acc)
+                (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=acc)
 
     if cap < 2 * _TRI_TILE or cap % _TRI_TILE:
         return dot_rows(0, cap, 0, cap)
