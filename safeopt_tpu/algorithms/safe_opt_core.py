@@ -345,108 +345,89 @@ def _find_first_expander(kernels, states, grid, Q, unsafe, mus, sigmas, Vs,
     case (no expander exists, every candidate visited) paid it ~16x on
     the hard-mode bench. The first chunk still comes from one
     ``partial_top_k`` (~0.23 ms at 1e6; the search almost always ends
-    there, and the O(N) compaction below would cost ~2x that), but if
-    the walk must continue, the remaining (data-dependent, usually
-    small) candidate set is compacted once with a cumsum scatter — O(N)
-    elementwise, no full sort — and the <= ``prefetch`` survivors are
-    sorted by the exact reference comparator (width descending, larger
-    grid index on ties, gp_opt.py:542-552); each later round then just
-    slices the next ``chunk`` indices. When more than ``prefetch``
+    there, and the O(N) compaction below would cost ~2x that). If the
+    walk must continue, a ``lax.cond`` inside the loop body fires ONCE
+    to compact the remaining (data-dependent, usually small) candidate
+    set with a cumsum scatter — O(N) elementwise, no full sort — and
+    sort the <= ``prefetch`` survivors by the exact reference
+    comparator (width descending, larger grid index on ties,
+    gp_opt.py:542-552); each later round then just slices the next
+    ``chunk`` indices from the buffer. When more than ``prefetch``
     candidates remain (early iterations of a fresh run at most), the
     compacted prefix would be grid-order- not width-order-complete, so
-    the old masked top_k-per-round walk runs instead — bit-identical
+    the walk stays on the masked top_k-per-round path — bit-identical
     either way.
+
+    Everything runs in ONE ``lax.while_loop`` whose body contains the
+    ONE traced copy of the (large: Pallas call or full-grid matmuls)
+    chunk predicate; round selection and the buffer build live in
+    small conds. A previous three-copy structure (separate round-0 /
+    buffered / masked loops) compiled ~1.5x slower across the suite.
     """
     N = grid.shape[0]
-
-    def masked_walk(start_remaining):
-        def cond(carry):
-            remaining, found, _ = carry
-            return (~found) & jnp.any(remaining)
-
-        def body(carry):
-            remaining, _, winner = carry
-            remaining, gidx, valid = _next_chunk(remaining, width, chunk)
-            pred = _chunk_expander_predicate(
-                kernels, states, grid, Q, unsafe, mus, sigmas, Vs, fmin,
-                beta, lipschitz, gidx, valid, use_pallas=use_pallas)
-            found = jnp.any(pred)
-            first = jnp.argmax(pred)             # first True in chunk order
-            winner = jnp.where(found, gidx[first], winner)
-            return remaining, found, winner
-
-        _, found, winner = jax.lax.while_loop(
-            cond, body,
-            (start_remaining, jnp.asarray(False), jnp.asarray(0, jnp.int32)))
-        return found, winner
-
-    if N <= chunk:
-        found, winner = masked_walk(cand)
-        return jnp.zeros((N,), dtype=bool).at[winner].set(found)
-
+    chunk = min(chunk, N)
     # A chunk multiple, so every dynamic_slice below starts in bounds
     # (a clamped slice would misalign positions against the validity
     # mask and silently skip tail candidates).
     B = -(-min(max(prefetch, chunk), N) // chunk) * chunk
+    i32 = jnp.int32
 
-    def ordered_walk(remaining):
-        # Compact candidate (width, index) pairs into a B-slot buffer in
-        # grid order; complete whenever n_rest <= B.
-        n_rest = jnp.sum(remaining)
-        pos = jnp.cumsum(remaining.astype(jnp.int32)) - 1
+    def build_buffer(remaining):
+        """Compact remaining candidates, sorted in reference order."""
+        n_rest = jnp.sum(remaining).astype(i32)
+        pos = jnp.cumsum(remaining.astype(i32)) - 1
         slot = jnp.where(remaining & (pos < B), pos, B)
-        all_idx = jnp.arange(N, dtype=jnp.int32)
         cw = jnp.full((B + 1,), -jnp.inf, width.dtype).at[slot].set(
             jnp.where(remaining, width, -jnp.inf))[:B]
-        ci = jnp.full((B + 1,), 0, jnp.int32).at[slot].set(all_idx)[:B]
+        ci = jnp.full((B + 1,), 0, i32).at[slot].set(
+            jnp.arange(N, dtype=i32))[:B]
         # Reference visit order: width descending, larger grid index on
         # exact ties — ascending lexicographic sort on (-width, -index).
         _, _, sidx = jax.lax.sort((-cw, -ci, ci), num_keys=2)
-        limit = jnp.minimum(n_rest, B)
+        # limit < 0 keeps the masked top_k mode (buffer would be
+        # incomplete); otherwise later rounds slice sidx.
+        limit = jnp.where(n_rest <= B, n_rest, -1)
+        return sidx, limit
 
-        def cond(carry):
-            r, found, _ = carry
-            return (~found) & (r * chunk < limit)
+    def cond(carry):
+        remaining, buf, limit, p, r, found, winner = carry
+        more = jnp.where(limit >= 0, p < limit, jnp.any(remaining))
+        return (~found) & more
 
-        def body(carry):
-            r, _, winner = carry
-            gidx = jax.lax.dynamic_slice(sidx, (r * chunk,), (chunk,))
-            valid = r * chunk + jnp.arange(chunk) < limit
-            pred = _chunk_expander_predicate(
-                kernels, states, grid, Q, unsafe, mus, sigmas, Vs, fmin,
-                beta, lipschitz, gidx, valid, use_pallas=use_pallas)
-            found = jnp.any(pred)
-            first = jnp.argmax(pred)             # first True in chunk order
-            winner = jnp.where(found, gidx[first], winner)
-            return r + 1, found, winner
+    def body(carry):
+        remaining, buf, limit, p, r, _, winner = carry
+        buffered = limit >= 0
 
-        _, found, winner = jax.lax.while_loop(
-            cond, body, (jnp.asarray(0, jnp.int32), jnp.asarray(False),
-                         jnp.asarray(0, jnp.int32)))
-        return found, winner
+        def from_buffer(_):
+            gidx = jax.lax.dynamic_slice(buf, (p,), (chunk,))
+            valid = p + jnp.arange(chunk) < limit
+            return remaining, gidx, valid
 
-    def with_candidates(_):
-        # Round 0: one hierarchical top_k — the common case ends here.
-        remaining, gidx0, valid0 = _next_chunk(cand, width, chunk)
-        pred0 = _chunk_expander_predicate(
+        def from_topk(_):
+            return _next_chunk(remaining, width, chunk)
+
+        remaining, gidx, valid = jax.lax.cond(
+            buffered, from_buffer, from_topk, None)
+        pred = _chunk_expander_predicate(
             kernels, states, grid, Q, unsafe, mus, sigmas, Vs, fmin,
-            beta, lipschitz, gidx0, valid0, use_pallas=use_pallas)
-        found0 = jnp.any(pred0)
-        winner0 = jnp.where(found0, gidx0[jnp.argmax(pred0)],
-                            jnp.asarray(0, jnp.int32))
+            beta, lipschitz, gidx, valid, use_pallas=use_pallas)
+        found = jnp.any(pred)
+        first = jnp.argmax(pred)                 # first True in chunk order
+        winner = jnp.where(found, gidx[first], winner)
+        p = p + jnp.where(buffered, chunk, 0)
 
-        def keep_walking(_):
-            n_rest = jnp.sum(remaining)
-            return jax.lax.cond(n_rest <= B, ordered_walk, masked_walk,
-                                remaining)
+        # After a failed round 0 with candidates left: build the sorted
+        # buffer once (skipped entirely when round 0 succeeds).
+        buf, limit = jax.lax.cond(
+            (r == 0) & ~found & jnp.any(remaining),
+            lambda rem: build_buffer(rem),
+            lambda rem: (buf, limit), remaining)
+        return remaining, buf, limit, p, r + 1, found, winner
 
-        return jax.lax.cond(found0 | ~jnp.any(remaining),
-                            lambda _: (found0, winner0), keep_walking,
-                            None)
-
-    found, winner = jax.lax.cond(
-        jnp.any(cand), with_candidates,
-        lambda _: (jnp.asarray(False), jnp.asarray(0, jnp.int32)), None)
+    init = (cand, jnp.zeros((B,), i32), jnp.asarray(-1, i32),
+            jnp.asarray(0, i32), jnp.asarray(0, i32),
+            jnp.asarray(False), jnp.asarray(0, i32))
+    *_, found, winner = jax.lax.while_loop(cond, body, init)
     G = jnp.zeros((N,), dtype=bool).at[winner].set(found)
     return G
 
