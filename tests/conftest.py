@@ -29,6 +29,7 @@ if "xla_cpu_enable_fast_math" not in flags:
 os.environ["XLA_FLAGS"] = flags.strip()
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 # The env var alone is not enough: pytest plugins (flax/chex entry
 # points) import jax before this conftest runs, snapshotting
@@ -36,3 +37,20 @@ import jax  # noqa: E402
 # as long as no backend has been initialized yet.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables after each test module.
+
+    A single pytest process compiles many hundreds of distinct XLA:CPU
+    programs across the suite; with everything retained in the jit
+    caches, the process-lifetime accumulation has been observed to end
+    in a segfault inside ``backend_compile_and_load`` on this jaxlib
+    (0.9.0, 8 virtual devices) after ~150-200 tests — at a different,
+    individually-green test every run. Clearing per module keeps the
+    live-executable population bounded at the cost of recompiling the
+    few cross-module shared signatures.
+    """
+    yield
+    jax.clear_caches()
