@@ -153,6 +153,23 @@ int gram_stdperiodic(const double* X, int n, const double* Z, int m,
     return 0;
 }
 
+// Linear (dot-product) gram (GPy.kern.Linear convention):
+// k(x, z) = sum_j w_j x_j z_j — per-dim weights ride the length-d slot.
+int gram_linear(const double* X, int n, const double* Z, int m, int d,
+                const double* w, double* out) {
+    if (d > 64) return 1;
+    for (int i = 0; i < n; ++i) {
+        const double* xi = X + (size_t)i * d;
+        for (int j = 0; j < m; ++j) {
+            const double* zj = Z + (size_t)j * d;
+            double acc = 0.0;
+            for (int k = 0; k < d; ++k) acc += w[k] * xi[k] * zj[k];
+            out[(size_t)i * m + j] = acc;
+        }
+    }
+    return 0;
+}
+
 // In-place lower Cholesky of the leading n x n block of A (row-major,
 // stride = lda). Upper triangle is zeroed. Returns the 1-based index of
 // a non-positive pivot, or 0 on success.

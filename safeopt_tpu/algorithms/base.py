@@ -74,6 +74,14 @@ class GaussianProcessOptimization:
             prior_var = [float(np.asarray(g.kern.Kdiag(origin))[0])
                          for g in self.gps]
             self.scaling = np.sqrt(np.asarray(prior_var))
+            if np.any(self.scaling == 0.0):
+                # e.g. a Linear-only kernel: Kdiag vanishes at the
+                # origin and the width normalizers would divide by zero
+                raise ValueError(
+                    "scaling='auto' uses the prior std at the origin, "
+                    "which is zero for at least one GP (Linear-only "
+                    "kernels have no variance there); pass explicit "
+                    "scaling values")
         else:
             self.scaling = np.asarray(scaling, dtype=float)
             if self.scaling.shape[0] != len(self.gps):

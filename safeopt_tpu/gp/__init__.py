@@ -2,13 +2,14 @@
 
 from .hyperopt import fit_hyperparameters, log_marginal_likelihood
 from .kernels import (RBF, Matern32, Matern52, Exponential, RatQuad,
-                      StdPeriodic, Bias, White, Product, Sum, Kernel)
+                      StdPeriodic, Linear, Bias, White, Product, Sum,
+                      Kernel)
 from .regression import (GPRegression, GPState, gp_fit, gp_append, gp_pop,
                          gp_predict, predict_from_factors)
 from .sparse import SparseGPRegression
 
 __all__ = ["RBF", "Matern32", "Matern52", "Exponential", "RatQuad",
-           "StdPeriodic", "Bias", "White",
+           "StdPeriodic", "Linear", "Bias", "White",
            "Product", "Sum", "Kernel",
            "GPRegression",
            "GPState", "gp_fit", "gp_append", "gp_pop", "gp_predict",

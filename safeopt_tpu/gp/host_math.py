@@ -25,8 +25,9 @@ from typing import Optional
 import numpy as np
 import scipy.linalg
 
-from .kernels import (Bias, Exponential, Kernel, Matern32, Matern52,
-                      Product, RatQuad, RBF, StdPeriodic, Sum, White)
+from .kernels import (Bias, Exponential, Kernel, Linear, Matern32,
+                      Matern52, Product, RatQuad, RBF, StdPeriodic, Sum,
+                      White)
 
 __all__ = ["np_kernel", "np_kdiag", "HostFactor"]
 
@@ -51,6 +52,9 @@ def _native_kind(kernel: Kernel):
     if isinstance(kernel, StdPeriodic) and kernel.active_dims == tuple(
             range(kernel.input_dim)):
         return "stdperiodic"
+    if isinstance(kernel, Linear) and kernel.active_dims == tuple(
+            range(kernel.input_dim)):
+        return "linear"
     return None
 
 
@@ -86,6 +90,13 @@ def np_kernel(kernel: Kernel, X: np.ndarray,
                 / period[j]
             s2 += (np.sin(base) / ls[j]) ** 2
         return float(kernel.variance) * np.exp(-0.5 * s2)
+    if isinstance(kernel, Linear):
+        dims = list(kernel.active_dims)
+        Xa = np.atleast_2d(np.asarray(X, dtype=np.float64))[:, dims]
+        Za = (Xa if X2 is None
+              else np.atleast_2d(np.asarray(X2, dtype=np.float64))[:, dims])
+        v = np.asarray(kernel.variances, dtype=np.float64)
+        return (Xa * v) @ Za.T
     if not isinstance(kernel, (RBF, Matern32, Matern52, Exponential,
                                RatQuad)):
         raise TypeError(f"no host implementation for {type(kernel).__name__}")
@@ -120,6 +131,11 @@ def np_kdiag(kernel: Kernel, X: np.ndarray) -> np.ndarray:
         return np_kdiag(kernel.k1, X) * np_kdiag(kernel.k2, X)
     if isinstance(kernel, Sum):
         return np_kdiag(kernel.k1, X) + np_kdiag(kernel.k2, X)
+    if isinstance(kernel, Linear):
+        dims = list(kernel.active_dims)
+        Xa = np.atleast_2d(np.asarray(X, dtype=np.float64))[:, dims]
+        v = np.asarray(kernel.variances, dtype=np.float64)
+        return np.sum(Xa * Xa * v, axis=1)
     return float(kernel.variance) * np.ones(np.atleast_2d(X).shape[0])
 
 
@@ -151,6 +167,10 @@ class HostFactor:
 
     def _native_gram(self, X: np.ndarray, Z: np.ndarray) -> np.ndarray:
         kern = self.kernel
+        if self._native_kind == "linear":
+            # the per-dim weights ride the length-d slot; var is unused
+            return self._native.gram("linear", X, Z,
+                                     np.asarray(kern.variances), 1.0)
         extras = {}
         if self._native_kind == "ratquad":
             extras["power"] = float(np.asarray(kern.power))

@@ -30,7 +30,8 @@ import jax.numpy as jnp
 from ..config import default_dtype
 
 __all__ = ["Kernel", "RBF", "Matern32", "Matern52", "Exponential",
-           "RatQuad", "StdPeriodic", "Bias", "White", "Product", "Sum"]
+           "RatQuad", "StdPeriodic", "Linear", "Bias", "White",
+           "Product", "Sum"]
 
 
 def _as_active_dims(active_dims, input_dim: int) -> Tuple[int, ...]:
@@ -338,6 +339,71 @@ class StdPeriodic(Kernel):
                 f"variance={self.variance}, period={self.period}, "
                 f"lengthscale={self.lengthscale}, ARD1={self.ARD1}, "
                 f"ARD2={self.ARD2}, active_dims={self.active_dims})")
+
+
+@jax.tree_util.register_pytree_node_class
+class Linear(Kernel):
+    """Linear (dot-product) kernel (GPy.kern.Linear convention):
+
+        k(x, z) = sum_j variances_j * x_j * z_j
+
+    Beyond the reference's consumed surface; the GPy kernel for global
+    trends, typically summed with a stationary kernel and a Bias.
+    ``ARD`` makes ``variances`` per-dimension (GPy's plural spelling is
+    kept). ``variances`` is a traced pytree leaf, so hyperopt fits it
+    in log space like every other hyperparameter. Non-stationary, so
+    it runs on the exact XLA path (excluded from the fused Pallas kind
+    set via ``supports_kernel``); the cross term is one MXU matmul.
+
+    Note its prior variance ``Kdiag(x) = sum_j variances_j x_j^2``
+    vanishes at the origin: ``scaling='auto'`` (prior std at the
+    origin) is rejected for GPs whose kernel is Linear-only — pass
+    explicit ``scaling`` or sum with a Bias/stationary part.
+    """
+
+    def __init__(self, input_dim, variances=1.0, ARD=False,
+                 active_dims=None, name: Optional[str] = None):
+        self.input_dim = int(input_dim)
+        self.ARD = bool(ARD)
+        self.active_dims = _as_active_dims(active_dims, self.input_dim)
+        self.name = name if name is not None else "linear"
+
+        dtype = default_dtype()
+        variances = jnp.asarray(variances, dtype=dtype)
+        if self.ARD:
+            self.variances = jnp.broadcast_to(
+                variances.reshape(-1), (self.input_dim,))
+        else:
+            self.variances = variances.reshape(())
+
+    def tree_flatten(self):
+        """Pytree protocol: (traced hyperparameters, static aux)."""
+        children = (self.variances,)
+        aux = (self.input_dim, self.ARD, self.active_dims, self.name)
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        """Pytree protocol: rebuild from (aux, traced leaves)."""
+        obj = object.__new__(cls)
+        obj.input_dim, obj.ARD, obj.active_dims, obj.name = aux
+        (obj.variances,) = children
+        return obj
+
+    def K(self, X, X2=None) -> jnp.ndarray:
+        Xa = _slice_active(jnp.atleast_2d(X), self.active_dims)
+        Za = Xa if X2 is None else _slice_active(jnp.atleast_2d(X2),
+                                                 self.active_dims)
+        return (Xa * self.variances) @ Za.T
+
+    def Kdiag(self, X) -> jnp.ndarray:
+        Xa = _slice_active(jnp.atleast_2d(X), self.active_dims)
+        return jnp.sum(Xa * Xa * self.variances, axis=1)
+
+    def __repr__(self):
+        return (f"Linear(input_dim={self.input_dim}, "
+                f"variances={self.variances}, ARD={self.ARD}, "
+                f"active_dims={self.active_dims})")
 
 
 @jax.tree_util.register_pytree_node_class

@@ -64,12 +64,13 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.gram_exponential.argtypes = [_D, ci, _D, ci, ci, _D, cd, _D]
     lib.gram_ratquad.argtypes = [_D, ci, _D, ci, ci, _D, cd, cd, _D]
     lib.gram_stdperiodic.argtypes = [_D, ci, _D, ci, ci, _D, _D, cd, _D]
+    lib.gram_linear.argtypes = [_D, ci, _D, ci, ci, _D, _D]
     lib.cholesky_lower.argtypes = [_D, ci, ci]
     lib.tri_inverse_lower.argtypes = [_D, ci, ci, _D]
     lib.border_append.argtypes = [_D, _D, _D, ci, ci, _D, cd, cd, _D]
     for f in (lib.gram_rbf, lib.gram_matern32, lib.gram_matern52,
               lib.gram_exponential, lib.gram_ratquad,
-              lib.gram_stdperiodic,
+              lib.gram_stdperiodic, lib.gram_linear,
               lib.cholesky_lower, lib.tri_inverse_lower,
               lib.border_append):
         f.restype = ci
@@ -89,7 +90,8 @@ def _ptr(a: np.ndarray):
 def gram(kind: str, X: np.ndarray, Z: np.ndarray, ls: np.ndarray,
          var: float, power: float = None, period=None) -> np.ndarray:
     """Float64 gram k(X, Z): 'rbf'|'matern32'|'matern52'|'exponential'
-    |'ratquad' (pass ``power``)|'stdperiodic' (pass ``period``)."""
+    |'ratquad' (pass ``power``)|'stdperiodic' (pass ``period``)
+    |'linear' (per-dim weights ride ``ls``; ``var`` unused)."""
     lib = _load()
     X = np.ascontiguousarray(X, dtype=np.float64)
     Z = np.ascontiguousarray(Z, dtype=np.float64)
@@ -97,7 +99,10 @@ def gram(kind: str, X: np.ndarray, Z: np.ndarray, ls: np.ndarray,
     ls = np.ascontiguousarray(np.broadcast_to(
         np.asarray(ls, dtype=np.float64).reshape(-1), (d,)))
     out = np.empty((X.shape[0], Z.shape[0]), dtype=np.float64)
-    if kind == "ratquad":
+    if kind == "linear":
+        rc = lib.gram_linear(_ptr(X), X.shape[0], _ptr(Z), Z.shape[0],
+                             d, _ptr(ls), _ptr(out))
+    elif kind == "ratquad":
         rc = lib.gram_ratquad(_ptr(X), X.shape[0], _ptr(Z), Z.shape[0],
                               d, _ptr(ls), float(var), float(power),
                               _ptr(out))

@@ -58,6 +58,11 @@ def _kernel_spec(kern, arrays, prefix):
         return {"type": "StdPeriodic", "input_dim": kern.input_dim,
                 "ARD1": kern.ARD1, "ARD2": kern.ARD2,
                 "active_dims": list(kern.active_dims), "prefix": prefix}
+    if isinstance(kern, _kernels.Linear):
+        arrays[prefix + "variances"] = np.asarray(kern.variances)
+        return {"type": "Linear", "input_dim": kern.input_dim,
+                "ARD": kern.ARD, "active_dims": list(kern.active_dims),
+                "prefix": prefix}
     name = type(kern).__name__
     if name in _EXTRA_PARAM_CLASSES:
         _, extras = _EXTRA_PARAM_CLASSES[name]
@@ -92,6 +97,10 @@ def _kernel_from_spec(spec, arrays):
             period=arrays[p + "period"],
             lengthscale=arrays[p + "lengthscale"], ARD1=spec["ARD1"],
             ARD2=spec["ARD2"], active_dims=spec["active_dims"])
+    if spec["type"] == "Linear":
+        return _kernels.Linear(
+            spec["input_dim"], variances=arrays[p + "variances"],
+            ARD=spec["ARD"], active_dims=spec["active_dims"])
     if spec["type"] in _EXTRA_PARAM_CLASSES:
         cls, extras = _EXTRA_PARAM_CLASSES[spec["type"]]
         kw = {e: arrays[p + e] for e in extras}

@@ -74,9 +74,10 @@ def _register_serializations() -> None:
 
     # RatQuad's aux is identical to the other stationary kernels (its
     # extra `power` hyperparameter is a traced child leaf, not aux), so
-    # the shared serializer covers it unchanged.
+    # the shared serializer covers it unchanged — as is Linear's
+    # (input_dim, ARD, active_dims, name), with `variances` a child.
     for cls in (K.RBF, K.Matern32, K.Matern52, K.Exponential, K.RatQuad,
-                K.Bias, K.White):
+                K.Linear, K.Bias, K.White):
         _once(_stationary, cls)
 
     def _periodic(cls):
@@ -105,8 +106,8 @@ def _register_serializations() -> None:
 
 #: kernel classes whose pytree aux can round-trip through jax.export.
 _SERIALIZABLE_KERNELS = ("RBF", "Matern32", "Matern52", "Exponential",
-                         "RatQuad", "StdPeriodic", "Bias", "White",
-                         "Product", "Sum")
+                         "RatQuad", "StdPeriodic", "Linear", "Bias",
+                         "White", "Product", "Sum")
 
 
 def _check_kernels_serializable(kernels) -> None:

@@ -137,6 +137,33 @@ class RefRatQuad(RefRBF):
         return self.variance * (1.0 + 0.5 * r2) ** (-self.power)
 
 
+class RefLinear:
+    """Dot-product mirror of safeopt_tpu.Linear (GPy.kern.Linear)."""
+
+    def __init__(self, input_dim, variances=1.0, ARD=False,
+                 active_dims=None):
+        self.input_dim = input_dim
+        self.variances = np.atleast_1d(np.asarray(variances, dtype=float))
+        self.ARD = ARD
+        self.active_dims = (np.arange(input_dim) if active_dims is None
+                            else np.asarray(active_dims))
+
+    def K(self, X, X2=None):
+        Xa = np.atleast_2d(X)[:, self.active_dims]
+        Za = Xa if X2 is None else np.atleast_2d(X2)[:, self.active_dims]
+        return (Xa * self.variances) @ Za.T
+
+    def Kdiag(self, X):
+        Xa = np.atleast_2d(X)[:, self.active_dims]
+        return np.sum(Xa * Xa * self.variances, axis=1)
+
+    def __mul__(self, other):
+        return RefProduct(self, other)
+
+    def __add__(self, other):
+        return RefSum(self, other)
+
+
 class RefSum(RefProduct):
     """Sum-composition mirror of safeopt_tpu.Sum."""
 

@@ -21,10 +21,10 @@ import pytest
 from numpy.testing import assert_allclose
 
 from safeopt_tpu import SafeOpt, linearly_spaced_combinations
-from safeopt_tpu.gp import (Bias, Exponential, GPRegression, Matern32,
-                            RatQuad, RBF)
+from safeopt_tpu.gp import (Bias, Exponential, GPRegression, Linear,
+                            Matern32, RatQuad, RBF)
 
-from reference_impl import (RefBias, RefExponential, RefGP,
+from reference_impl import (RefBias, RefExponential, RefGP, RefLinear,
                             RefMatern32, RefRatQuad, RefRBF, RefSafeOpt)
 
 
@@ -65,13 +65,20 @@ def _random_case(rng):
                                  power=power, ARD=ard))
             rkerns.append(RefRatQuad(d, variance=variance, lengthscale=ls,
                                      power=power, ARD=ard))
-        else:
+        elif draw < 0.93:
             # round-2 sum algebra: stationary + constant offset
             bias_var = float(rng.uniform(0.1, 0.6))
             kerns.append(RBF(d, variance=variance, lengthscale=ls, ARD=ard)
                          + Bias(d, variance=bias_var))
             rkerns.append(RefRBF(d, variance=variance, lengthscale=ls,
                                  ARD=ard) + RefBias(d, variance=bias_var))
+        else:
+            # round-3: stationary + global linear trend (GPy Linear)
+            lin_var = float(rng.uniform(0.02, 0.2))
+            kerns.append(RBF(d, variance=variance, lengthscale=ls, ARD=ard)
+                         + Linear(d, variances=lin_var))
+            rkerns.append(RefRBF(d, variance=variance, lengthscale=ls,
+                                 ARD=ard) + RefLinear(d, variances=lin_var))
         centers = rng.uniform(-4, 4, size=(4, d))
         weights = rng.uniform(-1.0, 1.5, size=4)
         rk = rkerns[-1]

@@ -474,3 +474,169 @@ class TestStdPeriodic:
         ref = safeopt_step(*args, chunk=8)
         np.testing.assert_array_equal(np.asarray(out.S), np.asarray(ref.S))
         assert int(out.next_idx) == int(ref.next_idx)
+
+
+class TestLinear:
+    """GPy.kern.Linear mirror: k(x, z) = sum_j variances_j x_j z_j,
+    through every layer (device, host f64, native C++, hyperopt,
+    checkpoint, export, SafeOpt loop)."""
+
+    def test_matches_direct_formula_and_ard(self):
+        from safeopt_tpu.gp import Linear
+
+        rng = np.random.default_rng(0)
+        X = rng.uniform(-3, 3, size=(7, 3))
+        Z = rng.uniform(-3, 3, size=(5, 3))
+        kern = Linear(3, variances=[0.5, 2.0, 1.3], ARD=True)
+        v = np.array([0.5, 2.0, 1.3])
+        assert_allclose(np.asarray(kern.K(X, Z)), (X * v) @ Z.T,
+                        rtol=1e-6)
+        assert_allclose(np.asarray(kern.Kdiag(X)), np.sum(X * X * v, 1),
+                        rtol=1e-6)
+        iso = Linear(3, variances=1.7)
+        assert_allclose(np.asarray(iso.K(X, Z)), 1.7 * X @ Z.T, rtol=1e-6)
+
+    def test_host_f64_and_native_gram(self):
+        from safeopt_tpu import native
+        from safeopt_tpu.gp import Linear
+        from safeopt_tpu.gp.host_math import HostFactor, np_kdiag, np_kernel
+
+        rng = np.random.default_rng(1)
+        X = rng.uniform(-2, 2, size=(6, 2))
+        kern = Linear(2, variances=[1.2, 0.4], ARD=True)
+        v = np.array([1.2, 0.4])
+        assert_allclose(np_kernel(kern, X), (X * v) @ X.T, rtol=1e-12)
+        assert_allclose(np_kdiag(kern, X), np.sum(X * X * v, 1),
+                        rtol=1e-12)
+        if native.available():
+            hf = HostFactor(kern, capacity=8, input_dim=2, noise_var=0.01)
+            assert hf._native_kind == "linear"
+            assert_allclose(hf._gram(X, X), (X * v) @ X.T, rtol=1e-12)
+
+    def test_gp_regression_recovers_linear_function(self):
+        from safeopt_tpu.gp import GPRegression, Linear
+
+        rng = np.random.default_rng(2)
+        X = rng.uniform(-2, 2, size=(25, 2))
+        w_true = np.array([1.5, -0.7])
+        Y = (X @ w_true)[:, None]
+        gp = GPRegression(X, Y, Linear(2, variances=10.0),
+                          noise_var=1e-6)
+        Xq = rng.uniform(-2, 2, size=(10, 2))
+        mu, var = gp.predict_noiseless(Xq)
+        assert_allclose(mu[:, 0], Xq @ w_true, atol=1e-3)
+        assert np.all(np.asarray(var) < 1e-2)
+
+    def test_trajectory_lockstep_with_sum_kernel(self):
+        from safeopt_tpu import SafeOpt, linearly_spaced_combinations
+        from safeopt_tpu.gp import GPRegression, Linear, RBF
+
+        from reference_impl import (RefGP, RefLinear, RefRBF, RefSafeOpt)
+
+        kern = RBF(1, variance=2.0, lengthscale=1.0) + Linear(
+            1, variances=0.3)
+        rkern = RefRBF(1, variance=2.0, lengthscale=1.0) + RefLinear(
+            1, variances=0.3)
+
+        def f(x):
+            x = np.atleast_2d(x)
+            return (1.5 * np.exp(-0.5 * (x[:, 0] - 0.3) ** 2)
+                    + 0.4 * x[:, 0])
+
+        x0 = np.array([[0.0]])
+        y0 = np.array([[float(f(x0)[0])]])
+        grid = linearly_spaced_combinations([(-2.0, 2.0)], 120)
+        gp = GPRegression(x0, y0, kern, noise_var=1e-4)
+        rgp = RefGP(x0, y0, rkern, noise_var=1e-4)
+        opt = SafeOpt(gp, grid, fmin=[-0.5], beta=2.0)
+        ref = RefSafeOpt(rgp, grid, fmin=[-0.5], beta=2.0)
+        for it in range(6):
+            x = np.asarray(opt.optimize())
+            x_ref = np.asarray(ref.optimize())
+            assert_allclose(x, x_ref, atol=1e-9,
+                            err_msg=f"diverged at iteration {it}")
+            y = np.array([[float(f(x)[0])]])
+            opt.add_new_data_point(x, y)
+            ref.add_new_data_point(x, y)
+
+    def test_auto_scaling_rejected_for_linear_only(self):
+        from safeopt_tpu import SafeOpt, linearly_spaced_combinations
+        from safeopt_tpu.gp import GPRegression, Linear
+
+        gp = GPRegression(np.array([[1.0]]), np.array([[1.0]]),
+                          Linear(1, variances=1.0), noise_var=1e-4)
+        grid = linearly_spaced_combinations([(-2.0, 2.0)], 30)
+        with pytest.raises(ValueError, match="scaling"):
+            SafeOpt(gp, grid, fmin=[0.0])
+        opt = SafeOpt(gp, grid, fmin=[-10.0], scaling=[1.0])
+        assert -2.0 <= float(np.asarray(opt.optimize())[0]) <= 2.0
+
+    def test_hyperopt_fits_variances(self):
+        from safeopt_tpu.gp import GPRegression, Linear
+
+        rng = np.random.default_rng(3)
+        X = rng.uniform(-2, 2, size=(40, 2))
+        Y = (X @ np.array([2.0, 0.1]))[:, None] \
+            + 0.05 * rng.normal(size=(40, 1))
+        gp = GPRegression(X, Y, Linear(2, variances=[1.0, 1.0], ARD=True),
+                          noise_var=0.05 ** 2)
+        import jax
+
+        from safeopt_tpu.gp.hyperopt import log_marginal_likelihood
+        with jax.enable_x64(True):
+            lml0 = float(log_marginal_likelihood(gp.kern, X, Y, 0.0025))
+        lml = gp.optimize_hyperparameters(steps=200)
+        assert lml > lml0
+        v = np.asarray(gp.kern.variances)
+        assert v[0] > v[1]              # the informative dim dominates
+
+    def test_checkpoint_roundtrip(self, tmp_path):
+        from safeopt_tpu import SafeOpt, linearly_spaced_combinations
+        from safeopt_tpu.gp import GPRegression, Linear, RBF
+        from safeopt_tpu.utils import checkpoint
+
+        kern = RBF(1, variance=2.0) + Linear(1, variances=0.7)
+        gp = GPRegression(np.array([[0.0]]), np.array([[1.0]]), kern,
+                          noise_var=1e-3)
+        grid = linearly_spaced_combinations([(-2.0, 2.0)], 40)
+        opt = SafeOpt(gp, grid, fmin=[0.0])
+        path = str(tmp_path / "linear.npz")
+        checkpoint.save(opt, path)
+        opt2 = checkpoint.load(path)
+        k2 = opt2.gps[0].kern.k2
+        assert type(k2).__name__ == "Linear"
+        assert_allclose(float(np.asarray(k2.variances)), 0.7)
+        np.testing.assert_array_equal(np.asarray(opt2.optimize()),
+                                      np.asarray(opt.optimize()))
+
+    def test_export_roundtrip(self):
+        import jax.numpy as jnp
+
+        from safeopt_tpu import linearly_spaced_combinations
+        from safeopt_tpu.algorithms.safe_opt_core import safeopt_step
+        from safeopt_tpu.gp import GPRegression, Linear, RBF
+        from safeopt_tpu.utils.deployment import export_step, load_step
+
+        X = np.linspace(-1, 1, 5)[:, None]
+        Y = 1.0 + 0.5 * X
+        kern = RBF(1, variance=2.0) + Linear(1, variances=0.5)
+        gp = GPRegression(X, Y, kern, noise_var=1e-3, capacity=8)
+        grid = jnp.asarray(np.asarray(
+            linearly_spaced_combinations([(-2.0, 2.0)], 30)))
+        dtype = gp.state.X.dtype
+        args = ((gp.kern,), (gp.state,), grid, jnp.asarray([0.2], dtype),
+                jnp.asarray(2.0, dtype), jnp.asarray([np.sqrt(2.0)], dtype),
+                jnp.asarray([0.0], dtype))
+        served = load_step(export_step(*args, chunk=8))
+        out = served(*args)
+        ref = safeopt_step(*args, chunk=8)
+        np.testing.assert_array_equal(np.asarray(out.S), np.asarray(ref.S))
+        assert int(out.next_idx) == int(ref.next_idx)
+
+    def test_linear_not_fused(self):
+        from safeopt_tpu.gp import Linear, RBF
+        from safeopt_tpu.ops.fused_posterior import supports_kernel
+
+        assert not supports_kernel(Linear(1))
+        assert not supports_kernel(RBF(1) * Linear(1))
+        assert not supports_kernel(RBF(1) + Linear(1))
