@@ -491,19 +491,23 @@ def _cap512_certified_secondary(grid_dev, boundary_band=1e-3,
     # (u0 >= best_l0), so its benign band is distance to THAT boundary,
     # not to the safety thresholds; rows within either band are noise-
     # class on any f32 implementation.
-    S_r_np = np.asarray(jax.device_get(res_r.S))
-    best_l0 = np.max(np.where(S_r_np, l[:, 0], -np.inf))
+    best_l0 = np.max(np.where(S_r, l[:, 0], -np.inf))
     dM = np.abs(u[:, 0] - best_l0) / scal_np[0]
     benign = (margin < refine_band) | (dM < refine_band)
     m_mat = int(np.count_nonzero((M_f != M_r) & ~benign))
     g_mat = int(np.count_nonzero((G_f != G_r) & ~benign))
     # A G disagreement cascades from a knife-edge M row re-shuffling
     # the candidate set; it is benign iff the two selected expanders'
-    # scaled widths tie (same criterion as the next_idx gate).
+    # scaled widths tie (same criterion as the next_idx gate). A
+    # found-vs-not-found disagreement is never a tie — force the gate
+    # to fail rather than defaulting the gap to zero.
     g_width_gap = 0.0
-    if g_mat and G_f.any() and G_r.any():
-        wf, wr = w[int(np.argmax(G_f))], w[int(np.argmax(G_r))]
-        g_width_gap = abs(wf - wr) / max(abs(wr), 1e-12)
+    if g_mat:
+        if G_f.any() and G_r.any():
+            wf, wr = w[int(np.argmax(G_f))], w[int(np.argmax(G_r))]
+            g_width_gap = abs(wf - wr) / max(abs(wr), 1e-12)
+        else:
+            g_width_gap = float("inf")
 
     return {
         "cap512_certified_ms": round(el_fast * 1e3, 3),

@@ -157,7 +157,8 @@ int gram_stdperiodic(const double* X, int n, const double* Z, int m,
 // k(x, z) = sum_j w_j x_j z_j — per-dim weights ride the length-d slot.
 int gram_linear(const double* X, int n, const double* Z, int m, int d,
                 const double* w, double* out) {
-    if (d > 64) return 1;
+    // no d cap: unlike the stationary grams there is no stack-local
+    // inv_ls[64] buffer — w is read directly, any d works
     for (int i = 0; i < n; ++i) {
         const double* xi = X + (size_t)i * d;
         for (int j = 0; j < m; ++j) {

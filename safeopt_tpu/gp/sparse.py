@@ -166,7 +166,11 @@ class SparseGPRegression:
         r_flip = np.linalg.qr(R0[::-1, ::-1])[1]
         R = r_flip[::-1, ::-1]                        # lower-triangular
         scale = float(np.abs(R).max())
-        if scale > 1e4:
+        if scale > 1e4 and not getattr(self, "_factor_scale_warned", False):
+            # once per model: this runs on EVERY incremental append, and
+            # the interpolated scale defeats the warning registry's
+            # message dedup — a long campaign would emit thousands
+            self._factor_scale_warned = True
             import warnings
             warnings.warn(
                 f"sparse pseudo-factor max entry {scale:.3g}: K_ZZ is "
