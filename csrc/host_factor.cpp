@@ -153,6 +153,75 @@ int gram_stdperiodic(const double* X, int n, const double* Z, int m,
     return 0;
 }
 
+// Cosine gram: k = var * cos(r) (GPy.kern.Cosine convention).
+int gram_cosine(const double* X, int n, const double* Z, int m, int d,
+                const double* ls, double var, double* out) {
+    double inv_ls[64];
+    if (d > 64) return 1;
+    for (int k = 0; k < d; ++k) inv_ls[k] = 1.0 / ls[k];
+    for (int i = 0; i < n; ++i) {
+        const double* xi = X + (size_t)i * d;
+        for (int j = 0; j < m; ++j) {
+            const double r2 = sq_scaled_dist(xi, Z + (size_t)j * d,
+                                             inv_ls, d);
+            out[(size_t)i * m + j] = var * std::cos(std::sqrt(r2));
+        }
+    }
+    return 0;
+}
+
+// Polynomial gram (GPy.kern.Poly convention):
+// k(x, z) = var * (scale * x.z + bias)^order
+int gram_poly(const double* X, int n, const double* Z, int m, int d,
+              double var, double scale, double bias, double order,
+              double* out) {
+    for (int i = 0; i < n; ++i) {
+        const double* xi = X + (size_t)i * d;
+        for (int j = 0; j < m; ++j) {
+            const double* zj = Z + (size_t)j * d;
+            double acc = 0.0;
+            for (int k = 0; k < d; ++k) acc += xi[k] * zj[k];
+            out[(size_t)i * m + j] = var * std::pow(scale * acc + bias,
+                                                    order);
+        }
+    }
+    return 0;
+}
+
+// MLP (arcsine) gram (GPy.kern.MLP convention):
+// k(x, z) = var * (2/pi) * asin((w.x.z + b) /
+//           sqrt((w.x.x + b + 1)(w.z.z + b + 1)))
+// w has length d (ARD) — callers broadcast scalar weight variances.
+// Scratch for the z-side denominators is caller-provided via zden
+// (length m) so the kernel stays allocation-free.
+int gram_mlp(const double* X, int n, const double* Z, int m, int d,
+             const double* w, double var, double b, double* zden,
+             double* out) {
+    const double two_over_pi = 2.0 / M_PI;
+    for (int j = 0; j < m; ++j) {
+        const double* zj = Z + (size_t)j * d;
+        double acc = b + 1.0;
+        for (int k = 0; k < d; ++k) acc += w[k] * zj[k] * zj[k];
+        zden[j] = std::sqrt(acc);
+    }
+    for (int i = 0; i < n; ++i) {
+        const double* xi = X + (size_t)i * d;
+        double xacc = b + 1.0;
+        for (int k = 0; k < d; ++k) xacc += w[k] * xi[k] * xi[k];
+        const double xden = std::sqrt(xacc);
+        for (int j = 0; j < m; ++j) {
+            const double* zj = Z + (size_t)j * d;
+            double acc = b;
+            for (int k = 0; k < d; ++k) acc += w[k] * xi[k] * zj[k];
+            double c = acc / (xden * zden[j]);
+            if (c > 1.0) c = 1.0;
+            if (c < -1.0) c = -1.0;
+            out[(size_t)i * m + j] = var * two_over_pi * std::asin(c);
+        }
+    }
+    return 0;
+}
+
 // Linear (dot-product) gram (GPy.kern.Linear convention):
 // k(x, z) = sum_j w_j x_j z_j — per-dim weights ride the length-d slot.
 int gram_linear(const double* X, int n, const double* Z, int m, int d,

@@ -24,7 +24,8 @@ Public API mirrors the reference package
 from .algorithms import (GaussianProcessOptimization, SafeOpt, SafeOptSwarm,
                          SwarmOptimization)
 from .gp import (GPRegression, Matern32, Matern52, Exponential, RatQuad,
-                 StdPeriodic, Linear, Bias, White, Product, Sum, RBF)
+                 Cosine, StdPeriodic, Linear, Poly, MLP, Bias, White,
+                 Product, Sum, RBF)
 from .utils import (linearly_spaced_combinations, plot_2d_gp, plot_3d_gp,
                     plot_contour_gp, sample_gp_function)
 
@@ -34,7 +35,7 @@ __all__ = [
     "SafeOpt", "SafeOptSwarm", "SwarmOptimization",
     "GaussianProcessOptimization",
     "GPRegression", "RBF", "Matern32", "Matern52", "Exponential",
-    "RatQuad", "StdPeriodic", "Linear",
+    "RatQuad", "Cosine", "StdPeriodic", "Linear", "Poly", "MLP",
     "Bias", "White", "Product", "Sum",
     "linearly_spaced_combinations", "sample_gp_function",
     "plot_2d_gp", "plot_3d_gp", "plot_contour_gp",

@@ -25,9 +25,9 @@ from typing import Optional
 import numpy as np
 import scipy.linalg
 
-from .kernels import (Bias, Exponential, Kernel, Linear, Matern32,
-                      Matern52, Product, RatQuad, RBF, StdPeriodic, Sum,
-                      White)
+from .kernels import (Bias, Cosine, Exponential, Kernel, Linear,
+                      Matern32, Matern52, MLP, Poly, Product, RatQuad,
+                      RBF, StdPeriodic, Sum, White)
 
 __all__ = ["np_kernel", "np_kdiag", "HostFactor"]
 
@@ -55,6 +55,15 @@ def _native_kind(kernel: Kernel):
     if isinstance(kernel, Linear) and kernel.active_dims == tuple(
             range(kernel.input_dim)):
         return "linear"
+    if isinstance(kernel, Cosine) and kernel.active_dims == tuple(
+            range(kernel.input_dim)):
+        return "cosine"
+    if isinstance(kernel, Poly) and kernel.active_dims == tuple(
+            range(kernel.input_dim)):
+        return "poly"
+    if isinstance(kernel, MLP) and kernel.active_dims == tuple(
+            range(kernel.input_dim)):
+        return "mlp"
     return None
 
 
@@ -97,8 +106,28 @@ def np_kernel(kernel: Kernel, X: np.ndarray,
               else np.atleast_2d(np.asarray(X2, dtype=np.float64))[:, dims])
         v = np.asarray(kernel.variances, dtype=np.float64)
         return (Xa * v) @ Za.T
+    if isinstance(kernel, Poly):
+        dims = list(kernel.active_dims)
+        Xa = np.atleast_2d(np.asarray(X, dtype=np.float64))[:, dims]
+        Za = (Xa if X2 is None
+              else np.atleast_2d(np.asarray(X2, dtype=np.float64))[:, dims])
+        return float(kernel.variance) * (
+            float(kernel.scale) * (Xa @ Za.T)
+            + float(kernel.bias)) ** kernel.order
+    if isinstance(kernel, MLP):
+        dims = list(kernel.active_dims)
+        Xa = np.atleast_2d(np.asarray(X, dtype=np.float64))[:, dims]
+        Za = (Xa if X2 is None
+              else np.atleast_2d(np.asarray(X2, dtype=np.float64))[:, dims])
+        w = np.asarray(kernel.weight_variance, dtype=np.float64)
+        b = float(kernel.bias_variance)
+        xd = np.sqrt(np.sum(Xa * Xa * w, axis=1) + b + 1.0)
+        zd = np.sqrt(np.sum(Za * Za * w, axis=1) + b + 1.0)
+        cos = ((Xa * w) @ Za.T + b) / xd[:, None] / zd[None, :]
+        cos = np.clip(cos, -1.0, 1.0)
+        return float(kernel.variance) * (2.0 / np.pi) * np.arcsin(cos)
     if not isinstance(kernel, (RBF, Matern32, Matern52, Exponential,
-                               RatQuad)):
+                               RatQuad, Cosine)):
         raise TypeError(f"no host implementation for {type(kernel).__name__}")
 
     ls = np.asarray(kernel.lengthscale, dtype=np.float64)
@@ -116,6 +145,8 @@ def np_kernel(kernel: Kernel, X: np.ndarray,
     if isinstance(kernel, RatQuad):
         return var * (1.0 + 0.5 * r2) ** (-float(kernel.power))
     r = np.sqrt(r2)
+    if isinstance(kernel, Cosine):
+        return var * np.cos(r)
     if isinstance(kernel, Exponential):
         return var * np.exp(-r)
     if isinstance(kernel, Matern52):
@@ -136,6 +167,19 @@ def np_kdiag(kernel: Kernel, X: np.ndarray) -> np.ndarray:
         Xa = np.atleast_2d(np.asarray(X, dtype=np.float64))[:, dims]
         v = np.asarray(kernel.variances, dtype=np.float64)
         return np.sum(Xa * Xa * v, axis=1)
+    if isinstance(kernel, Poly):
+        dims = list(kernel.active_dims)
+        Xa = np.atleast_2d(np.asarray(X, dtype=np.float64))[:, dims]
+        dot = np.sum(Xa * Xa, axis=1)
+        return float(kernel.variance) * (
+            float(kernel.scale) * dot + float(kernel.bias)) ** kernel.order
+    if isinstance(kernel, MLP):
+        dims = list(kernel.active_dims)
+        Xa = np.atleast_2d(np.asarray(X, dtype=np.float64))[:, dims]
+        w = np.asarray(kernel.weight_variance, dtype=np.float64)
+        p = np.sum(Xa * Xa * w, axis=1) + float(kernel.bias_variance)
+        return (float(kernel.variance) * (2.0 / np.pi)
+                * np.arcsin(p / (p + 1.0)))
     return float(kernel.variance) * np.ones(np.atleast_2d(X).shape[0])
 
 
@@ -171,6 +215,16 @@ class HostFactor:
             # the per-dim weights ride the length-d slot; var is unused
             return self._native.gram("linear", X, Z,
                                      np.asarray(kern.variances), 1.0)
+        if self._native_kind == "poly":
+            return self._native.gram(
+                "poly", X, Z, np.ones(kern.input_dim),
+                float(kern.variance), power=kern.order,
+                scale=float(kern.scale), bias=float(kern.bias))
+        if self._native_kind == "mlp":
+            # per-dim weight variances ride the length-d slot
+            return self._native.gram(
+                "mlp", X, Z, np.asarray(kern.weight_variance),
+                float(kern.variance), bias=float(kern.bias_variance))
         extras = {}
         if self._native_kind == "ratquad":
             extras["power"] = float(np.asarray(kern.power))

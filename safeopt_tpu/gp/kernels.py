@@ -30,8 +30,8 @@ import jax.numpy as jnp
 from ..config import default_dtype
 
 __all__ = ["Kernel", "RBF", "Matern32", "Matern52", "Exponential",
-           "RatQuad", "StdPeriodic", "Linear", "Bias", "White",
-           "Product", "Sum"]
+           "RatQuad", "Cosine", "StdPeriodic", "Linear", "Poly", "MLP",
+           "Bias", "White", "Product", "Sum"]
 
 
 def _as_active_dims(active_dims, input_dim: int) -> Tuple[int, ...]:
@@ -259,6 +259,24 @@ class RatQuad(_Stationary):
 
 
 @jax.tree_util.register_pytree_node_class
+class Cosine(_Stationary):
+    """Cosine kernel: k(r) = variance * cos(r) (GPy.kern.Cosine).
+
+    Beyond the reference's consumed surface; GPy's pure-oscillation
+    stationary kernel (a point spectral mass at 1/lengthscale —
+    useful for signals with one known dominant frequency; for
+    periodic-plus-decay structure prefer ``StdPeriodic * RBF``).
+    Participates in ARD, active_dims, sums/products, hyperparameter
+    fitting, the host f64 island, the native C++ engine and the fused
+    Pallas paths like the other stationary kernels.
+    """
+
+    def _K_of_r2(self, r2: jnp.ndarray) -> jnp.ndarray:
+        r = jnp.sqrt(r2 + 1e-36)  # guarded sqrt: grad-safe at r = 0
+        return self.variance * jnp.cos(r)
+
+
+@jax.tree_util.register_pytree_node_class
 class StdPeriodic(Kernel):
     """Standard periodic kernel (GPy.kern.StdPeriodic convention):
 
@@ -403,6 +421,152 @@ class Linear(Kernel):
     def __repr__(self):
         return (f"Linear(input_dim={self.input_dim}, "
                 f"variances={self.variances}, ARD={self.ARD}, "
+                f"active_dims={self.active_dims})")
+
+
+@jax.tree_util.register_pytree_node_class
+class Poly(Kernel):
+    """Polynomial kernel (GPy.kern.Poly convention):
+
+        k(x, z) = variance * (scale * x.z^T + bias)^order
+
+    Beyond the reference's consumed surface; the GPy kernel for
+    polynomial trends. ``variance``, ``scale`` and ``bias`` are traced
+    pytree leaves fitted in log space by hyperopt; ``order`` is static
+    structure (it changes the function class, and GPy likewise never
+    optimizes it). Non-stationary, so it runs on the exact XLA path
+    (excluded from the fused Pallas kind set via ``supports_kernel``);
+    the inner product is one MXU matmul.
+
+    Like Linear, its prior variance at the origin is ``variance *
+    bias^order`` — ``scaling='auto'`` therefore requires ``bias > 0``.
+    """
+
+    def __init__(self, input_dim, variance=1.0, scale=1.0, bias=1.0,
+                 order=3.0, active_dims=None,
+                 name: Optional[str] = None):
+        self.input_dim = int(input_dim)
+        self.order = float(order)
+        self.active_dims = _as_active_dims(active_dims, self.input_dim)
+        self.name = name if name is not None else "poly"
+
+        dtype = default_dtype()
+        self.variance = jnp.asarray(variance, dtype=dtype).reshape(())
+        self.scale = jnp.asarray(scale, dtype=dtype).reshape(())
+        self.bias = jnp.asarray(bias, dtype=dtype).reshape(())
+
+    def tree_flatten(self):
+        """Pytree protocol: order is static aux (function class)."""
+        children = (self.variance, self.scale, self.bias)
+        aux = (self.input_dim, self.order, self.active_dims, self.name)
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        """Pytree protocol: rebuild from (aux, traced leaves)."""
+        obj = object.__new__(cls)
+        obj.input_dim, obj.order, obj.active_dims, obj.name = aux
+        obj.variance, obj.scale, obj.bias = children
+        return obj
+
+    def K(self, X, X2=None) -> jnp.ndarray:
+        Xa = _slice_active(jnp.atleast_2d(X), self.active_dims)
+        Za = Xa if X2 is None else _slice_active(jnp.atleast_2d(X2),
+                                                 self.active_dims)
+        return self.variance * (self.scale * (Xa @ Za.T)
+                                + self.bias) ** self.order
+
+    def Kdiag(self, X) -> jnp.ndarray:
+        Xa = _slice_active(jnp.atleast_2d(X), self.active_dims)
+        dot = jnp.sum(Xa * Xa, axis=1)
+        return self.variance * (self.scale * dot + self.bias) ** self.order
+
+    def __repr__(self):
+        return (f"Poly(input_dim={self.input_dim}, "
+                f"variance={self.variance}, scale={self.scale}, "
+                f"bias={self.bias}, order={self.order}, "
+                f"active_dims={self.active_dims})")
+
+
+@jax.tree_util.register_pytree_node_class
+class MLP(Kernel):
+    """MLP (arcsine / neural-network) kernel (GPy.kern.MLP convention):
+
+        k(x, z) = variance * (2/pi) * asin( (w x.z^T + b) /
+                  sqrt((w |x|^2 + b + 1)(w |z|^2 + b + 1)) )
+
+    with ``w = weight_variance`` (per-dimension under ``ARD``) and
+    ``b = bias_variance`` — the covariance of an infinitely wide
+    one-hidden-layer erf network (Williams 1998). Beyond the
+    reference's consumed surface. All three hyperparameters are traced
+    pytree leaves fitted in log space. Non-stationary, so it runs on
+    the exact XLA path; the weighted inner products are MXU matmuls.
+    """
+
+    def __init__(self, input_dim, variance=1.0, weight_variance=1.0,
+                 bias_variance=1.0, ARD=False, active_dims=None,
+                 name: Optional[str] = None):
+        self.input_dim = int(input_dim)
+        self.ARD = bool(ARD)
+        self.active_dims = _as_active_dims(active_dims, self.input_dim)
+        self.name = name if name is not None else "mlp"
+
+        dtype = default_dtype()
+        self.variance = jnp.asarray(variance, dtype=dtype).reshape(())
+        wv = jnp.asarray(weight_variance, dtype=dtype)
+        if self.ARD:
+            self.weight_variance = jnp.broadcast_to(
+                wv.reshape(-1), (self.input_dim,))
+        else:
+            self.weight_variance = wv.reshape(())
+        self.bias_variance = jnp.asarray(bias_variance,
+                                         dtype=dtype).reshape(())
+
+    def tree_flatten(self):
+        """Pytree protocol: (traced hyperparameters, static aux)."""
+        children = (self.variance, self.weight_variance,
+                    self.bias_variance)
+        aux = (self.input_dim, self.ARD, self.active_dims, self.name)
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        """Pytree protocol: rebuild from (aux, traced leaves)."""
+        obj = object.__new__(cls)
+        obj.input_dim, obj.ARD, obj.active_dims, obj.name = aux
+        (obj.variance, obj.weight_variance,
+         obj.bias_variance) = children
+        return obj
+
+    def _wprod(self, X, X2=None) -> jnp.ndarray:
+        if X2 is None:
+            return (jnp.sum(X * X * self.weight_variance, axis=1)
+                    + self.bias_variance)
+        return (X * self.weight_variance) @ X2.T + self.bias_variance
+
+    def K(self, X, X2=None) -> jnp.ndarray:
+        Xa = _slice_active(jnp.atleast_2d(X), self.active_dims)
+        Za = Xa if X2 is None else _slice_active(jnp.atleast_2d(X2),
+                                                 self.active_dims)
+        xd = jnp.sqrt(self._wprod(Xa) + 1.0)
+        zd = xd if X2 is None else jnp.sqrt(self._wprod(Za) + 1.0)
+        cos = self._wprod(Xa, Za) / xd[:, None] / zd[None, :]
+        # clip: float round-off can push coincident points past +-1
+        cos = jnp.clip(cos, -1.0, 1.0)
+        two_over_pi = 2.0 / jnp.pi
+        return self.variance * two_over_pi * jnp.arcsin(cos)
+
+    def Kdiag(self, X) -> jnp.ndarray:
+        Xa = _slice_active(jnp.atleast_2d(X), self.active_dims)
+        p = self._wprod(Xa)
+        two_over_pi = 2.0 / jnp.pi
+        return self.variance * two_over_pi * jnp.arcsin(p / (p + 1.0))
+
+    def __repr__(self):
+        return (f"MLP(input_dim={self.input_dim}, "
+                f"variance={self.variance}, "
+                f"weight_variance={self.weight_variance}, "
+                f"bias_variance={self.bias_variance}, ARD={self.ARD}, "
                 f"active_dims={self.active_dims})")
 
 

@@ -65,12 +65,16 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.gram_ratquad.argtypes = [_D, ci, _D, ci, ci, _D, cd, cd, _D]
     lib.gram_stdperiodic.argtypes = [_D, ci, _D, ci, ci, _D, _D, cd, _D]
     lib.gram_linear.argtypes = [_D, ci, _D, ci, ci, _D, _D]
+    lib.gram_cosine.argtypes = [_D, ci, _D, ci, ci, _D, cd, _D]
+    lib.gram_poly.argtypes = [_D, ci, _D, ci, ci, cd, cd, cd, cd, _D]
+    lib.gram_mlp.argtypes = [_D, ci, _D, ci, ci, _D, cd, cd, _D, _D]
     lib.cholesky_lower.argtypes = [_D, ci, ci]
     lib.tri_inverse_lower.argtypes = [_D, ci, ci, _D]
     lib.border_append.argtypes = [_D, _D, _D, ci, ci, _D, cd, cd, _D]
     for f in (lib.gram_rbf, lib.gram_matern32, lib.gram_matern52,
               lib.gram_exponential, lib.gram_ratquad,
-              lib.gram_stdperiodic, lib.gram_linear,
+              lib.gram_stdperiodic, lib.gram_linear, lib.gram_cosine,
+              lib.gram_poly, lib.gram_mlp,
               lib.cholesky_lower, lib.tri_inverse_lower,
               lib.border_append):
         f.restype = ci
@@ -88,10 +92,14 @@ def _ptr(a: np.ndarray):
 
 
 def gram(kind: str, X: np.ndarray, Z: np.ndarray, ls: np.ndarray,
-         var: float, power: float = None, period=None) -> np.ndarray:
+         var: float, power: float = None, period=None,
+         scale: float = None, bias: float = None) -> np.ndarray:
     """Float64 gram k(X, Z): 'rbf'|'matern32'|'matern52'|'exponential'
-    |'ratquad' (pass ``power``)|'stdperiodic' (pass ``period``)
-    |'linear' (per-dim weights ride ``ls``; ``var`` unused)."""
+    |'cosine'|'ratquad' (pass ``power``)|'stdperiodic' (pass
+    ``period``)|'linear' (per-dim weights ride ``ls``; ``var`` unused)
+    |'poly' (pass ``scale``/``bias``; order rides ``power``)
+    |'mlp' (weight variances ride ``ls``, bias_variance rides
+    ``bias``)."""
     lib = _load()
     X = np.ascontiguousarray(X, dtype=np.float64)
     Z = np.ascontiguousarray(Z, dtype=np.float64)
@@ -102,6 +110,15 @@ def gram(kind: str, X: np.ndarray, Z: np.ndarray, ls: np.ndarray,
     if kind == "linear":
         rc = lib.gram_linear(_ptr(X), X.shape[0], _ptr(Z), Z.shape[0],
                              d, _ptr(ls), _ptr(out))
+    elif kind == "poly":
+        rc = lib.gram_poly(_ptr(X), X.shape[0], _ptr(Z), Z.shape[0], d,
+                           float(var), float(scale), float(bias),
+                           float(power), _ptr(out))
+    elif kind == "mlp":
+        zden = np.empty(Z.shape[0], dtype=np.float64)
+        rc = lib.gram_mlp(_ptr(X), X.shape[0], _ptr(Z), Z.shape[0], d,
+                          _ptr(ls), float(var), float(bias), _ptr(zden),
+                          _ptr(out))
     elif kind == "ratquad":
         rc = lib.gram_ratquad(_ptr(X), X.shape[0], _ptr(Z), Z.shape[0],
                               d, _ptr(ls), float(var), float(power),
@@ -115,7 +132,8 @@ def gram(kind: str, X: np.ndarray, Z: np.ndarray, ls: np.ndarray,
     else:
         fn = {"rbf": lib.gram_rbf, "matern32": lib.gram_matern32,
               "matern52": lib.gram_matern52,
-              "exponential": lib.gram_exponential}[kind]
+              "exponential": lib.gram_exponential,
+              "cosine": lib.gram_cosine}[kind]
         rc = fn(_ptr(X), X.shape[0], _ptr(Z), Z.shape[0], d, _ptr(ls),
                 float(var), _ptr(out))
     if rc != 0:

@@ -256,6 +256,8 @@ def _expander_kernel_multi(zt_ref, unsafe_ref, mu_ref, sigma_ref, ils_ref,
         if kind == "rbf":
             return variance * jnp.exp(-0.5 * r2)
         r = jnp.sqrt(r2 + 1e-36)
+        if kind == "cosine":
+            return variance * jnp.cos(r)
         if kind == "exponential":
             return variance * jnp.exp(-r)
         if kind == "matern52":

@@ -40,12 +40,12 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from ..gp.kernels import (Bias, Exponential, Matern32, Matern52, Product,
-                          RBF, Sum)
+from ..gp.kernels import (Bias, Cosine, Exponential, Matern32,
+                          Matern52, Product, RBF, Sum)
 
 __all__ = ["fused_intervals", "supports_kernel"]
 
-_STATIONARY = (RBF, Matern32, Matern52, Exponential)
+_STATIONARY = (RBF, Matern32, Matern52, Exponential, Cosine)
 
 
 def _terms_of(kernel):
@@ -69,7 +69,7 @@ def supports_kernel(kernel) -> bool:
     """True when the Pallas path can handle this kernel.
 
     Any Sum/Product algebra over stationary leaves (RBF, Matern-3/2,
-    Matern-5/2, Exponential) and Bias; ``active_dims`` subsets are
+    Matern-5/2, Exponential, Cosine) and Bias; ``active_dims`` are
     handled by zeroing the inactive entries of the per-leaf scale row.
     White is excluded (its gram is not a function of distance; the XLA
     path handles it exactly).
@@ -178,6 +178,8 @@ def _kind_of(kernel) -> str:
         return "matern52"
     if isinstance(kernel, Exponential):
         return "exponential"
+    if isinstance(kernel, Cosine):
+        return "cosine"
     if isinstance(kernel, Bias):
         return "bias"
     if isinstance(kernel, Matern32):
@@ -269,6 +271,8 @@ def _part_gram(a, b_t, var_at, scale_at, kinds, acc,
                     r2 = r2 + diff * diff
                 if kind == "rbf":
                     kp = variance * jnp.exp(-0.5 * r2)
+                elif kind == "cosine":
+                    kp = variance * jnp.cos(jnp.sqrt(r2 + 1e-36))
                 elif kind == "exponential":
                     r = jnp.sqrt(r2 + 1e-36)
                     kp = variance * jnp.exp(-r)
@@ -462,6 +466,8 @@ def _interval_kernel_multi(zt_ref, ils_ref, xs_ref, lm_ref, w_ref, scal_ref,
 
         if kind == "rbf":
             return variance * jnp.exp(-0.5 * r2)
+        elif kind == "cosine":
+            return variance * jnp.cos(jnp.sqrt(r2 + 1e-36))
         elif kind == "exponential":
             r = jnp.sqrt(r2 + 1e-36)
             return variance * jnp.exp(-r)

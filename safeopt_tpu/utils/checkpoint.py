@@ -35,7 +35,8 @@ __all__ = ["save", "load", "save_state", "load_state"]
 
 _KERNEL_CLASSES = {"RBF": _kernels.RBF, "Matern32": _kernels.Matern32,
                    "Matern52": _kernels.Matern52,
-                   "Exponential": _kernels.Exponential}
+                   "Exponential": _kernels.Exponential,
+                   "Cosine": _kernels.Cosine}
 # stationary kernels with extra hyperparameter leaves beyond
 # (variance, lengthscale): class -> extra leaf names
 _EXTRA_PARAM_CLASSES = {"RatQuad": (_kernels.RatQuad, ("power",))}
@@ -61,6 +62,21 @@ def _kernel_spec(kern, arrays, prefix):
     if isinstance(kern, _kernels.Linear):
         arrays[prefix + "variances"] = np.asarray(kern.variances)
         return {"type": "Linear", "input_dim": kern.input_dim,
+                "ARD": kern.ARD, "active_dims": list(kern.active_dims),
+                "prefix": prefix}
+    if isinstance(kern, _kernels.Poly):
+        arrays[prefix + "variance"] = np.asarray(kern.variance)
+        arrays[prefix + "scale"] = np.asarray(kern.scale)
+        arrays[prefix + "bias"] = np.asarray(kern.bias)
+        return {"type": "Poly", "input_dim": kern.input_dim,
+                "order": kern.order,
+                "active_dims": list(kern.active_dims), "prefix": prefix}
+    if isinstance(kern, _kernels.MLP):
+        arrays[prefix + "variance"] = np.asarray(kern.variance)
+        arrays[prefix + "weight_variance"] = np.asarray(
+            kern.weight_variance)
+        arrays[prefix + "bias_variance"] = np.asarray(kern.bias_variance)
+        return {"type": "MLP", "input_dim": kern.input_dim,
                 "ARD": kern.ARD, "active_dims": list(kern.active_dims),
                 "prefix": prefix}
     name = type(kern).__name__
@@ -100,6 +116,17 @@ def _kernel_from_spec(spec, arrays):
     if spec["type"] == "Linear":
         return _kernels.Linear(
             spec["input_dim"], variances=arrays[p + "variances"],
+            ARD=spec["ARD"], active_dims=spec["active_dims"])
+    if spec["type"] == "Poly":
+        return _kernels.Poly(
+            spec["input_dim"], variance=arrays[p + "variance"],
+            scale=arrays[p + "scale"], bias=arrays[p + "bias"],
+            order=spec["order"], active_dims=spec["active_dims"])
+    if spec["type"] == "MLP":
+        return _kernels.MLP(
+            spec["input_dim"], variance=arrays[p + "variance"],
+            weight_variance=arrays[p + "weight_variance"],
+            bias_variance=arrays[p + "bias_variance"],
             ARD=spec["ARD"], active_dims=spec["active_dims"])
     if spec["type"] in _EXTRA_PARAM_CLASSES:
         cls, extras = _EXTRA_PARAM_CLASSES[spec["type"]]

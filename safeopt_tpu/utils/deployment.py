@@ -74,10 +74,13 @@ def _register_serializations() -> None:
 
     # RatQuad's aux is identical to the other stationary kernels (its
     # extra `power` hyperparameter is a traced child leaf, not aux), so
-    # the shared serializer covers it unchanged — as is Linear's
-    # (input_dim, ARD, active_dims, name), with `variances` a child.
+    # the shared serializer covers it unchanged — as are Linear's and
+    # MLP's (input_dim, ARD, active_dims, name) with their extra
+    # hyperparameters as children, and Poly's (input_dim, order,
+    # active_dims, name): the serializer is positional and ``order``
+    # (a float) rides the second slot through json unchanged.
     for cls in (K.RBF, K.Matern32, K.Matern52, K.Exponential, K.RatQuad,
-                K.Linear, K.Bias, K.White):
+                K.Cosine, K.Linear, K.Poly, K.MLP, K.Bias, K.White):
         _once(_stationary, cls)
 
     def _periodic(cls):
@@ -106,8 +109,9 @@ def _register_serializations() -> None:
 
 #: kernel classes whose pytree aux can round-trip through jax.export.
 _SERIALIZABLE_KERNELS = ("RBF", "Matern32", "Matern52", "Exponential",
-                         "RatQuad", "StdPeriodic", "Linear", "Bias",
-                         "White", "Product", "Sum")
+                         "RatQuad", "Cosine", "StdPeriodic", "Linear",
+                         "Poly", "MLP", "Bias", "White", "Product",
+                         "Sum")
 
 
 def _check_kernels_serializable(kernels) -> None:

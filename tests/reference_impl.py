@@ -137,6 +137,88 @@ class RefRatQuad(RefRBF):
         return self.variance * (1.0 + 0.5 * r2) ** (-self.power)
 
 
+class RefCosine(RefRBF):
+    """Cosine mirror of safeopt_tpu.Cosine (GPy.kern.Cosine)."""
+
+    def K(self, X, X2=None):
+        Xs = self._sliced(X)
+        Zs = Xs if X2 is None else self._sliced(X2)
+        r = cdist(Xs, Zs, metric="euclidean")
+        return self.variance * np.cos(r)
+
+
+class RefPoly:
+    """Polynomial mirror of safeopt_tpu.Poly (GPy.kern.Poly)."""
+
+    def __init__(self, input_dim, variance=1.0, scale=1.0, bias=1.0,
+                 order=3.0, active_dims=None):
+        self.input_dim = input_dim
+        self.variance = float(variance)
+        self.scale = float(scale)
+        self.bias = float(bias)
+        self.order = float(order)
+        self.active_dims = (np.arange(input_dim) if active_dims is None
+                            else np.asarray(active_dims))
+
+    def K(self, X, X2=None):
+        Xa = np.atleast_2d(X)[:, self.active_dims]
+        Za = Xa if X2 is None else np.atleast_2d(X2)[:, self.active_dims]
+        return self.variance * (self.scale * (Xa @ Za.T)
+                                + self.bias) ** self.order
+
+    def Kdiag(self, X):
+        Xa = np.atleast_2d(X)[:, self.active_dims]
+        dot = np.sum(Xa * Xa, axis=1)
+        return self.variance * (self.scale * dot + self.bias) ** self.order
+
+    def __mul__(self, other):
+        return RefProduct(self, other)
+
+    def __add__(self, other):
+        return RefSum(self, other)
+
+
+class RefMLP:
+    """Arcsine mirror of safeopt_tpu.MLP (GPy.kern.MLP)."""
+
+    def __init__(self, input_dim, variance=1.0, weight_variance=1.0,
+                 bias_variance=1.0, ARD=False, active_dims=None):
+        self.input_dim = input_dim
+        self.variance = float(variance)
+        self.weight_variance = np.atleast_1d(
+            np.asarray(weight_variance, dtype=float))
+        self.bias_variance = float(bias_variance)
+        self.ARD = ARD
+        self.active_dims = (np.arange(input_dim) if active_dims is None
+                            else np.asarray(active_dims))
+
+    def _wprod(self, X, X2=None):
+        if X2 is None:
+            return (np.sum(X * X * self.weight_variance, axis=1)
+                    + self.bias_variance)
+        return (X * self.weight_variance) @ X2.T + self.bias_variance
+
+    def K(self, X, X2=None):
+        Xa = np.atleast_2d(X)[:, self.active_dims]
+        Za = Xa if X2 is None else np.atleast_2d(X2)[:, self.active_dims]
+        xd = np.sqrt(self._wprod(Xa) + 1.0)
+        zd = xd if X2 is None else np.sqrt(self._wprod(Za) + 1.0)
+        cos = np.clip(self._wprod(Xa, Za) / xd[:, None] / zd[None, :],
+                      -1.0, 1.0)
+        return self.variance * (2.0 / np.pi) * np.arcsin(cos)
+
+    def Kdiag(self, X):
+        Xa = np.atleast_2d(X)[:, self.active_dims]
+        p = self._wprod(Xa)
+        return self.variance * (2.0 / np.pi) * np.arcsin(p / (p + 1.0))
+
+    def __mul__(self, other):
+        return RefProduct(self, other)
+
+    def __add__(self, other):
+        return RefSum(self, other)
+
+
 class RefLinear:
     """Dot-product mirror of safeopt_tpu.Linear (GPy.kern.Linear)."""
 

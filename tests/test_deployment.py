@@ -161,7 +161,13 @@ def test_every_public_kernel_exports():
                 K.RBF(2) + K.White(2, variance=1e-3),
                 K.RBF(1, active_dims=[0]) * K.Matern32(1, active_dims=[1]),
                 K.StdPeriodic(2, period=1.5) * K.RBF(2, lengthscale=4.0),
-                K.RatQuad(2, power=2.0) + K.RBF(2)]
+                K.RatQuad(2, power=2.0) + K.RBF(2),
+                K.RBF(2) + K.Linear(2, variances=0.2),
+                K.Cosine(2, lengthscale=1.5) * K.RBF(2, lengthscale=6.0),
+                K.RBF(2) + K.Poly(2, variance=0.1, scale=0.05, bias=0.5,
+                                  order=3.0),
+                K.MLP(2, variance=1.5, weight_variance=[0.8, 1.2],
+                      bias_variance=0.5, ARD=True)]
     for kern in concrete:
         gp = GPRegression(X, Y, kern, noise_var=0.01, capacity=8)
         dtype = gp.state.X.dtype

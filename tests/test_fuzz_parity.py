@@ -21,11 +21,13 @@ import pytest
 from numpy.testing import assert_allclose
 
 from safeopt_tpu import SafeOpt, linearly_spaced_combinations
-from safeopt_tpu.gp import (Bias, Exponential, GPRegression, Linear,
-                            Matern32, RatQuad, RBF)
+from safeopt_tpu.gp import (Bias, Cosine, Exponential, GPRegression,
+                            Linear, Matern32, Matern52, MLP, Poly,
+                            RatQuad, RBF)
 
-from reference_impl import (RefBias, RefExponential, RefGP, RefLinear,
-                            RefMatern32, RefRatQuad, RefRBF, RefSafeOpt)
+from reference_impl import (RefBias, RefCosine, RefExponential, RefGP,
+                            RefLinear, RefMatern32, RefMatern52, RefMLP,
+                            RefPoly, RefRatQuad, RefRBF, RefSafeOpt)
 
 
 def _random_case(rng):
@@ -59,26 +61,59 @@ def _random_case(rng):
                                      ARD=ard))
             rkerns.append(RefExponential(d, variance=variance,
                                          lengthscale=ls, ARD=ard))
-        elif draw < 0.85:
+        elif draw < 0.80:
             power = float(rng.uniform(0.8, 3.0))
             kerns.append(RatQuad(d, variance=variance, lengthscale=ls,
                                  power=power, ARD=ard))
             rkerns.append(RefRatQuad(d, variance=variance, lengthscale=ls,
                                      power=power, ARD=ard))
-        elif draw < 0.93:
+        elif draw < 0.84:
             # round-2 sum algebra: stationary + constant offset
             bias_var = float(rng.uniform(0.1, 0.6))
             kerns.append(RBF(d, variance=variance, lengthscale=ls, ARD=ard)
                          + Bias(d, variance=bias_var))
             rkerns.append(RefRBF(d, variance=variance, lengthscale=ls,
                                  ARD=ard) + RefBias(d, variance=bias_var))
-        else:
+        elif draw < 0.88:
             # round-3: stationary + global linear trend (GPy Linear)
             lin_var = float(rng.uniform(0.02, 0.2))
             kerns.append(RBF(d, variance=variance, lengthscale=ls, ARD=ard)
                          + Linear(d, variances=lin_var))
             rkerns.append(RefRBF(d, variance=variance, lengthscale=ls,
                                  ARD=ard) + RefLinear(d, variances=lin_var))
+        elif draw < 0.92:
+            # round-3b: MLP (arcsine) network kernel
+            wv = (rng.uniform(0.5, 2.0, size=d).tolist() if ard
+                  else float(rng.uniform(0.5, 2.0)))
+            bv = float(rng.uniform(0.2, 1.5))
+            kerns.append(MLP(d, variance=variance, weight_variance=wv,
+                             bias_variance=bv, ARD=ard))
+            rkerns.append(RefMLP(d, variance=variance, weight_variance=wv,
+                                 bias_variance=bv, ARD=ard))
+        elif draw < 0.96:
+            # round-3b: stationary + small cubic trend (GPy Poly)
+            scale = float(rng.uniform(0.005, 0.02))
+            pbias = float(rng.uniform(0.2, 1.0))
+            kerns.append(RBF(d, variance=variance, lengthscale=ls, ARD=ard)
+                         + Poly(d, variance=0.1, scale=scale, bias=pbias,
+                                order=3.0))
+            rkerns.append(RefRBF(d, variance=variance, lengthscale=ls,
+                                 ARD=ard)
+                          + RefPoly(d, variance=0.1, scale=scale,
+                                    bias=pbias, order=3.0))
+        elif d == 1:
+            # round-3b: quasi-periodic Cosine * RBF (Cosine is a valid
+            # covariance only in 1-D — cos(|x-z|) is not PD in d >= 2)
+            cls = float(rng.uniform(0.8, 2.0))
+            kerns.append(Cosine(1, variance=variance, lengthscale=cls)
+                         * RBF(1, lengthscale=4.0))
+            rkerns.append(RefCosine(1, variance=variance, lengthscale=cls)
+                          * RefRBF(1, lengthscale=4.0))
+        else:
+            kerns.append(Matern52(d, variance=variance, lengthscale=ls,
+                                  ARD=ard))
+            rkerns.append(RefMatern52(d, variance=variance, lengthscale=ls,
+                                      ARD=ard))
         centers = rng.uniform(-4, 4, size=(4, d))
         weights = rng.uniform(-1.0, 1.5, size=4)
         rk = rkerns[-1]

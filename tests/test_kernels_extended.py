@@ -640,3 +640,368 @@ class TestLinear:
         assert not supports_kernel(Linear(1))
         assert not supports_kernel(RBF(1) * Linear(1))
         assert not supports_kernel(RBF(1) + Linear(1))
+
+
+# ---------------------------------------------------------------------------
+# round 3b: Cosine / Poly / MLP (GPy kernel families)
+# ---------------------------------------------------------------------------
+
+
+class TestCosine:
+    """GPy.kern.Cosine mirror: k(r) = variance * cos(r), through every
+    layer (device, host f64, native C++, fused Pallas, hyperopt,
+    checkpoint, export, SafeOpt lockstep)."""
+
+    def test_matches_direct_formula(self):
+        from safeopt_tpu.gp import Cosine
+
+        rng = np.random.default_rng(0)
+        X = rng.uniform(-3, 3, size=(7, 1))
+        Z = rng.uniform(-3, 3, size=(5, 1))
+        kern = Cosine(1, variance=1.8, lengthscale=0.7)
+        r = np.abs(X - Z.T) / 0.7
+        assert_allclose(np.asarray(kern.K(X, Z)), 1.8 * np.cos(r),
+                        rtol=1e-6, atol=1e-7)
+        assert_allclose(np.asarray(kern.Kdiag(X)), 1.8 * np.ones(7),
+                        rtol=1e-6)
+
+    def test_host_f64_and_native_gram(self):
+        from safeopt_tpu import native
+        from safeopt_tpu.gp import Cosine
+        from safeopt_tpu.gp.host_math import HostFactor, np_kernel
+
+        rng = np.random.default_rng(1)
+        X = rng.uniform(-2, 2, size=(6, 1))
+        kern = Cosine(1, variance=1.3, lengthscale=0.9)
+        r = np.abs(X - X.T) / 0.9
+        assert_allclose(np_kernel(kern, X), 1.3 * np.cos(r), rtol=1e-12)
+        if native.available():
+            hf = HostFactor(kern, capacity=8, input_dim=1, noise_var=0.01)
+            assert hf._native_kind == "cosine"
+            assert_allclose(hf._gram(X, X), 1.3 * np.cos(r), rtol=1e-12)
+
+    def test_fused_intervals_cosine(self):
+        """Cosine rides the fused Pallas interval path like the other
+        stationary kernels (interpret mode on CPU; Mosaic on TPU)."""
+        from safeopt_tpu.gp import Cosine, RBF
+        from safeopt_tpu.ops import fused_intervals, supports_kernel
+
+        kern = Cosine(1, variance=1.5, lengthscale=1.1) \
+            * RBF(1, lengthscale=5.0)
+        assert supports_kernel(kern)
+        rng = np.random.default_rng(2)
+        X = rng.uniform(-2, 2, size=(9, 1))
+        Y = rng.normal(size=(9, 1))
+        gp = GPRegression(X, Y, kern, noise_var=0.01)
+        grid = rng.uniform(-3, 3, size=(256, 1))
+        l, u = fused_intervals(kern, gp.state, np.asarray(grid, float),
+                               2.0, block=128)
+        mu, var = gp_predict(kern, gp.state, grid)
+        assert_allclose(np.asarray(l),
+                        np.asarray(mu) - 2.0 * np.sqrt(np.asarray(var)),
+                        rtol=1e-9, atol=1e-10)
+        assert_allclose(np.asarray(u),
+                        np.asarray(mu) + 2.0 * np.sqrt(np.asarray(var)),
+                        rtol=1e-9, atol=1e-10)
+
+    def test_trajectory_lockstep_quasiperiodic(self):
+        from safeopt_tpu import SafeOpt, linearly_spaced_combinations
+        from safeopt_tpu.gp import Cosine, GPRegression, RBF
+
+        from reference_impl import RefCosine, RefGP, RefRBF, RefSafeOpt
+
+        kern = Cosine(1, variance=2.0, lengthscale=1.0) \
+            * RBF(1, lengthscale=4.0)
+        rkern = RefCosine(1, variance=2.0, lengthscale=1.0) \
+            * RefRBF(1, lengthscale=4.0)
+
+        def f(x):
+            x = np.atleast_2d(x)
+            return (1.2 * np.cos(x[:, 0])
+                    * np.exp(-0.5 * (x[:, 0] / 4.0) ** 2) + 0.8)
+
+        x0 = np.array([[0.0]])
+        y0 = np.array([[float(f(x0)[0])]])
+        grid = linearly_spaced_combinations([(-4.0, 4.0)], 160)
+        gp = GPRegression(x0, y0, kern, noise_var=1e-4)
+        rgp = RefGP(x0, y0, rkern, noise_var=1e-4)
+        opt = SafeOpt(gp, grid, fmin=[0.0], beta=2.0)
+        ref = RefSafeOpt(rgp, grid, fmin=[0.0], beta=2.0)
+        for it in range(6):
+            x = np.asarray(opt.optimize())
+            x_ref = np.asarray(ref.optimize())
+            assert_allclose(x, x_ref, atol=1e-9,
+                            err_msg=f"diverged at iteration {it}")
+            y = np.array([[float(f(x)[0])]])
+            opt.add_new_data_point(x, y)
+            ref.add_new_data_point(x, y)
+
+    def test_checkpoint_roundtrip(self, tmp_path):
+        from safeopt_tpu import SafeOpt, linearly_spaced_combinations
+        from safeopt_tpu.gp import Cosine, GPRegression, RBF
+        from safeopt_tpu.utils import checkpoint
+
+        kern = Cosine(1, variance=1.4, lengthscale=0.8) + RBF(1)
+        gp = GPRegression(np.array([[0.0]]), np.array([[1.5]]), kern,
+                          noise_var=1e-3)
+        grid = linearly_spaced_combinations([(-2.0, 2.0)], 40)
+        opt = SafeOpt(gp, grid, fmin=[0.0])
+        path = str(tmp_path / "cosine.npz")
+        checkpoint.save(opt, path)
+        opt2 = checkpoint.load(path)
+        k1 = opt2.gps[0].kern.k1
+        assert type(k1).__name__ == "Cosine"
+        assert_allclose(float(np.asarray(k1.variance)), 1.4)
+        np.testing.assert_array_equal(np.asarray(opt2.optimize()),
+                                      np.asarray(opt.optimize()))
+
+
+class TestPoly:
+    """GPy.kern.Poly mirror: k(x, z) = var * (scale x.z + bias)^order,
+    through every layer."""
+
+    def test_matches_direct_formula(self):
+        from safeopt_tpu.gp import Poly
+
+        rng = np.random.default_rng(3)
+        X = rng.uniform(-2, 2, size=(6, 2))
+        Z = rng.uniform(-2, 2, size=(4, 2))
+        kern = Poly(2, variance=1.5, scale=0.3, bias=0.7, order=3.0)
+        ref = 1.5 * (0.3 * (X @ Z.T) + 0.7) ** 3
+        assert_allclose(np.asarray(kern.K(X, Z)), ref, rtol=1e-5)
+        dref = 1.5 * (0.3 * np.sum(X * X, 1) + 0.7) ** 3
+        assert_allclose(np.asarray(kern.Kdiag(X)), dref, rtol=1e-5)
+
+    def test_host_f64_and_native_gram(self):
+        from safeopt_tpu import native
+        from safeopt_tpu.gp import Poly
+        from safeopt_tpu.gp.host_math import HostFactor, np_kdiag, np_kernel
+
+        rng = np.random.default_rng(4)
+        X = rng.uniform(-2, 2, size=(6, 2))
+        kern = Poly(2, variance=0.8, scale=0.25, bias=1.1, order=2.0)
+        ref = 0.8 * (0.25 * (X @ X.T) + 1.1) ** 2
+        assert_allclose(np_kernel(kern, X), ref, rtol=1e-12)
+        assert_allclose(np_kdiag(kern, X), np.diag(ref), rtol=1e-12)
+        if native.available():
+            hf = HostFactor(kern, capacity=8, input_dim=2, noise_var=0.01)
+            assert hf._native_kind == "poly"
+            assert_allclose(hf._gram(X, X), ref, rtol=1e-12)
+
+    def test_not_fused(self):
+        from safeopt_tpu.gp import Poly, RBF
+        from safeopt_tpu.ops.fused_posterior import supports_kernel
+
+        assert not supports_kernel(Poly(1))
+        assert not supports_kernel(RBF(1) + Poly(1))
+
+    def test_trajectory_lockstep_with_sum_kernel(self):
+        from safeopt_tpu import SafeOpt, linearly_spaced_combinations
+        from safeopt_tpu.gp import GPRegression, Poly, RBF
+
+        from reference_impl import RefGP, RefPoly, RefRBF, RefSafeOpt
+
+        kern = RBF(1, variance=2.0) + Poly(1, variance=0.1, scale=0.05,
+                                           bias=0.5, order=3.0)
+        rkern = RefRBF(1, variance=2.0) + RefPoly(
+            1, variance=0.1, scale=0.05, bias=0.5, order=3.0)
+
+        def f(x):
+            x = np.atleast_2d(x)
+            return (1.4 * np.exp(-0.5 * (x[:, 0] + 0.4) ** 2)
+                    + 0.02 * x[:, 0] ** 3 + 0.3)
+
+        x0 = np.array([[0.0]])
+        y0 = np.array([[float(f(x0)[0])]])
+        grid = linearly_spaced_combinations([(-2.0, 2.0)], 120)
+        gp = GPRegression(x0, y0, kern, noise_var=1e-4)
+        rgp = RefGP(x0, y0, rkern, noise_var=1e-4)
+        opt = SafeOpt(gp, grid, fmin=[0.0], beta=2.0)
+        ref = RefSafeOpt(rgp, grid, fmin=[0.0], beta=2.0)
+        for it in range(6):
+            x = np.asarray(opt.optimize())
+            x_ref = np.asarray(ref.optimize())
+            assert_allclose(x, x_ref, atol=1e-9,
+                            err_msg=f"diverged at iteration {it}")
+            y = np.array([[float(f(x)[0])]])
+            opt.add_new_data_point(x, y)
+            ref.add_new_data_point(x, y)
+
+    def test_hyperopt_improves_lml_and_order_is_static(self):
+        import jax
+
+        from safeopt_tpu.gp import GPRegression, Poly
+        from safeopt_tpu.gp.hyperopt import log_marginal_likelihood
+
+        rng = np.random.default_rng(5)
+        X = rng.uniform(-2, 2, size=(30, 1))
+        Y = (0.05 * X[:, 0] ** 3 + 0.2 * X[:, 0])[:, None] \
+            + 0.02 * rng.normal(size=(30, 1))
+        gp = GPRegression(X, Y, Poly(1, variance=1.0, scale=1.0,
+                                     bias=1.0, order=3.0),
+                          noise_var=0.02 ** 2)
+        with jax.enable_x64(True):
+            lml0 = float(log_marginal_likelihood(gp.kern, X, Y, 4e-4))
+        lml = gp.optimize_hyperparameters(steps=150)
+        assert lml > lml0
+        assert gp.kern.order == 3.0      # static structure, not fitted
+
+    def test_checkpoint_roundtrip(self, tmp_path):
+        from safeopt_tpu import SafeOpt, linearly_spaced_combinations
+        from safeopt_tpu.gp import GPRegression, Poly, RBF
+        from safeopt_tpu.utils import checkpoint
+
+        kern = RBF(1, variance=2.0) + Poly(1, variance=0.2, scale=0.1,
+                                           bias=0.9, order=2.0)
+        gp = GPRegression(np.array([[0.0]]), np.array([[1.0]]), kern,
+                          noise_var=1e-3)
+        grid = linearly_spaced_combinations([(-2.0, 2.0)], 40)
+        opt = SafeOpt(gp, grid, fmin=[0.0])
+        path = str(tmp_path / "poly.npz")
+        checkpoint.save(opt, path)
+        opt2 = checkpoint.load(path)
+        k2 = opt2.gps[0].kern.k2
+        assert type(k2).__name__ == "Poly"
+        assert k2.order == 2.0
+        assert_allclose(float(np.asarray(k2.scale)), 0.1)
+        np.testing.assert_array_equal(np.asarray(opt2.optimize()),
+                                      np.asarray(opt.optimize()))
+
+
+class TestMLP:
+    """GPy.kern.MLP mirror: the arcsine covariance of an infinite-width
+    erf network, through every layer."""
+
+    def test_matches_direct_formula_and_ard(self):
+        from safeopt_tpu.gp import MLP
+
+        rng = np.random.default_rng(6)
+        X = rng.uniform(-2, 2, size=(6, 2))
+        Z = rng.uniform(-2, 2, size=(4, 2))
+        w = np.array([1.5, 0.4])
+        b = 0.8
+        kern = MLP(2, variance=1.2, weight_variance=w.tolist(),
+                   bias_variance=b, ARD=True)
+        num = (X * w) @ Z.T + b
+        xd = np.sqrt(np.sum(X * X * w, 1) + b + 1.0)
+        zd = np.sqrt(np.sum(Z * Z * w, 1) + b + 1.0)
+        ref = 1.2 * (2.0 / np.pi) * np.arcsin(
+            num / xd[:, None] / zd[None, :])
+        assert_allclose(np.asarray(kern.K(X, Z)), ref, rtol=1e-5,
+                        atol=1e-6)
+        p = np.sum(X * X * w, 1) + b
+        dref = 1.2 * (2.0 / np.pi) * np.arcsin(p / (p + 1.0))
+        assert_allclose(np.asarray(kern.Kdiag(X)), dref, rtol=1e-5)
+
+    def test_self_gram_diag_equals_kdiag(self):
+        """K(X)'s diagonal must equal Kdiag(X) (the arcsin argument is
+        exactly p/(p+1) on the diagonal)."""
+        from safeopt_tpu.gp import MLP
+
+        rng = np.random.default_rng(7)
+        X = rng.uniform(-2, 2, size=(5, 2))
+        kern = MLP(2, variance=2.0, weight_variance=1.3,
+                   bias_variance=0.5)
+        assert_allclose(np.diag(np.asarray(kern.K(X))),
+                        np.asarray(kern.Kdiag(X)), rtol=1e-5)
+
+    def test_host_f64_and_native_gram(self):
+        from safeopt_tpu import native
+        from safeopt_tpu.gp import MLP
+        from safeopt_tpu.gp.host_math import HostFactor, np_kdiag, np_kernel
+
+        rng = np.random.default_rng(8)
+        X = rng.uniform(-2, 2, size=(6, 2))
+        kern = MLP(2, variance=1.1, weight_variance=[0.9, 1.7],
+                   bias_variance=0.6, ARD=True)
+        w = np.array([0.9, 1.7])
+        num = (X * w) @ X.T + 0.6
+        xd = np.sqrt(np.sum(X * X * w, 1) + 1.6)
+        ref = 1.1 * (2.0 / np.pi) * np.arcsin(
+            np.clip(num / xd[:, None] / xd[None, :], -1, 1))
+        assert_allclose(np_kernel(kern, X), ref, rtol=1e-12)
+        p = np.sum(X * X * w, 1) + 0.6
+        assert_allclose(np_kdiag(kern, X),
+                        1.1 * (2.0 / np.pi) * np.arcsin(p / (p + 1.0)),
+                        rtol=1e-12)
+        if native.available():
+            hf = HostFactor(kern, capacity=8, input_dim=2, noise_var=0.01)
+            assert hf._native_kind == "mlp"
+            assert_allclose(hf._gram(X, X), ref, rtol=1e-12)
+
+    def test_not_fused(self):
+        from safeopt_tpu.gp import MLP, RBF
+        from safeopt_tpu.ops.fused_posterior import supports_kernel
+
+        assert not supports_kernel(MLP(1))
+        assert not supports_kernel(RBF(1) + MLP(1))
+
+    def test_trajectory_lockstep(self):
+        from safeopt_tpu import SafeOpt, linearly_spaced_combinations
+        from safeopt_tpu.gp import GPRegression, MLP
+
+        from reference_impl import RefGP, RefMLP, RefSafeOpt
+
+        kern = MLP(1, variance=2.0, weight_variance=1.0,
+                   bias_variance=1.0)
+        rkern = RefMLP(1, variance=2.0, weight_variance=1.0,
+                       bias_variance=1.0)
+
+        def f(x):
+            x = np.atleast_2d(x)
+            return 1.0 + 0.8 * np.tanh(1.5 * x[:, 0])
+
+        x0 = np.array([[0.0]])
+        y0 = np.array([[float(f(x0)[0])]])
+        grid = linearly_spaced_combinations([(-2.0, 2.0)], 120)
+        gp = GPRegression(x0, y0, kern, noise_var=1e-4)
+        rgp = RefGP(x0, y0, rkern, noise_var=1e-4)
+        opt = SafeOpt(gp, grid, fmin=[0.0], beta=2.0)
+        ref = RefSafeOpt(rgp, grid, fmin=[0.0], beta=2.0)
+        for it in range(6):
+            x = np.asarray(opt.optimize())
+            x_ref = np.asarray(ref.optimize())
+            assert_allclose(x, x_ref, atol=1e-9,
+                            err_msg=f"diverged at iteration {it}")
+            y = np.array([[float(f(x)[0])]])
+            opt.add_new_data_point(x, y)
+            ref.add_new_data_point(x, y)
+
+    def test_hyperopt_fits_weight_variance(self):
+        import jax
+
+        from safeopt_tpu.gp import GPRegression, MLP
+        from safeopt_tpu.gp.hyperopt import log_marginal_likelihood
+
+        rng = np.random.default_rng(9)
+        X = rng.uniform(-2, 2, size=(35, 1))
+        Y = np.tanh(3.0 * X) + 0.02 * rng.normal(size=(35, 1))
+        gp = GPRegression(X, Y, MLP(1, variance=0.3,
+                                    weight_variance=0.1,
+                                    bias_variance=1.0),
+                          noise_var=0.02 ** 2)
+        with jax.enable_x64(True):
+            lml0 = float(log_marginal_likelihood(gp.kern, X, Y, 4e-4))
+        lml = gp.optimize_hyperparameters(steps=200)
+        assert lml > lml0
+
+    def test_checkpoint_roundtrip(self, tmp_path):
+        from safeopt_tpu import SafeOpt, linearly_spaced_combinations
+        from safeopt_tpu.gp import GPRegression, MLP
+        from safeopt_tpu.utils import checkpoint
+
+        kern = MLP(1, variance=1.5, weight_variance=0.7,
+                   bias_variance=0.4)
+        gp = GPRegression(np.array([[0.0]]), np.array([[1.0]]), kern,
+                          noise_var=1e-3)
+        grid = linearly_spaced_combinations([(-2.0, 2.0)], 40)
+        opt = SafeOpt(gp, grid, fmin=[0.0])
+        path = str(tmp_path / "mlp.npz")
+        checkpoint.save(opt, path)
+        opt2 = checkpoint.load(path)
+        k = opt2.gps[0].kern
+        assert type(k).__name__ == "MLP"
+        assert_allclose(float(np.asarray(k.weight_variance)), 0.7)
+        assert_allclose(float(np.asarray(k.bias_variance)), 0.4)
+        np.testing.assert_array_equal(np.asarray(opt2.optimize()),
+                                      np.asarray(opt.optimize()))
