@@ -54,9 +54,11 @@ def sparse_log_marginal_likelihood(kernel, X, Y, Z, noise_var):
         logdet = n log s2 + logdet A - logdet K_zz
         quad   = (y.y - (K_zx y)^T A^-1 (K_zx y) / s2) / s2
 
-    Differentiable through both Choleskys, so the same log-space Adam
-    machinery fits sparse models (``lml_fn`` hook of
-    ``fit_hyperparameters``). Inducing locations Z stay fixed.
+    Differentiable through both Choleskys — in the kernel
+    hyperparameters AND in the inducing locations ``Z`` — so the same
+    log-space Adam machinery fits sparse models (``lml_fn`` hook of
+    ``fit_hyperparameters``), and passing ``inducing=`` there optimizes
+    ``Z`` jointly (GPy's sparse ``optimize()`` semantics).
     """
     X = jnp.asarray(X)
     Y = jnp.asarray(Y).reshape(X.shape[0], -1)
@@ -83,8 +85,8 @@ def fit_hyperparameters(kernel, X, Y, noise_var: float, *,
                         optimize_noise: bool = True,
                         noise_floor: float = 1e-6,
                         restarts: int = 0, restart_scale: float = 1.5,
-                        seed: int = 0, lml_fn=None, polish: bool = True
-                        ) -> Tuple[object, float, float]:
+                        seed: int = 0, lml_fn=None, polish: bool = True,
+                        inducing=None) -> Tuple[object, float, float]:
     """Maximize the marginal likelihood over kernel params (+ noise).
 
     All kernel pytree leaves (variances, lengthscales — scalar or ARD,
@@ -98,6 +100,14 @@ def fit_hyperparameters(kernel, X, Y, noise_var: float, *,
     (GPy's optimizer family) sharpens it — kept only when finite and
     better. ``lml_fn(kernel, noise_var) -> scalar`` overrides the
     objective (used by the sparse DTC model).
+
+    ``inducing``: an (m, d) array of inducing locations to optimize
+    JOINTLY with the hyperparameters (GPy's sparse ``optimize()``
+    semantics: Z is a model parameter). Locations move in raw input
+    space (no log transform); restarts perturb only the log-space
+    hyperparameters, every run sharing the initial Z. Requires an
+    ``lml_fn(kernel, noise_var, Z) -> scalar`` objective; the return
+    becomes ``(kernel, noise_var, Z, best_lml)``.
 
     Returns ``(kernel, noise_var, best_lml)``. If every run produces a
     non-finite marginal likelihood or non-finite parameters (e.g. a
@@ -134,6 +144,10 @@ def fit_hyperparameters(kernel, X, Y, noise_var: float, *,
             "noise": jnp.log(jnp.asarray(max(noise_var, noise_floor),
                                          jnp.float64)),
         }
+        if inducing is not None:
+            params["Z"] = jnp.asarray(
+                np.atleast_2d(np.asarray(inducing, dtype=np.float64)),
+                jnp.float64)
 
         def unpack(p):
             kern = jax.tree_util.tree_unflatten(
@@ -144,6 +158,8 @@ def fit_hyperparameters(kernel, X, Y, noise_var: float, *,
 
         def loss(p):
             kern, nv = unpack(p)
+            if "Z" in p:
+                return -lml_fn(kern, nv, p["Z"])
             return -lml_fn(kern, nv)
 
         opt = optax.adam(learning_rate)
@@ -173,11 +189,16 @@ def fit_hyperparameters(kernel, X, Y, noise_var: float, *,
         r = int(restarts)
         if r > 0:
             key = jax.random.key(seed)
-            # deterministic distinct keys per leaf position
-            flat, tdef = jax.tree_util.tree_flatten(params)
+            # deterministic distinct keys per leaf position; inducing
+            # locations are raw coordinates, not log hyperparameters —
+            # restarts leave them at the shared initial Z (scale 0)
+            flat_p, tdef = jax.tree_util.tree_flatten_with_path(params)
+            scales = [0.0 if (p and getattr(p[0], "key", None) == "Z")
+                      else restart_scale for p, _ in flat_p]
+            flat = [f for _, f in flat_p]
             keys = jax.random.split(key, len(flat))
             pert = [jax.random.normal(keys[i], (r,) + jnp.shape(f),
-                                      jnp.float64) * restart_scale
+                                      jnp.float64) * scales[i]
                     for i, f in enumerate(flat)]
             stacked = [jnp.concatenate(
                 [jnp.broadcast_to(f, (1,) + jnp.shape(f)),
@@ -212,6 +233,10 @@ def fit_hyperparameters(kernel, X, Y, noise_var: float, *,
                 "all %d run(s); keeping the input hyperparameters",
                 lmls.shape[0])
             kern0, nv0 = unpack(params)
+            if inducing is not None:
+                lml0 = float(lml_fn(kern0, nv0, params["Z"]))
+                return (kernel, float(noise_var),
+                        np.asarray(params["Z"], dtype=np.float64), lml0)
             lml0 = float(lml_fn(kern0, nv0))
             return kernel, float(noise_var), lml0
 
@@ -257,4 +282,8 @@ def fit_hyperparameters(kernel, X, Y, noise_var: float, *,
         # once the x64 context exits.
         kern = jax.tree_util.tree_map(
             lambda v: np.asarray(v, dtype=session_dtype), kern)
+    if inducing is not None:
+        # inducing coordinates feed host-f64 factor math, not traces
+        return (kern, float(nv),
+                np.asarray(params["Z"], dtype=np.float64), lml)
     return kern, float(nv), lml

@@ -343,25 +343,42 @@ class SparseGPRegression:
                                  learning_rate: float = 0.05,
                                  optimize_noise: bool = True,
                                  restarts: int = 0,
-                                 seed: int = 0) -> float:
+                                 seed: int = 0,
+                                 optimize_inducing: bool = False
+                                 ) -> float:
         """Fit kernel hyperparameters (and optionally the noise) by
         maximizing the DTC marginal likelihood (O(m^2 n) per gradient
         step via hyperopt.sparse_log_marginal_likelihood), with the
         same log-space Adam + vmapped-restarts machinery as the exact
-        engine. Inducing locations stay fixed. Returns the best LML.
+        engine. ``optimize_inducing=True`` additionally moves the
+        inducing locations Z along the LML gradient (GPy's sparse
+        ``optimize()`` treats Z as a model parameter); restarts
+        perturb only the hyperparameters. Returns the best LML.
         """
         from .hyperopt import (fit_hyperparameters,
                                sparse_log_marginal_likelihood)
 
         X, Y, Z = self._X, self._Y, self.Z
 
-        def lml_fn(kern, nv):
-            return sparse_log_marginal_likelihood(kern, X, Y, Z, nv)
+        if optimize_inducing:
+            def lml_fn_z(kern, nv, Zv):
+                return sparse_log_marginal_likelihood(kern, X, Y, Zv, nv)
 
-        kern, noise, lml = fit_hyperparameters(
-            self.kern, X, Y, self.noise_var, steps=steps,
-            learning_rate=learning_rate, optimize_noise=optimize_noise,
-            restarts=restarts, seed=seed, lml_fn=lml_fn)
+            kern, noise, Z_new, lml = fit_hyperparameters(
+                self.kern, X, Y, self.noise_var, steps=steps,
+                learning_rate=learning_rate,
+                optimize_noise=optimize_noise, restarts=restarts,
+                seed=seed, lml_fn=lml_fn_z, inducing=Z)
+            self.Z = np.atleast_2d(np.asarray(Z_new, dtype=np.float64))
+        else:
+            def lml_fn(kern, nv):
+                return sparse_log_marginal_likelihood(kern, X, Y, Z, nv)
+
+            kern, noise, lml = fit_hyperparameters(
+                self.kern, X, Y, self.noise_var, steps=steps,
+                learning_rate=learning_rate,
+                optimize_noise=optimize_noise, restarts=restarts,
+                seed=seed, lml_fn=lml_fn)
         self.kern = kern
         self.noise_var = float(noise)
         self._refit()
