@@ -384,16 +384,29 @@ class SparseGPRegression:
         self._refit()
         return lml
 
-    def optimize(self, max_iters: int = 200, **_gpy_compat) -> float:
-        """GPy-compatible spelling of sparse hyperparameter fitting."""
-        return self.optimize_hyperparameters(steps=max_iters)
+    def optimize(self, max_iters: int = 200,
+                 optimize_inducing: bool = True,
+                 **_gpy_compat) -> float:
+        """GPy-compatible spelling of sparse model fitting.
+
+        Like GPy's sparse ``optimize()``, the inducing locations move
+        by default (Z is a model parameter there; only ``Z.fix()``
+        freezes it) — pass ``optimize_inducing=False`` for the
+        frozen-Z fit.
+        """
+        return self.optimize_hyperparameters(
+            steps=max_iters, optimize_inducing=optimize_inducing)
 
     def optimize_restarts(self, num_restarts: int = 5,
                           max_iters: int = 200, seed: int = 0,
+                          optimize_inducing: bool = True,
                           **_gpy_compat) -> float:
-        """GPy-compatible multi-start fitting (best finite LML wins)."""
+        """GPy-compatible multi-start fitting (best finite LML wins);
+        inducing locations move by default, as in GPy (restarts
+        perturb only the hyperparameters)."""
         return self.optimize_hyperparameters(
-            steps=max_iters, restarts=num_restarts, seed=seed)
+            steps=max_iters, restarts=num_restarts, seed=seed,
+            optimize_inducing=optimize_inducing)
 
     def __repr__(self):
         return (f"SparseGPRegression(n={self.num_data}, "
