@@ -736,6 +736,35 @@ class TestCosine:
             opt.add_new_data_point(x, y)
             ref.add_new_data_point(x, y)
 
+    def test_safeopt_step_batched_cosine_pallas_parity(self):
+        """Two same-structure Cosine GPs take the BATCHED fused path
+        (single-kind kernel stack): Pallas equals XLA decisions."""
+        import jax.numpy as jnp
+
+        from safeopt_tpu.algorithms.safe_opt_core import safeopt_step
+        from safeopt_tpu.gp import Cosine
+
+        rng = np.random.default_rng(10)
+        X = np.array([[0.0], [0.4], [-0.6]])
+        k1 = Cosine(1, variance=2.0, lengthscale=1.0)
+        k2 = Cosine(1, variance=1.5, lengthscale=1.4)
+        gp1 = GPRegression(X, rng.normal(size=(3, 1)) + 1.5, k1,
+                           noise_var=0.01)
+        gp2 = GPRegression(X, rng.normal(size=(3, 1)) + 1.5, k2,
+                           noise_var=0.01)
+        grid = np.linspace(-3, 3, 256)[:, None]
+        args = ((k1, k2), (gp1.state, gp2.state), jnp.asarray(grid),
+                jnp.asarray([0.0, 0.0]), jnp.asarray(2.0),
+                jnp.asarray([np.sqrt(2.0), np.sqrt(1.5)]),
+                jnp.asarray([0.0, 0.0]))
+        r1 = safeopt_step(*args, chunk=16, use_pallas=False)
+        r2 = safeopt_step(*args, chunk=16, use_pallas=True)
+        assert_allclose(np.asarray(r2.Q), np.asarray(r1.Q), rtol=1e-9,
+                        atol=1e-10)
+        np.testing.assert_array_equal(np.asarray(r2.S), np.asarray(r1.S))
+        np.testing.assert_array_equal(np.asarray(r2.G), np.asarray(r1.G))
+        assert int(r2.next_idx) == int(r1.next_idx)
+
     def test_checkpoint_roundtrip(self, tmp_path):
         from safeopt_tpu import SafeOpt, linearly_spaced_combinations
         from safeopt_tpu.gp import Cosine, GPRegression, RBF
