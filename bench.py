@@ -75,8 +75,50 @@ def _time_step(step_fn, reps):
     return (time.perf_counter() - t0) / reps, result
 
 
+def _wait_for_backend(max_wait_s: float = 900.0) -> None:
+    """Ride out a transient tunnel outage before touching the device.
+
+    The remote-TPU tunnel occasionally wedges or restarts (observed:
+    ``jax.devices()`` blocking for minutes, then ``UNAVAILABLE: TPU
+    backend setup/compile error``); a bench launched into that window
+    would burn its whole run on one doomed backend init. Probe in a
+    SUBPROCESS (a blocked ``jax.devices()`` cannot be timed out
+    in-process) until it answers or the budget runs out; on timeout
+    fall through and let the real init raise its own error.
+    """
+    import os
+    import subprocess
+    import sys
+
+    if "axon" not in os.environ.get("JAX_PLATFORMS", "axon"):
+        return   # CPU runs have nothing to wait for
+    deadline = time.time() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True, timeout=150)
+            if probe.returncode == 0:
+                if attempt > 1:
+                    print(f"backend probe ok after {attempt} attempts",
+                          flush=True)
+                time.sleep(3.0)   # let the terminal release the claim
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() > deadline:
+            print("backend probe never succeeded; proceeding anyway",
+                  flush=True)
+            return
+        time.sleep(30.0)
+
+
 def main():
     import jax
+
+    _wait_for_backend()
 
     # Persistent compilation cache: the fused programs are compiled
     # through a remote tunnel (~1-4 min each); cached reruns skip it.
