@@ -133,6 +133,11 @@ def fit_hyperparameters(kernel, X, Y, noise_var: float, *,
         X = jnp.asarray(np.asarray(X, dtype=np.float64), jnp.float64)
         Y = jnp.asarray(np.asarray(Y, dtype=np.float64).reshape(-1, 1),
                         jnp.float64)
+        if inducing is not None and lml_fn is None:
+            raise ValueError(
+                "inducing= requires an lml_fn(kernel, noise_var, Z) "
+                "objective (e.g. sparse_log_marginal_likelihood); the "
+                "default exact-GP objective has no inducing points")
         if lml_fn is None:
             def lml_fn(kern, nv):
                 return log_marginal_likelihood(kern, X, Y, nv)
