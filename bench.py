@@ -75,7 +75,7 @@ def _time_step(step_fn, reps):
     return (time.perf_counter() - t0) / reps, result
 
 
-def _wait_for_backend(max_wait_s: float = 900.0) -> None:
+def _wait_for_backend(max_wait_s: float = 1500.0) -> None:
     """Ride out a transient tunnel outage before touching the device.
 
     The remote-TPU tunnel occasionally wedges or restarts (observed:
@@ -84,13 +84,22 @@ def _wait_for_backend(max_wait_s: float = 900.0) -> None:
     would burn its whole run on one doomed backend init. Probe in a
     SUBPROCESS (a blocked ``jax.devices()`` cannot be timed out
     in-process) until it answers or the budget runs out; on timeout
-    fall through and let the real init raise its own error.
+    fall through and let the real init raise its own error. Killed
+    probes re-wedge the tunnel for minutes, so attempts are spaced
+    by the documented recovery window.
     """
-    import os
     import subprocess
     import sys
 
-    if "axon" not in os.environ.get("JAX_PLATFORMS", "axon"):
+    # The resolved platform list, not the env var: sitecustomize
+    # re-forces jax_platforms='axon,cpu' via jax.config at every
+    # interpreter start, so `env JAX_PLATFORMS=cpu` does NOT stick
+    # (CLAUDE.md) — gating on the env var would silently disable the
+    # outage protection on a forced-axon run.
+    import jax
+
+    platforms = jax.config.jax_platforms or "axon"
+    if "axon" not in platforms:
         return   # CPU runs have nothing to wait for
     deadline = time.time() + max_wait_s
     attempt = 0
@@ -107,12 +116,15 @@ def _wait_for_backend(max_wait_s: float = 900.0) -> None:
                 time.sleep(3.0)   # let the terminal release the claim
                 return
         except subprocess.TimeoutExpired:
+            # the probe died mid-claim; a killed claim wedges the
+            # tunnel for ~3-5 min (CLAUDE.md) — re-probing sooner
+            # would keep re-wedging it
             pass
         if time.time() > deadline:
             print("backend probe never succeeded; proceeding anyway",
                   flush=True)
             return
-        time.sleep(30.0)
+        time.sleep(240.0)
 
 
 def main():

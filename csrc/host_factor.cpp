@@ -192,12 +192,12 @@ int gram_poly(const double* X, int n, const double* Z, int m, int d,
 // k(x, z) = var * (2/pi) * asin((w.x.z + b) /
 //           sqrt((w.x.x + b + 1)(w.z.z + b + 1)))
 // w has length d (ARD) — callers broadcast scalar weight variances.
-// Scratch for the z-side denominators is caller-provided via zden
-// (length m) so the kernel stays allocation-free.
+// One m-length heap allocation for the z-side denominators is noise
+// next to the O(n m d) loop.
 int gram_mlp(const double* X, int n, const double* Z, int m, int d,
-             const double* w, double var, double b, double* zden,
-             double* out) {
+             const double* w, double var, double b, double* out) {
     const double two_over_pi = 2.0 / M_PI;
+    double* zden = new double[m];
     for (int j = 0; j < m; ++j) {
         const double* zj = Z + (size_t)j * d;
         double acc = b + 1.0;
@@ -219,6 +219,7 @@ int gram_mlp(const double* X, int n, const double* Z, int m, int d,
             out[(size_t)i * m + j] = var * two_over_pi * std::asin(c);
         }
     }
+    delete[] zden;
     return 0;
 }
 

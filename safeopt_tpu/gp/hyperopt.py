@@ -86,7 +86,7 @@ def fit_hyperparameters(kernel, X, Y, noise_var: float, *,
                         noise_floor: float = 1e-6,
                         restarts: int = 0, restart_scale: float = 1.5,
                         seed: int = 0, lml_fn=None, polish: bool = True,
-                        inducing=None) -> Tuple[object, float, float]:
+                        inducing=None) -> Tuple:
     """Maximize the marginal likelihood over kernel params (+ noise).
 
     All kernel pytree leaves (variances, lengthscales — scalar or ARD,

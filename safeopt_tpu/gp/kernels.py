@@ -265,11 +265,32 @@ class Cosine(_Stationary):
     Beyond the reference's consumed surface; GPy's pure-oscillation
     stationary kernel (a point spectral mass at 1/lengthscale —
     useful for signals with one known dominant frequency; for
-    periodic-plus-decay structure prefer ``StdPeriodic * RBF``).
-    Participates in ARD, active_dims, sums/products, hyperparameter
-    fitting, the host f64 island, the native C++ engine and the fused
-    Pallas paths like the other stationary kernels.
+    periodic-plus-decay structure prefer ``Cosine * RBF`` or
+    ``StdPeriodic``). Participates in active_dims, sums/products,
+    hyperparameter fitting, the host f64 island, the native C++
+    engine and the fused Pallas paths like the other stationary
+    kernels.
+
+    Restricted to ``input_dim == 1``: ``cos(|x - z|)`` is a valid
+    (positive-semidefinite) covariance only in 1-D — in higher
+    dimensions its gram has negative eigenvalues and the factorization
+    fails or, worse, near-PSD cases silently distort the posterior
+    (GPy constructs such kernels without complaint; this engine
+    refuses). Use it on one column via ``active_dims`` and compose
+    with products for multi-dimensional inputs.
     """
+
+    def __init__(self, input_dim, variance=1.0, lengthscale=None,
+                 ARD=False, active_dims=None,
+                 name: Optional[str] = None):
+        if int(input_dim) != 1:
+            raise ValueError(
+                "Cosine is a valid covariance only in 1-D (its gram is "
+                "indefinite for input_dim >= 2); apply it to one column "
+                "via active_dims and compose with products instead")
+        super().__init__(input_dim, variance=variance,
+                         lengthscale=lengthscale, ARD=ARD,
+                         active_dims=active_dims, name=name or "cosine")
 
     def _K_of_r2(self, r2: jnp.ndarray) -> jnp.ndarray:
         r = jnp.sqrt(r2 + 1e-36)  # guarded sqrt: grad-safe at r = 0
@@ -447,6 +468,13 @@ class Poly(Kernel):
                  name: Optional[str] = None):
         self.input_dim = int(input_dim)
         self.order = float(order)
+        # a fractional order NaNs the gram wherever scale*x.z + bias
+        # < 0 (x**2.5 of a negative), and the NaN rows silently
+        # classify unsafe on the device — reject at construction
+        if self.order < 1 or self.order != round(self.order):
+            raise ValueError(
+                f"Poly order must be a positive integer (got {order}): "
+                "fractional powers of a negative dot-product are NaN")
         self.active_dims = _as_active_dims(active_dims, self.input_dim)
         self.name = name if name is not None else "poly"
 

@@ -67,7 +67,7 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.gram_linear.argtypes = [_D, ci, _D, ci, ci, _D, _D]
     lib.gram_cosine.argtypes = [_D, ci, _D, ci, ci, _D, cd, _D]
     lib.gram_poly.argtypes = [_D, ci, _D, ci, ci, cd, cd, cd, cd, _D]
-    lib.gram_mlp.argtypes = [_D, ci, _D, ci, ci, _D, cd, cd, _D, _D]
+    lib.gram_mlp.argtypes = [_D, ci, _D, ci, ci, _D, cd, cd, _D]
     lib.cholesky_lower.argtypes = [_D, ci, ci]
     lib.tri_inverse_lower.argtypes = [_D, ci, ci, _D]
     lib.border_append.argtypes = [_D, _D, _D, ci, ci, _D, cd, cd, _D]
@@ -115,10 +115,8 @@ def gram(kind: str, X: np.ndarray, Z: np.ndarray, ls: np.ndarray,
                            float(var), float(scale), float(bias),
                            float(power), _ptr(out))
     elif kind == "mlp":
-        zden = np.empty(Z.shape[0], dtype=np.float64)
         rc = lib.gram_mlp(_ptr(X), X.shape[0], _ptr(Z), Z.shape[0], d,
-                          _ptr(ls), float(var), float(bias), _ptr(zden),
-                          _ptr(out))
+                          _ptr(ls), float(var), float(bias), _ptr(out))
     elif kind == "ratquad":
         rc = lib.gram_ratquad(_ptr(X), X.shape[0], _ptr(Z), Z.shape[0],
                               d, _ptr(ls), float(var), float(power),

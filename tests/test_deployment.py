@@ -163,7 +163,8 @@ def test_every_public_kernel_exports():
                 K.StdPeriodic(2, period=1.5) * K.RBF(2, lengthscale=4.0),
                 K.RatQuad(2, power=2.0) + K.RBF(2),
                 K.RBF(2) + K.Linear(2, variances=0.2),
-                K.Cosine(2, lengthscale=1.5) * K.RBF(2, lengthscale=6.0),
+                K.Cosine(1, lengthscale=1.5, active_dims=[0])
+                * K.RBF(2, lengthscale=6.0),
                 K.RBF(2) + K.Poly(2, variance=0.1, scale=0.05, bias=0.5,
                                   order=3.0),
                 K.MLP(2, variance=1.5, weight_variance=[0.8, 1.2],

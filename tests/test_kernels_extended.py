@@ -784,10 +784,34 @@ class TestCosine:
         np.testing.assert_array_equal(np.asarray(opt2.optimize()),
                                       np.asarray(opt.optimize()))
 
+    def test_rejects_multidimensional_input(self):
+        """cos(|x-z|) is PD only in 1-D; the constructor refuses
+        higher dims (GPy constructs the invalid kernel silently —
+        verified: Cosine(2)'s gram has negative eigenvalues)."""
+        from safeopt_tpu.gp import Cosine
+
+        with pytest.raises(ValueError, match="1-D"):
+            Cosine(2)
+        # the valid multi-dim pattern: one column via active_dims
+        k = Cosine(1, active_dims=[1])
+        assert k.active_dims == (1,)
+
 
 class TestPoly:
     """GPy.kern.Poly mirror: k(x, z) = var * (scale x.z + bias)^order,
     through every layer."""
+
+
+    def test_rejects_fractional_order(self):
+        """A fractional order NaNs the gram wherever scale*x.z + bias
+        < 0; rejected at construction."""
+        from safeopt_tpu.gp import Poly
+
+        with pytest.raises(ValueError, match="order"):
+            Poly(1, order=2.5)
+        with pytest.raises(ValueError, match="order"):
+            Poly(1, order=0.0)
+        assert Poly(1, order=2).order == 2.0
 
     def test_matches_direct_formula(self):
         from safeopt_tpu.gp import Poly
