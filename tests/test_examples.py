@@ -40,9 +40,10 @@ def _run(script, *argv):
     ("example_campaign_fleet.py", ("--iters", "3")),
     ("example_long_campaign.py", ("--n-pre", "60", "--iters", "6",
                                   "--inducing", "9")),
+    ("example_quasi_periodic.py", ("--iters", "8", "--refit-every", "4")),
 ], ids=["1d-grid", "1d-swarm", "2d", "multi-constraint", "context",
         "on-device-loop", "pendulum", "pendulum-fleet", "campaign-fleet",
-        "long-campaign"])
+        "long-campaign", "quasi-periodic"])
 def test_example_runs(script, argv, capsys):
     _run(script, *argv)
     out = capsys.readouterr().out
