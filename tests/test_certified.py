@@ -278,3 +278,46 @@ def test_refine_band_must_cover_boundary_band():
         SafeOpt(gp, grid, fmin=[0.0], exact_boundaries=True,
                 interval_precision="high", refine_band=1e-4,
                 boundary_band=1e-3)
+
+
+class TestKnifeEdgeWithCompositeKernel:
+    """The f64 oracle through a round-3b kernel composition (RBF +
+    Poly): the boundary path routes through HostFactor's native grams
+    for the new families; truth computed independently with scipy."""
+
+    def _l64(self, X, Y, noise_var, beta, xq):
+        def k(A, B):
+            g = 2.0 * np.exp(-0.5 * cdist(A, B, "sqeuclidean"))
+            return g + 0.1 * (0.05 * (A @ B.T) + 0.5) ** 3
+
+        K = k(X, X)
+        cho = scipy.linalg.cho_factor(K + noise_var * np.eye(len(X)),
+                                      lower=True)
+        kv = k(X, np.atleast_2d(xq))
+        mu = kv.T @ scipy.linalg.cho_solve(cho, Y[:, 0])
+        v = scipy.linalg.solve_triangular(cho[0], kv, lower=True)
+        kdiag = float(k(np.atleast_2d(xq), np.atleast_2d(xq))[0, 0])
+        var = np.maximum(kdiag - np.sum(v * v, axis=0), 0.0)
+        return float(mu[0] - beta * np.sqrt(var[0]))
+
+    @pytest.mark.parametrize("offset,expect_safe", [(-1e-9, True),
+                                                    (1e-9, False)])
+    def test_f32_session_decides_by_f64_truth(self, offset, expect_safe):
+        from safeopt_tpu.gp import Poly
+
+        rng = np.random.default_rng(3)
+        X = rng.uniform(-1.5, 1.5, size=(10, 1))
+        Y = 1.0 + np.exp(-0.5 * X ** 2)
+        grid = linearly_spaced_combinations([(-3.0, 3.0)], 200)
+        j = 150
+        beta = 2.0
+        l64 = self._l64(X, Y, 1e-4, beta, grid[j])
+        with jax.enable_x64(False):
+            kern = RBF(1, variance=2.0, lengthscale=1.0) \
+                + Poly(1, variance=0.1, scale=0.05, bias=0.5, order=3.0)
+            gp = GPRegression(X, Y, kern, noise_var=1e-4)
+            opt = SafeOpt(gp, grid, fmin=[l64 + offset], beta=beta,
+                          exact_boundaries=True, boundary_band=1e-3,
+                          use_pallas=False)
+            opt.optimize()
+            assert bool(opt.S[j]) is expect_safe
