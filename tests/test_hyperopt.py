@@ -212,3 +212,79 @@ def test_bfgs_polish_improves_or_keeps():
     assert lml_pol >= lml_raw - 1e-9
     assert np.isfinite(float(np.asarray(k.lengthscale)))
     assert nv > 0
+
+
+def test_lml_gradients_match_finite_differences_new_kernels():
+    """jax.grad of the exact LML vs central finite differences for the
+    round-3b kernel families (validates every _K_of_r2 / dot-product
+    gram through the Cholesky differentiation)."""
+    import jax
+
+    from safeopt_tpu.gp import MLP, Cosine, Poly
+    from safeopt_tpu.gp.hyperopt import log_marginal_likelihood
+
+    rng = np.random.default_rng(12)
+    X1 = rng.uniform(-2, 2, size=(9, 1))
+    Y1 = np.sin(1.3 * X1) + 0.1
+    cases = [
+        (Cosine(1, variance=1.4, lengthscale=0.9), X1, Y1),
+        (Poly(1, variance=0.6, scale=0.3, bias=0.8, order=3.0), X1, Y1),
+        (MLP(1, variance=1.2, weight_variance=0.7, bias_variance=0.5),
+         X1, Y1),
+    ]
+    with jax.enable_x64(True):
+        for kern, X, Y in cases:
+            Xd = jax.numpy.asarray(X, jax.numpy.float64)
+            Yd = jax.numpy.asarray(Y, jax.numpy.float64)
+            leaves, treedef = jax.tree_util.tree_flatten(kern)
+
+            def lml(leaves_):
+                k = jax.tree_util.tree_unflatten(treedef, leaves_)
+                return log_marginal_likelihood(k, Xd, Yd, 1e-3)
+
+            grads = jax.grad(lml)([jax.numpy.asarray(v, jax.numpy.float64)
+                                   for v in leaves])
+            eps = 1e-6
+            for i in range(len(leaves)):
+                base = [np.asarray(v, dtype=np.float64).copy()
+                        for v in leaves]
+                up = [v.copy() for v in base]
+                dn = [v.copy() for v in base]
+                up[i] = up[i] + eps
+                dn[i] = dn[i] - eps
+                fd = (float(lml([jax.numpy.asarray(v) for v in up]))
+                      - float(lml([jax.numpy.asarray(v) for v in dn]))) \
+                    / (2 * eps)
+                assert_allclose(float(np.asarray(grads[i])), fd,
+                                rtol=2e-5, atol=1e-7,
+                                err_msg=f"{type(kern).__name__} leaf {i}")
+
+
+def test_sparse_lml_gradient_wrt_inducing_matches_fd():
+    """d(DTC LML)/dZ — the inducing-point optimization gradient —
+    against central finite differences."""
+    import jax
+
+    from safeopt_tpu.gp import RBF
+    from safeopt_tpu.gp.hyperopt import sparse_log_marginal_likelihood
+
+    rng = np.random.default_rng(13)
+    X = rng.uniform(-2, 2, size=(25, 1))
+    Y = np.sin(X) + 0.05 * rng.normal(size=(25, 1))
+    Z = np.linspace(-1.8, 1.8, 5)[:, None]
+    kern = RBF(1, variance=1.5, lengthscale=0.8)
+
+    with jax.enable_x64(True):
+        def lml(Zv):
+            return sparse_log_marginal_likelihood(
+                kern, X, Y, Zv, 0.01)
+
+        g = np.asarray(jax.grad(lml)(jax.numpy.asarray(Z)))
+        eps = 1e-6
+        for i in (0, 2, 4):
+            up = Z.copy(); up[i, 0] += eps
+            dn = Z.copy(); dn[i, 0] -= eps
+            fd = (float(lml(jax.numpy.asarray(up)))
+                  - float(lml(jax.numpy.asarray(dn)))) / (2 * eps)
+            assert_allclose(g[i, 0], fd, rtol=2e-5, atol=1e-7,
+                            err_msg=f"inducing row {i}")
