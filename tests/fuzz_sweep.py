@@ -1,12 +1,12 @@
 """Extended offline parity sweep (not collected by pytest).
 
 Runs many random configurations in lockstep with the reference beyond
-the committed 20 fuzz tests. Grid sweep last run (round 2, with the
-extended kernel draws incl. Exponential and RBF+Bias sums): 30
-configurations, zero true divergences, 5 degenerate float64 near-tie
-forks (selection values equal to ~1e-13, either choice valid). Swarm
-sweep: 15 seeds, 1 known chaotic fork — see the section comment
-below.
+the committed 20 fuzz tests. Grid sweep last run (round 3, with the
+extended kernel draws incl. MLP, RBF+Poly sums and 1-D Cosine*RBF
+quasi-periodic products): 30 configurations, zero true divergences,
+6 degenerate float64 near-tie forks (selection values equal to
+~1e-13, either choice valid). Swarm sweep: 15 seeds, 1 known chaotic
+fork — see the section comment below.
 
 Usage: python tests/fuzz_sweep.py
 """
