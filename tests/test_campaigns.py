@@ -260,3 +260,46 @@ class TestHeterogeneousSwarmFleet:
         np.testing.assert_allclose(np.asarray(fleet.xs[0]),
                                    np.asarray(solo.xs), rtol=1e-9,
                                    atol=1e-9)
+
+
+class TestNewKernelFleet:
+    """Round-3b kernels baked into the vmapped/sharded campaign loop:
+    an RBF + Poly composition (dot-product family inside jit under
+    vmap + mesh sharding) reproduces its solo runs."""
+
+    def test_rbf_poly_fleet_matches_solo(self, mesh):
+        from safeopt_tpu.gp import Poly
+
+        kern = RBF(2, variance=2.0, lengthscale=1.2) \
+            + Poly(2, variance=0.05, scale=0.1, bias=0.5, order=2.0)
+        gps = []
+        for seed in range(K):
+            rng = np.random.default_rng(100 + seed)
+            x0 = rng.uniform(-0.3, 0.3, size=(1, 2))
+            y0 = 2.0 * np.exp(-0.5 * np.sum(x0 ** 2))
+            gps.append(GPRegression(x0, np.array([[y0]]), kern.copy(),
+                                    noise_var=1e-4, capacity=16))
+        grid = np.asarray(linearly_spaced_combinations(
+            [(-2.0, 2.0), (-2.0, 2.0)], 13))
+        dtype = gps[0].state.X.dtype
+        fmin = jnp.asarray([0.5], dtype)
+        beta = jnp.asarray(2.0, dtype)
+        scaling = jnp.asarray([np.sqrt(2.0 + 0.05 * 0.25)], dtype)
+        threshold = jnp.asarray([0.0], dtype)
+        keys = jax.random.split(jax.random.key(11), K)
+
+        batched = stack_campaign_states([(g.state,) for g in gps])
+        fleet = run_safeopt_campaigns(
+            (kern,), batched, jnp.asarray(grid), fmin, beta,
+            scaling, threshold, keys, objectives=(_objective,),
+            n_iter=3, mesh=mesh, chunk=16)
+        assert bool(fleet.has_safe.all())
+        for k in (0, 5):
+            solo = run_safeopt_loop(
+                (kern,), (gps[k].state,), jnp.asarray(grid), fmin, beta,
+                scaling, threshold, keys[k], objectives=(_objective,),
+                n_iter=3, chunk=16)
+            np.testing.assert_array_equal(np.asarray(fleet.next_idx[k]),
+                                          np.asarray(solo.next_idx))
+            np.testing.assert_allclose(np.asarray(fleet.xs[k]),
+                                       np.asarray(solo.xs), atol=1e-12)
