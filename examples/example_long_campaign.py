@@ -67,14 +67,20 @@ def main():
           f"noise {sparse.noise_var:.5f}")
 
     # ---- host-driven SafeOpt on the sparse model ------------------------
+    # exact_boundaries works for sparse models too (round 3c): the
+    # near-threshold safe bits are decided by the host-f64 DTC oracle
+    # (sparse.predict_f64), so the float32 device pseudo-factor's
+    # conditioning noise never flips a knife-edge decision.
     grid = linearly_spaced_combinations([(-2.5, 2.5), (-2.5, 2.5)], 100)
-    opt = SafeOpt(sparse, grid, fmin=[0.5], threshold=0.05)
+    opt = SafeOpt(sparse, grid, fmin=[0.5], threshold=0.05,
+                  exact_boundaries=True)
     for t in range(args.iters // 3):
         x = np.asarray(opt.optimize())
         y = float(f_true(x)[0] + 0.02 * rng.normal())
         opt.add_new_data_point(x, y)
         print(f"host iter {t:2d}  x={np.round(x, 3)}  y={y:+.4f}  "
-              f"(n={sparse.num_data}, m={sparse.num_inducing})")
+              f"(n={sparse.num_data}, m={sparse.num_inducing}, "
+              f"band={opt._band_population})")
 
     # ---- an on-device campaign with mid-run checkpoint/resume ----------
     from safeopt_tpu.algorithms.runner import run_safeopt_loop

@@ -215,10 +215,12 @@ class SafeOpt(GaussianProcessOptimization):
                 "subset covers every possible f64-band row")
         if self._exact_boundaries:
             for g in self.gps:
-                if not hasattr(g, "_host"):
+                if not hasattr(g, "predict_f64"):
                     raise ValueError(
-                        "exact_boundaries requires exact GPRegression "
-                        "models (float64 host factors)")
+                        "exact_boundaries requires models with a float64 "
+                        "host oracle (predict_f64): GPRegression and "
+                        f"SparseGPRegression qualify, {type(g).__name__} "
+                        "does not")
 
         # certified-path telemetry (filled by _certified_step)
         self._band_overflow = False
@@ -396,7 +398,7 @@ class SafeOpt(GaussianProcessOptimization):
         for i, g in enumerate(self.gps):
             if self.fmin[i] == -np.inf:
                 continue
-            mu, var = g._host.predict(pts)
+            mu, var = g.predict_f64(pts)
             l64 = mu - beta * np.sqrt(var)
             safe64 &= l64 > self.fmin[i]
 

@@ -327,6 +327,17 @@ class GPRegression:
             var = var + self._state.noise_var
         return mu, var
 
+    def predict_f64(self, Xq) -> Tuple[np.ndarray, np.ndarray]:
+        """Float64 latent posterior (mu, var), each 1-D of length m.
+
+        The exactness oracle consumed by boundary certification
+        (``SafeOpt(exact_boundaries=True)``): any model exposing this
+        method can have its near-threshold safe-set decisions
+        recomputed at full precision.  For the exact model this is the
+        host f64 factor's prediction.
+        """
+        return self._host.predict(Xq)
+
     def log_likelihood(self) -> float:
         """Exact log marginal likelihood at the current
         hyperparameters (GPy ``gp.log_likelihood()``), computed on the

@@ -239,16 +239,36 @@ class SparseGPRegression:
         return self._X.shape[1]
 
     def predict_noiseless(self, Xq):
-        """DTC latent posterior (mean, var), each (m, 1)."""
+        """DTC latent posterior (mean, var), each (m, 1).
+
+        Host float64 throughout: the pseudo-factor is the f64 ``_R``,
+        not the (session-dtype) device state's — in a float32 session
+        the two differ and this method's exactness contract
+        ("host-f64 predict is always exact for the model",
+        docs/design.md) depends on the f64 one.
+        """
         Xq = np.atleast_2d(np.asarray(Xq, dtype=np.float64))
         kz = np_kernel(self.kern, self.Z, Xq)             # (m, q)
         mu = kz.T @ self._alpha
-        R = np.asarray(self._state.Linv)[: self._m, : self._m]
-        V = R @ kz
+        V = self._R @ kz
         var = np_kdiag(self.kern, Xq) - np.sum(V * V, axis=0)
         return mu[:, None], np.maximum(var, 0.0)[:, None]
 
     _raw_predict = predict_noiseless
+
+    def predict_f64(self, Xq):
+        """Float64 DTC latent posterior (mu, var), each 1-D of length m.
+
+        The exactness oracle consumed by boundary certification
+        (``SafeOpt(exact_boundaries=True)``).  "Exact" here means exact
+        FOR THE DTC MODEL: the certified decision is the one the host
+        f64 sparse posterior makes, so the float32 noise of the device
+        pseudo-factor (see docs/design.md, sparse conditioning note)
+        never flips a knife-edge safe bit — approximation error vs the
+        exact GP is a separate, m-controlled quantity.
+        """
+        mu, var = self.predict_noiseless(Xq)
+        return mu.ravel(), var.ravel()
 
     def predict(self, Xq, include_likelihood: bool = True):
         """DTC posterior (mean, var); variance includes the

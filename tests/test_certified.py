@@ -16,7 +16,7 @@ from numpy.testing import assert_allclose
 from scipy.spatial.distance import cdist
 
 from safeopt_tpu import SafeOpt, linearly_spaced_combinations
-from safeopt_tpu.gp import GPRegression, RBF
+from safeopt_tpu.gp import GPRegression, RBF, SparseGPRegression
 
 from reference_impl import RefGP, RefRBF, RefSafeOpt
 
@@ -321,3 +321,105 @@ class TestKnifeEdgeWithCompositeKernel:
                           use_pallas=False)
             opt.optimize()
             assert bool(opt.S[j]) is expect_safe
+
+
+def _dtc_lower_bound(X, Y, Z, noise_var, variance, ls, jitter, beta, xq):
+    """Independent scipy float64 DTC posterior lower bound at ``xq``.
+
+    mu = k_z(x)^T A^{-1} K_ZX y / s2,  A = K_ZZ + K_ZX K_XZ / s2
+    var = kdiag(x) - k_z(x)^T (K_ZZ^{-1} - A^{-1}) k_z(x)
+    """
+    def k(A, B):
+        return variance * np.exp(-0.5 * cdist(A / ls, B / ls,
+                                              "sqeuclidean"))
+
+    Kzz = k(Z, Z) + jitter * np.eye(len(Z))
+    Kzx = k(Z, X)
+    A = Kzz + Kzx @ Kzx.T / noise_var
+    alpha = scipy.linalg.solve(A, Kzx @ Y[:, 0], assume_a="pos") / noise_var
+    kq = k(Z, np.atleast_2d(xq))
+    mu = float(kq.T @ alpha)
+    B = np.linalg.inv(Kzz) - np.linalg.inv(A)
+    var = max(float(variance - kq.T @ B @ kq), 0.0)
+    return mu - beta * np.sqrt(var)
+
+
+class TestSparseKnifeEdgeCertification:
+    """exact_boundaries certifies SPARSE models too (round-3c): the
+    oracle is the host-f64 DTC posterior (``predict_f64``) — exact for
+    the model — so the f32 device pseudo-factor never flips knife-edge
+    bits. Truth computed independently with scipy."""
+
+    def _setup(self, fmin_offset):
+        rng = np.random.default_rng(7)
+        X = rng.uniform(-1.5, 1.5, size=(40, 1))
+        Y = 1.0 + np.exp(-0.5 * X ** 2)
+        Z = np.linspace(-1.4, 1.4, 8)[:, None]
+        grid = linearly_spaced_combinations([(-3.0, 3.0)], 200)
+        j = 150
+        beta = 2.0
+        jitter = 1e-8
+        l64 = _dtc_lower_bound(X, Y, Z, 1e-4, 2.0, 1.0, jitter, beta,
+                               grid[j])
+        gp = SparseGPRegression(
+            X, Y, RBF(1, variance=2.0, lengthscale=1.0),
+            noise_var=1e-4, inducing=Z, jitter=jitter)
+        opt = SafeOpt(gp, grid, fmin=[l64 + fmin_offset], beta=beta,
+                      exact_boundaries=True, boundary_band=1e-3,
+                      use_pallas=False)
+        return opt, j
+
+    @pytest.mark.parametrize("offset,expect_safe", [(-1e-9, True),
+                                                    (1e-9, False)])
+    def test_f32_session_decides_by_f64_truth(self, offset, expect_safe):
+        with jax.enable_x64(False):
+            opt, j = self._setup(offset)
+            opt.optimize()
+            assert bool(opt.S[j]) is expect_safe
+
+    @pytest.mark.parametrize("offset,expect_safe", [(-1e-9, True),
+                                                    (1e-9, False)])
+    def test_f64_session_agrees(self, offset, expect_safe):
+        opt, j = self._setup(offset)
+        opt.optimize()
+        assert bool(opt.S[j]) is expect_safe
+
+    def test_certified_matches_plain_sparse_in_f64(self):
+        """In an x64 session device == oracle: the certified sparse
+        trajectory must be identical to the plain sparse one."""
+        rng = np.random.default_rng(11)
+        X = rng.uniform(-1.0, 1.0, size=(30, 1))
+        Y = 1.0 + np.exp(-0.5 * X ** 2)
+        kern = RBF(1, variance=2.0, lengthscale=1.0)
+        grid = linearly_spaced_combinations([(-3.0, 3.0)], 150)
+        gps = [SparseGPRegression(X, Y, kern.copy(), noise_var=1e-4,
+                                  inducing=10) for _ in range(2)]
+        plain = SafeOpt(gps[0], grid, fmin=[0.0], threshold=0.1)
+        cert = SafeOpt(gps[1], grid, fmin=[0.0], threshold=0.1,
+                       exact_boundaries=True)
+        for _ in range(4):
+            xp = np.asarray(plain.optimize())
+            xc = np.asarray(cert.optimize())
+            assert_allclose(xc, xp, atol=0)
+            np.testing.assert_array_equal(cert.S, plain.S)
+            y = np.array([[float(1.0 + np.exp(-0.5 * xp[0] ** 2))]])
+            plain.add_new_data_point(xp, y)
+            cert.add_new_data_point(xc, y)
+
+    def test_unsupported_model_named_in_error(self):
+        """A model without the f64 oracle is rejected by name."""
+        class OracleLess:
+            def __init__(self, gp):
+                self._gp = gp
+
+            def __getattr__(self, name):
+                if name == "predict_f64":
+                    raise AttributeError(name)
+                return getattr(self._gp, name)
+
+        gp = GPRegression(np.zeros((1, 1)), np.ones((1, 1)),
+                          RBF(1), noise_var=1e-4)
+        grid = linearly_spaced_combinations([(-1.0, 1.0)], 20)
+        with pytest.raises(ValueError, match="OracleLess"):
+            SafeOpt(OracleLess(gp), grid, fmin=[0.0],
+                    exact_boundaries=True)
