@@ -65,9 +65,20 @@ class SafeOpt(GaussianProcessOptimization):
         docs/design.md) are recomputed on the host at full precision
         and their safe bits overridden before maximizers/expanders/
         query selection. Costs a second device dispatch per iteration.
-        Requires exact ``GPRegression`` models.
+        Accepts any model with a float64 host oracle (``predict_f64``):
+        ``GPRegression`` and ``SparseGPRegression``. For sparse models
+        "exact" means exact for the DTC model, not for the exact GP —
+        see ``SparseGPRegression.predict_f64``.
     boundary_band : float
-        Scaled-margin width of the certification band (default 1e-3).
+        Scaled-margin width of the certification band (default 1e-3,
+        calibrated to the f32 interval noise of exact-GP factors). For
+        SPARSE models the device interval noise scales with the DTC
+        pseudo-factor's magnitude: if ``SparseGPRegression`` warns that
+        the pseudo-factor max entry exceeds 1e4, widen
+        ``boundary_band`` proportionally (roughly ``1e-3 * scale/1e3``)
+        or raise the model's ``jitter`` so the default band again
+        covers the f32 ambiguity. See docs/design.md, "Sparse
+        conditioning and the certification band".
     boundary_k : int
         Triage budget: at most this many near-boundary candidates are
         certified per iteration (default 1024 — the host float64

@@ -239,7 +239,7 @@ class SparseGPRegression:
         return self._X.shape[1]
 
     def predict_noiseless(self, Xq):
-        """DTC latent posterior (mean, var), each (m, 1).
+        """DTC latent posterior (mean, var), each (q, 1) for q query rows.
 
         Host float64 throughout: the pseudo-factor is the f64 ``_R``,
         not the (session-dtype) device state's — in a float32 session
@@ -257,7 +257,8 @@ class SparseGPRegression:
     _raw_predict = predict_noiseless
 
     def predict_f64(self, Xq):
-        """Float64 DTC latent posterior (mu, var), each 1-D of length m.
+        """Float64 DTC latent posterior (mu, var), each 1-D of length q
+        (the number of query rows — not the inducing count ``m``).
 
         The exactness oracle consumed by boundary certification
         (``SafeOpt(exact_boundaries=True)``).  "Exact" here means exact
@@ -293,7 +294,8 @@ class SparseGPRegression:
 
     def posterior_samples_f(self, Xq, size: int = 1, key=None):
         """Joint latent samples from the DTC posterior process at
-        ``Xq`` (GPy ``posterior_samples_f`` shape (m, 1, size));
+        ``Xq`` (GPy ``posterior_samples_f`` shape (q, 1, size) for q
+        query rows);
         float64 host covariance through the pseudo-factor R."""
         import jax
         import numpy as _np

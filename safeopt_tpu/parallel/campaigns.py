@@ -45,11 +45,27 @@ def stack_campaign_states(per_campaign: Sequence[Tuple]):
 def shard_campaigns(tree, mesh, axis: str = "data"):
     """Place a batched campaign pytree with the leading axis on
     ``mesh[axis]``; the axis size must divide the campaign count (XLA
-    requires the sharded dim to split evenly across the axis)."""
+    requires the sharded dim to split evenly across the axis).
+
+    On a multi-process mesh (``jax.distributed``) leaves are staged
+    through the host first: ``device_put`` of a committed local device
+    array onto a sharding with non-addressable devices is rejected,
+    while host data shards fine (each process contributes its
+    addressable shards of the identical global value).
+    """
     def place(leaf):
         leaf = jnp.asarray(leaf)
+        if jnp.issubdtype(leaf.dtype, jax.dtypes.prng_key):
+            # typed PRNG keys can't stage through numpy; shard the raw
+            # uint32 key data (one extra trailing dim) and re-wrap
+            impl = jax.random.key_impl(leaf)
+            raw = place(jax.random.key_data(leaf))
+            return jax.random.wrap_key_data(raw, impl=impl)
         spec = P(*([axis] + [None] * (leaf.ndim - 1)))
-        return jax.device_put(leaf, NamedSharding(mesh, spec))
+        sharding = NamedSharding(mesh, spec)
+        if not sharding.is_fully_addressable:
+            leaf = jax.device_get(leaf)
+        return jax.device_put(leaf, sharding)
 
     return jax.tree_util.tree_map(place, tree)
 

@@ -129,6 +129,16 @@ def shard_grid(grid, mesh: Mesh):
     return jax.device_put(grid, NamedSharding(mesh, spec)), pad
 
 
+def _put(x, sharding: NamedSharding):
+    """device_put that also works on multi-process meshes: committed
+    local device arrays are rejected by a non-fully-addressable
+    sharding, so stage them through the host (every process holds the
+    identical global value and contributes its addressable shards)."""
+    if not sharding.is_fully_addressable and hasattr(x, "devices"):
+        x = jax.device_get(x)
+    return jax.device_put(x, sharding)
+
+
 def shard_state(state: GPState, mesh: Mesh) -> GPState:
     """Shard a GP factor over the model axis (rows of X/Y/L/Linv/w).
 
@@ -139,18 +149,17 @@ def shard_state(state: GPState, mesh: Mesh) -> GPState:
     mat = NamedSharding(mesh, P(MODEL_AXIS, None))
     rep = NamedSharding(mesh, P())
     return GPState(
-        X=jax.device_put(state.X, mat),
-        Y=jax.device_put(state.Y, mat),
-        count=jax.device_put(state.count, rep),
-        L=jax.device_put(state.L, mat),
-        Linv=jax.device_put(state.Linv, mat),
-        w=jax.device_put(state.w, row),
-        noise_var=jax.device_put(state.noise_var, rep),
+        X=_put(state.X, mat),
+        Y=_put(state.Y, mat),
+        count=_put(state.count, rep),
+        L=_put(state.L, mat),
+        Linv=_put(state.Linv, mat),
+        w=_put(state.w, row),
+        noise_var=_put(state.noise_var, rep),
     )
 
 
 def replicate(tree, mesh: Mesh):
     """Fully replicate a pytree over the mesh."""
     sharding = NamedSharding(mesh, P())
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sharding), tree)
+    return jax.tree_util.tree_map(lambda x: _put(x, sharding), tree)

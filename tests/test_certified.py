@@ -243,7 +243,11 @@ class TestBudgetAndValidation:
         assert any("triage budget" in r.message for r in caplog.records)
         assert np.isfinite(np.asarray(x)).all()
 
-    def test_requires_exact_gps(self):
+    def test_requires_f64_oracle(self):
+        """exact_boundaries accepts any model with a ``predict_f64``
+        host oracle — sparse DTC models included (round 3c) — and only
+        rejects oracle-less models (pinned by
+        test_unsupported_model_named_in_error)."""
         from safeopt_tpu.gp.sparse import SparseGPRegression
 
         X = np.linspace(-1, 1, 12)[:, None]
@@ -251,8 +255,9 @@ class TestBudgetAndValidation:
         gp = SparseGPRegression(X, Y, RBF(1, variance=2.0), noise_var=1e-4,
                                 inducing=6)
         grid = linearly_spaced_combinations([(-2.0, 2.0)], 50)
-        with pytest.raises(ValueError):
-            SafeOpt(gp, grid, fmin=[0.0], exact_boundaries=True)
+        opt = SafeOpt(gp, grid, fmin=[0.0], exact_boundaries=True)
+        x = opt.optimize()
+        assert np.isfinite(np.asarray(x)).all()
 
     def test_checkpoint_roundtrip_keeps_flags(self, tmp_path):
         from safeopt_tpu.utils import checkpoint
@@ -338,9 +343,9 @@ def _dtc_lower_bound(X, Y, Z, noise_var, variance, ls, jitter, beta, xq):
     A = Kzz + Kzx @ Kzx.T / noise_var
     alpha = scipy.linalg.solve(A, Kzx @ Y[:, 0], assume_a="pos") / noise_var
     kq = k(Z, np.atleast_2d(xq))
-    mu = float(kq.T @ alpha)
+    mu = float((kq.T @ alpha).item())
     B = np.linalg.inv(Kzz) - np.linalg.inv(A)
-    var = max(float(variance - kq.T @ B @ kq), 0.0)
+    var = max(float(variance - (kq.T @ B @ kq).item()), 0.0)
     return mu - beta * np.sqrt(var)
 
 
