@@ -47,6 +47,26 @@ import numpy as np
 
 TARGET_MS = 10.0
 
+# v5e (TPU v5 lite) peak bf16 MXU throughput; f32-HIGHEST matmuls run
+# as 6 bf16 passes, the 3-pass emulated precision as 3.
+V5E_BF16_TFLOPS = 197.0
+
+
+def _mxu_floor_ms(cap: int, n_grid: int, num_gps: int,
+                  passes: int) -> float:
+    """MXU-bound time of the step's dominant matmul at its shapes.
+
+    The whitened solve ``V = Linv @ K(X, grid)`` is (cap, cap) x
+    (cap, N) per GP; the lower-triangular tile skip keeps
+    t(t+1)/2 of t^2 MXU tiles (t = cap/128, no skip below one tile).
+    Everything else in the step (grams, epilogues, classification) is
+    VPU/HBM work the roofline fraction deliberately charges against.
+    """
+    t = cap / 128.0
+    tri = ((t * (t + 1) / 2) / (t * t)) if t > 1 else 1.0
+    flops = 2.0 * cap * cap * n_grid * num_gps * passes * tri
+    return flops / (V5E_BF16_TFLOPS * 1e12) * 1e3
+
 
 def _build_gps(rng, n_obs, capacity, d=2, spread=1.5):
     from safeopt_tpu.gp import GPRegression, RBF
@@ -180,7 +200,19 @@ def main():
         "value": round(elapsed * 1e3, 3),
         "unit": "ms",
         "vs_baseline": round(TARGET_MS / (elapsed * 1e3), 3),
+        # BASELINE.json's north-star metric, reported directly
+        # (VERDICT r3 #9): candidate-grid points/sec per chip for the
+        # full posterior+classification step.
+        "step_points_per_sec": round(points_per_sec),
         "points_per_sec": round(points_per_sec),
+        # achieved fraction of the MXU-bound floor at this step's
+        # shapes (cap=64 < one MXU tile: the flagship is latency/VPU
+        # bound, not matmul bound — the honest reading is that the
+        # matmul is nearly free at this capacity)
+        "flagship_mxu_floor_ms": round(_mxu_floor_ms(64, grid.shape[0],
+                                                     2, 6), 3),
+        "flagship_roofline_fraction": round(
+            _mxu_floor_ms(64, grid.shape[0], 2, 6) / (elapsed * 1e3), 3),
         "num_gps": 2,
         "n_obs": n_obs,
         "device": str(jax.devices()[0]),
@@ -436,6 +468,14 @@ def _cap512_secondary(rng, grid_dev):
         "cap512_under_target": elapsed * 1e3 < TARGET_MS,
         "cap512_floor_ms": round(floor_ms, 2),
         "cap512_vs_floor": round(elapsed * 1e3 / max(floor_ms, 1e-9), 2),
+        "cap512_points_per_sec": round(grid_dev.shape[0] / elapsed),
+        # analytic MXU-bound floor at these shapes (6-pass f32, tri
+        # skip) and the achieved fraction — VERDICT r3 #9
+        "cap512_mxu_floor_ms": round(
+            _mxu_floor_ms(512, grid_dev.shape[0], 2, 6), 2),
+        "cap512_roofline_fraction": round(
+            _mxu_floor_ms(512, grid_dev.shape[0], 2, 6) / (elapsed * 1e3),
+            3),
     }
 
 
@@ -463,32 +503,38 @@ def _cap512_gps():
 
 
 def _cap512_certified_secondary(grid_dev, boundary_band=1e-3,
-                                refine_band=5e-3, refine_k=0,
-                                refine_band_k=8192, k=4096,
-                                precision="high"):
+                                refine_band=5e-3, refine_band_k=8192,
+                                k=4096, precision="high"):
     """The route below the 6-pass-f32 MXU floor: run the cap512
     interval pass at 3-pass precision (emulated in the Mosaic kernel —
     `_dot3` hi/lo bf16 split; single-pass bf16 was measured
     UNSALVAGEABLE: 82k wrong safe bits through the kappa~1e6 factor,
     an ambiguity band no budget covers — recorded negative result),
     restore full precision on every decision-critical row in-program
-    (_refine_Q: the whole 3-pass safety band + the global-threshold
-    rows), and certify the safe set in host f64 through the usual
-    narrow band.
+    (_refine_Q), and certify the safe set in host f64 through the
+    usual narrow band.
 
-    Gates: `cap512_certified_parity` — every raw S disagreement with
-    the full-precision scan sits INSIDE the f64 certification band
-    (the oracle settles those rows identically for both runs, so the
-    certified safe sets are equal; any outside-band disagreement is a
-    band/refine failure), no band overflow, and the selected query
-    point's scaled width is within 1e-3 relative of the reference
-    selection's (selection is an argmax over values that the reference
-    f32 path itself only resolves to ~measurement noise; a 3-pass
-    knife-edge tie is the same benign class the pallas-parity gate
-    bands away). M/G mismatches are GATED band-aware: M against the
-    maximizer boundary |u0 - best_l0| (its own knife edge, measured
-    max 2.9e-3 on this config — inside the 5e-3 refine band), G by the
-    winner width-tie criterion (measured ~5e-4 relative).
+    Round 4 (VERDICT r3 #3): TWO configurations are measured and gated
+    separately —
+
+    * STRICT (the shipped default, refine_k=128): the selection head
+      (width / best-l0 / maximizer-boundary top rows) is also restored
+      to full precision, so golden-trajectory identity must hold
+      EXACTLY: ``cap512_trajectory_match`` gates next_idx equality and
+      bitwise G equality against the full-precision scan, no tie
+      tolerances.
+    * FAST (refine_k=0, opt-in): only the safety band is restored;
+      ``cap512_safe_set_certified`` gates that every raw S flip sits
+      inside the f64 certification band (the oracle settles those rows
+      identically for both runs) with no overflow — the honest,
+      narrower claim. Its selection drift is REPORTED (width-tie gap)
+      but no longer excused into a parity verdict.
+
+    ``cap512_certified_device_ms`` is the strict config's pure device
+    time (reps chained inside one program, CLAUDE.md protocol) — the
+    end-to-end numbers include a ~4-5 ms remote-tunnel dispatch that
+    vanishes on directly attached TPUs; the per-stage decomposition
+    lives in benchmarks/bench_cap512_stages.py and docs/design.md.
     """
     import jax
     import jax.numpy as jnp
@@ -505,89 +551,106 @@ def _cap512_certified_secondary(grid_dev, boundary_band=1e-3,
     threshold = jnp.asarray([0.0, 0.0], dtype)
     use_pallas = jax.default_backend() != "cpu"
 
-    def run(prec, rk, rbk):
+    def run(prec, rk, rbk, b=beta):
         return certified_scan(
-            kernels, states, grid_dev, fmin, beta, scaling, threshold,
+            kernels, states, grid_dev, fmin, b, scaling, threshold,
             jnp.asarray(boundary_band, dtype),
             refine_band=jnp.asarray(refine_band, dtype), k=k,
             refine_k=rk, refine_band_k=rbk, chunk=32,
             use_pallas=use_pallas, interval_precision=prec)
 
+    el_strict, (res_s, packed_s) = _time_step(
+        lambda: run(precision, 128, refine_band_k), reps=10)
     el_fast, (res_f, packed_f) = _time_step(
-        lambda: run(precision, refine_k, refine_band_k), reps=10)
+        lambda: run(precision, 0, refine_band_k), reps=10)
     el_ref, (res_r, packed_r) = _time_step(
         lambda: run(None, 0, 0), reps=10)
 
-    pf = np.asarray(packed_f)
-    pr = np.asarray(packed_r)
-    overflow = bool(pf[5] > k) or bool(pf[6] > refine_band_k)
+    # pure device time of the strict config: chain reps inside one
+    # program with a carry-perturbed beta, difference reps 1 vs 6
+    from functools import partial as _partial
 
+    @_partial(jax.jit, static_argnames=("reps",))
+    def dev_prog(b0, *, reps):
+        def body(i, carry):
+            b, acc = carry
+            res, packed = run(precision, 128, refine_band_k, b=b)
+            acc = acc + jnp.max(res.Q) + jnp.sum(packed).astype(dtype)
+            return b + (acc % 2).astype(dtype) * 1e-9, acc
+        return jax.lax.fori_loop(0, reps, body,
+                                 (b0, jnp.zeros((), dtype)))[1]
+
+    def dev_t(reps):
+        float(dev_prog(beta, reps=reps))
+        t0 = time.perf_counter()
+        float(dev_prog(beta * (1 + reps * 1e-9), reps=reps))
+        return time.perf_counter() - t0
+
+    device_ms = (dev_t(6) - dev_t(1)) / 5 * 1e3
+
+    pf = np.asarray(packed_f)
+    ps = np.asarray(packed_s)
+    pr = np.asarray(packed_r)
+    overflow_f = bool(pf[5] > k) or bool(pf[6] > refine_band_k)
+    overflow_s = bool(ps[5] > k) or bool(ps[6] > refine_band_k)
+
+    S_s, G_s, M_s = jax.device_get((res_s.S, res_s.G, res_s.M))
     S_f, M_f, G_f, Q_r = jax.device_get((res_f.S, res_f.M, res_f.G,
                                          res_r.Q))
     S_r, M_r, G_r = jax.device_get((res_r.S, res_r.M, res_r.G))
-    s_mism = int(np.count_nonzero(S_f != S_r))
-    next_eq = int(pf[1]) == int(pr[1])
 
-    # every raw S flip must sit inside the f64 certification band
+    # ---- STRICT gate: golden-trajectory identity, no tolerances ----
+    trajectory_match = (int(ps[1]) == int(pr[1])
+                        and bool(np.array_equal(G_s, G_r)))
+
     scal_np = np.asarray([np.sqrt(2.0), 1.0])
     l = Q_r[:, 0::2]
-    margin = np.min(np.abs(l - np.asarray([0.2, 0.5])) / scal_np, axis=1)
-    mism = S_f != S_r
-    s_outside_band = int(np.count_nonzero(mism & (margin >= boundary_band)))
-
-    # selection tie quality: relative width gap of the two chosen rows
     u = Q_r[:, 1::2]
+    margin = np.min(np.abs(l - np.asarray([0.2, 0.5])) / scal_np, axis=1)
+
+    def s_gate(S_x, overflow):
+        mism = S_x != S_r
+        outside = int(np.count_nonzero(mism & (margin >= boundary_band)))
+        return {
+            "mismatches": int(np.count_nonzero(mism)),
+            "outside_band": outside,
+            "certified": outside == 0 and not overflow,
+        }
+
+    strict_s = s_gate(S_s, overflow_s)
+    fast_s = s_gate(S_f, overflow_f)
+
+    # ---- FAST mode: report (not excuse) the selection drift ----
     w = np.max((u - l) / scal_np, axis=1)
     w_ref = w[int(pr[1])]
-    width_gap = abs(w[int(pf[1])] - w_ref) / max(abs(w_ref), 1e-12)
-
-    # M membership is a knife-edge test against the maximizer boundary
-    # (u0 >= best_l0), so its benign band is distance to THAT boundary,
-    # not to the safety thresholds; rows within either band are noise-
-    # class on any f32 implementation.
-    best_l0 = np.max(np.where(S_r, l[:, 0], -np.inf))
-    dM = np.abs(u[:, 0] - best_l0) / scal_np[0]
-    benign = (margin < refine_band) | (dM < refine_band)
-    m_mat = int(np.count_nonzero((M_f != M_r) & ~benign))
-    g_mat = int(np.count_nonzero((G_f != G_r) & ~benign))
-    # A G disagreement cascades from a knife-edge M row re-shuffling
-    # the candidate set; it is benign iff the two selected expanders'
-    # scaled widths tie (same criterion as the next_idx gate). A
-    # found-vs-not-found disagreement is never a tie — force the gate
-    # to fail rather than defaulting the gap to zero.
-    g_width_gap = 0.0
-    if g_mat:
-        if G_f.any() and G_r.any():
-            wf, wr = w[int(np.argmax(G_f))], w[int(np.argmax(G_r))]
-            g_width_gap = abs(wf - wr) / max(abs(wr), 1e-12)
-        else:
-            g_width_gap = float("inf")
+    fast_width_gap = abs(w[int(pf[1])] - w_ref) / max(abs(w_ref), 1e-12)
 
     return {
-        "cap512_certified_ms": round(el_fast * 1e3, 3),
+        # strict (shipped default)
+        "cap512_certified_ms": round(el_strict * 1e3, 3),
+        "cap512_certified_device_ms": round(device_ms, 3),
         "cap512_certified_ref_ms": round(el_ref * 1e3, 3),
-        "cap512_certified_speedup": round(el_ref / el_fast, 2),
+        "cap512_certified_speedup": round(el_ref / el_strict, 2),
         "cap512_certified_precision": precision,
-        "cap512_certified_under_target": el_fast * 1e3 < TARGET_MS,
-        "cap512_band_overflow": overflow,
-        "cap512_f64_band_population": int(pf[5]),
-        "cap512_refine_band_population": int(pf[6]),
-        # width_gap tolerance 1e-2: the selection argmax resolves a
-        # field whose reduced-precision noise is ~1e-3 relative near
-        # the top; a measured gap of ~4e-3 between the two chosen
-        # rows is a genuine knife-edge tie (the f32-highest reference
-        # itself only resolves such ties to its own noise vs f64)
-        "cap512_certified_parity": (s_outside_band == 0
-                                    and width_gap < 1e-2
-                                    and m_mat == 0
-                                    and (g_mat == 0 or g_width_gap < 1e-2)
-                                    and not overflow),
-        "cap512_S_mismatches": s_mism,
-        "cap512_S_mismatches_outside_band": s_outside_band,
-        "cap512_next_idx_match": next_eq,
-        "cap512_next_width_gap": float(round(width_gap, 9)),
-        "cap512_MG_material_mismatches": {"M": m_mat, "G": g_mat},
-        "cap512_G_winner_width_gap": float(round(g_width_gap, 9)),
+        "cap512_certified_under_target": el_strict * 1e3 < TARGET_MS,
+        "cap512_trajectory_match": trajectory_match,
+        "cap512_safe_set_certified": strict_s["certified"],
+        "cap512_S_mismatches": strict_s["mismatches"],
+        "cap512_S_mismatches_outside_band": strict_s["outside_band"],
+        "cap512_band_overflow": overflow_s,
+        "cap512_f64_band_population": int(ps[5]),
+        "cap512_refine_band_population": int(ps[6]),
+        "cap512_certified_points_per_sec": round(
+            grid_dev.shape[0] / el_strict),
+        # 3-pass interval share of the strict step vs its bf16 floor
+        "cap512_3pass_mxu_floor_ms": round(
+            _mxu_floor_ms(512, grid_dev.shape[0], 2, 3), 2),
+        # fast opt-in (refine_k=0): safe-set-only certification
+        "cap512_fast_ms": round(el_fast * 1e3, 3),
+        "cap512_fast_safe_set_certified": fast_s["certified"],
+        "cap512_fast_S_mismatches_outside_band": fast_s["outside_band"],
+        "cap512_fast_next_idx_match": int(pf[1]) == int(pr[1]),
+        "cap512_fast_next_width_gap": float(round(fast_width_gap, 9)),
     }
 
 
@@ -640,7 +703,16 @@ def _sparse_secondary(grid_dev, n=2000, m=64):
     """The scale-with-n story measured: n=2,000 observations through a
     m=64 DTC model vs the exact GP — 1e6-grid step time, per-point
     model-update time (incremental rank-1 vs bordered-Cholesky), and
-    the decision drift the approximation costs."""
+    the decision drift the approximation costs.
+
+    Round 4 (VERDICT r3 #4): the drift is swept over m in {64, 128,
+    256} with the direction split (optimistic = DTC-safe where the
+    exact GP says unsafe — the dangerous direction), and the
+    RECOMMENDED long-campaign setting ``SparseGPRegression(m=64,
+    conservative=1.0)`` (calibrated constant variance floor, see
+    gp/sparse.py) is measured for both drift and step time — the gate
+    is ``sparse_recommended_drift_optimistic == 0`` with the step
+    speedup ≥ 10x."""
     import jax
     import jax.numpy as jnp
 
@@ -688,6 +760,30 @@ def _sparse_secondary(grid_dev, n=2000, m=64):
     drift_margins = np.abs(margin_e[drift]) if drift.any() else np.array([0.0])
     spread = float(np.percentile(np.abs(margin_e), 95))
 
+    # ---- m-sweep + recommended conservative setting (r4 #4) ----
+    S_e_np = np.asarray(S_e)
+    sweep = {}
+    for m_i in (64, 128, 256):
+        sp_i = SparseGPRegression(X, Y, kern, noise_var=0.05 ** 2,
+                                  inducing=m_i)
+        r_i = safeopt_step((sp_i.kern,), (sp_i.state,), grid_dev, fmin,
+                           beta, scaling, threshold, chunk=32,
+                           use_pallas=use_pallas)
+        S_i = np.asarray(jax.device_get(r_i.S))
+        sweep[f"m{m_i}"] = {
+            "optimistic": int(np.count_nonzero(S_i & ~S_e_np)),
+            "conservative": int(np.count_nonzero(~S_i & S_e_np)),
+        }
+
+    rec = SparseGPRegression(X, Y, kern, noise_var=0.05 ** 2,
+                             inducing=m, conservative=1.0)
+    el_rec, r_rec = _time_step(lambda: safeopt_step(
+        (rec.kern,), (rec.state,), grid_dev, fmin, beta, scaling,
+        threshold, chunk=32, use_pallas=use_pallas), reps=10)
+    S_rec = np.asarray(jax.device_get(r_rec.S))
+    rec_opt = int(np.count_nonzero(S_rec & ~S_e_np))
+    rec_con = int(np.count_nonzero(~S_rec & S_e_np))
+
     # per-point model update: incremental rank-1 vs bordered Cholesky
     xq = np.array([0.7, -0.3])
     t0 = time.perf_counter()
@@ -700,6 +796,15 @@ def _sparse_secondary(grid_dev, n=2000, m=64):
     exact_append_ms = (time.perf_counter() - t0) / 8 * 1e3
 
     return {
+        "sparse_m_sweep": sweep,
+        "sparse_recommended": f"m={m}, conservative=1.0",
+        "sparse_recommended_step_ms": round(el_rec * 1e3, 3),
+        "sparse_recommended_speedup": round(el_e / el_rec, 1),
+        "sparse_recommended_floor": round(float(rec._floor), 6),
+        "sparse_recommended_drift_optimistic": rec_opt,
+        "sparse_recommended_drift_conservative": rec_con,
+        "sparse_recommended_gate": (rec_opt == 0
+                                    and el_e / el_rec >= 10.0),
         "sparse_n": n, "sparse_m": m,
         "sparse_step_ms": round(el_s * 1e3, 3),
         "sparse_exact_step_ms": round(el_e * 1e3, 3),
@@ -868,9 +973,10 @@ def _expander_stress_secondary():
                             chunk=chunk, use_pallas=use_pallas)
 
     # The remote tunnel's dispatch jitter is bimodal (~4-5 ms nominal
-    # with occasional multi-ms hiccups); take the best of three short
-    # averaging windows so the metric tracks the step, not the tunnel.
-    runs = [_time_step(step, reps=5) for _ in range(3)]
+    # with occasional multi-ms hiccups); the best window tracks the
+    # step, the mean includes the tunnel's tail. Five windows so the
+    # mean is estimated, not sampled.
+    runs = [_time_step(step, reps=5) for _ in range(5)]
     elapsed, result = min(runs, key=lambda r: r[0])
     mean_ms = float(np.mean([r[0] for r in runs])) * 1e3
     S, M, G, Q = jax.device_get((result.S, result.M, result.G, result.Q))
@@ -887,7 +993,10 @@ def _expander_stress_secondary():
         "expander_stress_chunks": n_chunks,
         "expander_stress_candidates": int(cand.sum()),
         "expander_stress_found": bool(G.any()),
-        "expander_stress_under_target": bool(elapsed * 1e3 < TARGET_MS),
+        # gate on the MEAN (VERDICT r3 #8): best-of hid tunnel spread
+        "expander_stress_under_target": bool(mean_ms < TARGET_MS),
+        "expander_stress_best_under_target": bool(elapsed * 1e3
+                                                  < TARGET_MS),
     }
 
 

@@ -95,11 +95,19 @@ class SafeOpt(GaussianProcessOptimization):
         top-``refine_k`` rows per global-threshold criterion — so the
         f64 certification band can stay at its usual narrow
         ``boundary_band``. Requires ``exact_boundaries=True``.
-    refine_k : int
+    refine_k : int, optional
         Rows per global-threshold criterion (width / best lower bound
-        / maximizer boundary) restored to full precision. Default 0:
-        each criterion costs a measured 4.3 ms top_k sweep over a 1e6
-        grid, and the 3-pass mode's width noise is f32-grade already.
+        / maximizer boundary) restored to full precision. Default
+        (None) auto-selects 128 whenever ``interval_precision`` is set:
+        with the selection head restored, reduced-precision runs keep
+        STRICT golden-trajectory identity (measured on hardware: cap512
+        next-query/G match, +~3.4 ms for three ~0.6 ms ``partial_top_k``
+        sweeps plus the larger refine gather — bench
+        ``cap512_trajectory_match``). Explicit ``refine_k=0`` opts out
+        for speed: safe-set decisions remain f64-certified through the
+        boundary band, but near-tie query selections may differ from
+        the full-precision trajectory by a ~1e-3-relative width tie (a
+        runtime warning records this).
     refine_band : float
         Scaled-margin width of the safety refinement band — size it to
         the reduced-precision interval noise (default 5e-3, sized for
@@ -129,7 +137,7 @@ class SafeOpt(GaussianProcessOptimization):
                  expander_chunk: int = 32, use_pallas=None,
                  exact_boundaries: bool = False, boundary_band: float = 1e-3,
                  boundary_k: int = 1024, interval_precision=None,
-                 refine_k: int = 0, refine_band: float = 5e-3,
+                 refine_k=None, refine_band: float = 5e-3,
                  refine_band_k: int = 8192):
         super().__init__(gp, fmin=fmin, beta=beta,
                          num_contexts=num_contexts, threshold=threshold,
@@ -207,6 +215,17 @@ class SafeOpt(GaussianProcessOptimization):
         # f64 certification band absorb the rest. Only meaningful with
         # exact_boundaries=True.
         self._interval_precision = interval_precision
+        if refine_k is None:
+            # auto: restore the selection head so reduced precision
+            # keeps strict golden-trajectory identity (docstring)
+            refine_k = 128 if interval_precision is not None else 0
+        elif refine_k == 0 and interval_precision is not None:
+            import logging
+            logging.warning(
+                "interval_precision with refine_k=0: safe-set decisions "
+                "stay f64-certified, but golden-trajectory parity is "
+                "voided — near-tie query selections may differ from the "
+                "full-precision trajectory (see the SafeOpt docstring)")
         self._refine_k = min(int(refine_k), N)
         self._refine_band = float(refine_band)
         self._refine_band_k = min(int(refine_band_k), N)

@@ -66,16 +66,47 @@ class SparseGPRegression:
         (m large relative to the lengthscale coverage of the domain)
         may need a larger jitter; a warning fires when the factor
         scale threatens f32 decision fidelity.
+    conservative : float
+        Safety factor ``c`` on a calibrated posterior-variance floor
+        (default 0 = plain DTC). DTC's dangerous failure mode for safe
+        BO is OPTIMISTIC drift: near the safety boundary, a small DTC
+        mean error in a data-dense region (where the posterior
+        variance is tiny) flips an exact-GP-unsafe point to
+        DTC-safe. The Nystrom residual is useless there — it is
+        already inside the DTC variance (``var_dtc >= r`` always) and
+        vanishes exactly where the danger lives. What works is a small
+        CONSTANT latent-variance floor sized to the model's own
+        mean-convergence error: at every full (re)build the model
+        measures ``delta = max_i |mu_m(X_i) - mu_2m(X_i)|`` against a
+        doubled-inducing DTC and reports ``var + (c * delta)^2`` —
+        lower confidence bounds can only drop, so knife-edge
+        optimistic flips are suppressed at the cost of a slightly
+        conservative safe set (measured in BENCH_r04
+        ``sparse_m_sweep``: optimistic drift 0 at ``c = 1`` on the
+        bench configuration, with the step speedup intact). The mean
+        is untouched. Implemented as a ``White`` summand on the
+        effective kernel (``self.kern``; cross-covariances are
+        unaffected, only ``Kdiag`` gains the floor), while the
+        data-model kernel stays at ``self.kern_base`` for
+        hyperopt/LML. Calibration costs one extra O((2m)^2 n) build
+        per full refit and is skipped at ``c = 0``. Note: a ``White``
+        summand routes SafeOpt's auto ``use_pallas`` to the XLA
+        interval path (measured equal at small capacities).
     """
 
     def __init__(self, X, Y, kernel: Optional[Kernel] = None,
                  noise_var: float = 1.0, inducing=16,
-                 refit_every: int = 512, jitter: float = 1e-8):
+                 refit_every: int = 512, jitter: float = 1e-8,
+                 conservative: float = 0.0):
         X = np.atleast_2d(np.asarray(X, dtype=np.float64))
         Y = np.asarray(Y, dtype=np.float64).reshape(X.shape[0], -1)
         if kernel is None:
             kernel = RBF(X.shape[1])
-        self.kern = kernel
+        self._conservative = float(conservative)
+        if self._conservative < 0.0:
+            raise ValueError("conservative inflation factor must be >= 0")
+        self._floor = 0.0
+        self.kern = kernel          # property setter: stores kern_base
         self.noise_var = float(noise_var)
 
         if np.isscalar(inducing):
@@ -104,6 +135,66 @@ class SparseGPRegression:
         self._Y = Y
         self._refit()
 
+    # -- kernel views -------------------------------------------------------
+    #
+    # The DATA MODEL (information state A/b, marginal likelihood,
+    # hyperparameter fitting) always uses ``kern_base``. The POSTERIOR
+    # consumers (device state, predict*, posterior samples) use
+    # ``kern`` — identical to the base unless ``conservative > 0``, in
+    # which case it is the base scaled by ``s = 1 + c^2`` (a Product
+    # with a constant Bias factor) and the pseudo-factor/weights are
+    # rescaled so that mu is unchanged and var gains ``c^2 * r(x)``.
+
+    @property
+    def kern(self) -> Kernel:
+        """Kernel the posterior consumers see (a ``White``-floor sum
+        when ``conservative > 0``)."""
+        return self._kern_eff
+
+    @kern.setter
+    def kern(self, kernel: Kernel) -> None:
+        self._kern_base = kernel
+        if self._conservative and self._floor > 0.0:
+            from .kernels import White
+            self._kern_eff = kernel + White(kernel.input_dim,
+                                            variance=self._floor,
+                                            name="safety_floor")
+        else:
+            self._kern_eff = kernel
+
+    def _calibrate_floor(self) -> None:
+        """Size the conservative variance floor to the model's own
+        mean-convergence error: ``delta = max_i |mu_m(X_i) -
+        mu_2m(X_i)|`` against a doubled-inducing DTC on the SAME data,
+        ``floor = (c * delta)^2``. One extra O((2m)^2 n) build; the
+        danger it guards against — knife-edge optimistic flips from
+        DTC mean error in data-dense regions — scales with exactly
+        this quantity (docs/design.md, sparse drift study)."""
+        self._floor = 0.0
+        self.kern = self._kern_base        # plain view for the probe
+        if not self._conservative or self._X.shape[0] <= self._m:
+            return
+        m2 = min(2 * self._m, self._X.shape[0])
+        ref = SparseGPRegression(self._X, self._Y, self._kern_base,
+                                 noise_var=self.noise_var, inducing=m2,
+                                 jitter=self._jitter)
+        mu_m, _ = self.predict_f64(self._X)
+        mu_2m, _ = ref.predict_f64(self._X)
+        delta = float(np.max(np.abs(mu_m - mu_2m)))
+        self._floor = (self._conservative * delta) ** 2
+        self.kern = self._kern_base        # rebuild the floored view
+
+    @property
+    def kern_base(self) -> Kernel:
+        """The data-model kernel (hyperopt/LML target; == ``kern``
+        unless ``conservative > 0``)."""
+        return self._kern_base
+
+    @property
+    def conservative(self) -> float:
+        """Safety inflation factor c (0 = plain DTC)."""
+        return self._conservative
+
     # -- factor construction (host float64) --------------------------------
 
     def _refit(self) -> None:
@@ -120,19 +211,20 @@ class SparseGPRegression:
         m = Z.shape[0]
         s2 = self.noise_var
 
-        self._Kzz = np_kernel(self.kern, Z) + self._jitter * np.eye(m)
+        self._Kzz = np_kernel(self._kern_base, Z) + self._jitter * np.eye(m)
         self._Kzz_cho = scipy.linalg.cho_factor(self._Kzz, lower=True)
-        Kzx = np_kernel(self.kern, Z, X)
+        Kzx = np_kernel(self._kern_base, Z, X)
         self._A = self._Kzz + (Kzx @ Kzx.T) / s2
         self._b = Kzx @ Y[:, 0]
         self._pending = 0
         self._recompute_posterior()
+        self._calibrate_floor()
 
     def _apply_rank1(self, x: np.ndarray, y: float, sign: float) -> None:
         """O(m^2) information update for one observation (+1 append,
         -1 remove); exact up to float non-associativity because A and b
         are plain sums of per-observation terms."""
-        kzx = np_kernel(self.kern, self.Z, x.reshape(1, -1))[:, 0]
+        kzx = np_kernel(self._kern_base, self.Z, x.reshape(1, -1))[:, 0]
         self._A += sign * np.outer(kzx, kzx) / self.noise_var
         self._b += sign * kzx * y
         self._pending += 1
@@ -290,7 +382,8 @@ class SparseGPRegression:
 
         with jax.enable_x64(True):
             return float(sparse_log_marginal_likelihood(
-                self.kern, self._X, self._Y, self.Z, self.noise_var))
+                self._kern_base, self._X, self._Y, self.Z,
+                self.noise_var))
 
     def posterior_samples_f(self, Xq, size: int = 1, key=None):
         """Joint latent samples from the DTC posterior process at
@@ -387,7 +480,7 @@ class SparseGPRegression:
                 return sparse_log_marginal_likelihood(kern, X, Y, Zv, nv)
 
             kern, noise, Z_new, lml = fit_hyperparameters(
-                self.kern, X, Y, self.noise_var, steps=steps,
+                self._kern_base, X, Y, self.noise_var, steps=steps,
                 learning_rate=learning_rate,
                 optimize_noise=optimize_noise, restarts=restarts,
                 seed=seed, lml_fn=lml_fn_z, inducing=Z)
@@ -397,7 +490,7 @@ class SparseGPRegression:
                 return sparse_log_marginal_likelihood(kern, X, Y, Z, nv)
 
             kern, noise, lml = fit_hyperparameters(
-                self.kern, X, Y, self.noise_var, steps=steps,
+                self._kern_base, X, Y, self.noise_var, steps=steps,
                 learning_rate=learning_rate,
                 optimize_noise=optimize_noise, restarts=restarts,
                 seed=seed, lml_fn=lml_fn)

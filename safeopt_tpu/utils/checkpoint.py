@@ -171,14 +171,21 @@ def save(opt, path: str) -> None:
         "gp_models": [],
     }
     for i, g in enumerate(opt.gps):
-        meta["kernels"].append(_kernel_spec(g.kern, arrays, f"k{i}_"))
-        arrays[f"gp{i}_X"] = np.asarray(g.X)
-        arrays[f"gp{i}_Y"] = np.asarray(g.Y)
         if isinstance(g, SparseGPRegression):
+            # save the BASE (data-model) kernel: the public g.kern is
+            # the conservative-inflated view, which the constructor
+            # re-derives from (kern_base, conservative) on load
+            meta["kernels"].append(_kernel_spec(g.kern_base, arrays,
+                                                f"k{i}_"))
             meta["gp_models"].append("sparse")
             arrays[f"gp{i}_Z"] = np.asarray(g.Z)
+            meta.setdefault("sparse_conservative", {})[str(i)] = \
+                float(g.conservative)
         else:
+            meta["kernels"].append(_kernel_spec(g.kern, arrays, f"k{i}_"))
             meta["gp_models"].append("exact")
+        arrays[f"gp{i}_X"] = np.asarray(g.X)
+        arrays[f"gp{i}_Y"] = np.asarray(g.Y)
     arrays["x"] = opt.x
     arrays["y"] = opt.y
 
@@ -247,7 +254,9 @@ def load(path: str, beta=None):
             gps.append(SparseGPRegression(
                 placeholder, np.zeros((1, 1)), kern,
                 noise_var=meta["noise_vars"][i],
-                inducing=arrays[f"gp{i}_Z"]))
+                inducing=arrays[f"gp{i}_Z"],
+                conservative=meta.get("sparse_conservative",
+                                      {}).get(str(i), 0.0)))
         else:
             gps.append(GPRegression(placeholder, np.zeros((1, 1)), kern,
                                     noise_var=meta["noise_vars"][i]))

@@ -38,6 +38,17 @@ import pytest  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: the suite compiles hundreds of XLA:CPU
+# programs on one core, and the per-module clear_caches below (a
+# segfault workaround) forces recompiles of shared signatures. Disk
+# persistence makes every recompile — and every rerun of the suite — a
+# cache hit (measured: full suite ~16 min cold, far less warm). Keyed
+# by jaxlib version/flags, so upgrades invalidate cleanly.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("SAFEOPT_TEST_CACHE",
+                                 "/tmp/jax_cache_tests"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+
 
 @pytest.fixture(autouse=True, scope="module")
 def _clear_jax_caches_between_modules():

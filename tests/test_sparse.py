@@ -358,3 +358,125 @@ def test_optimize_inducing_restarts_perturb_only_hypers():
     Xq = np.linspace(-3, 3, 7)[:, None]
     mu, var = gp.predict_noiseless(Xq)
     assert np.all(np.isfinite(mu)) and np.all(np.asarray(var) >= 0)
+
+
+# ---------------------------------------------------------------------------
+# conservative variance floor (round 4: bounded optimistic drift)
+# ---------------------------------------------------------------------------
+
+
+class TestConservativeFloor:
+    """`conservative=c` adds a calibrated constant latent-variance
+    floor (White summand on the effective kernel): the mean is
+    untouched, lower confidence bounds can only drop, and knife-edge
+    OPTIMISTIC drift vs the exact GP (the dangerous direction for safe
+    BO) is suppressed. Guards /root/reference/safeopt/gp_opt.py:478-481
+    (compute_safe_set is the entire point of the framework)."""
+
+    def _models(self, n=220, m=24, c=1.0, seed=3):
+        rng = np.random.default_rng(seed)
+        X = rng.uniform(-4, 4, size=(n, 2))
+        Y = (2.0 * np.exp(-0.5 * np.sum(X ** 2, axis=1))
+             + 0.05 * rng.normal(size=n))[:, None]
+        kern = RBF(2, variance=2.0, lengthscale=1.0)
+        plain = SparseGPRegression(X, Y, kern, noise_var=0.05 ** 2,
+                                   inducing=m)
+        cons = SparseGPRegression(X, Y, kern, noise_var=0.05 ** 2,
+                                  inducing=m, conservative=c)
+        return X, Y, kern, plain, cons
+
+    def test_mean_unchanged_var_floored(self):
+        X, Y, kern, plain, cons = self._models()
+        rng = np.random.default_rng(0)
+        Xq = rng.uniform(-5, 5, size=(50, 2))
+        mu0, v0 = plain.predict_f64(Xq)
+        mu1, v1 = cons.predict_f64(Xq)
+        assert cons._floor > 0.0
+        assert_allclose(mu1, mu0, atol=0)
+        assert_allclose(v1, v0 + cons._floor, rtol=1e-12)
+
+    def test_device_state_matches_host_oracle(self):
+        """The f64 host oracle and the device state agree under the
+        floored kernel (f64 session) — certification stays coherent."""
+        import jax.numpy as jnp
+
+        from safeopt_tpu.algorithms.safe_opt_core import _posterior_with_V
+
+        _, _, _, _, cons = self._models()
+        rng = np.random.default_rng(1)
+        Xq = rng.uniform(-5, 5, size=(30, 2))
+        mu_h, v_h = cons.predict_f64(Xq)
+        mu_d, v_d, _ = _posterior_with_V(cons.kern, cons.state,
+                                         jnp.asarray(Xq))
+        assert_allclose(np.asarray(mu_d), mu_h, atol=1e-12)
+        assert_allclose(np.asarray(v_d), v_h, atol=1e-12)
+
+    def test_suppresses_optimistic_drift(self):
+        """vs the exact GP on a dense grid: c=1 zeroes the optimistic
+        flips the plain DTC makes on this config."""
+        import scipy.linalg
+
+        from safeopt_tpu.gp.host_math import np_kdiag, np_kernel
+
+        X, Y, kern, plain, cons = self._models(n=800, m=64, seed=11)
+        grid = np.asarray(linearly_spaced_combinations(
+            [(-5.0, 5.0), (-5.0, 5.0)], 120))
+        beta, fmin, noise = 2.0, 0.2, 0.05 ** 2
+        K = np_kernel(kern, X) + noise * np.eye(len(X))
+        cho = scipy.linalg.cho_factor(K, lower=True)
+        kv = np_kernel(kern, X, grid)
+        mu_e = kv.T @ scipy.linalg.cho_solve(cho, Y[:, 0])
+        v = scipy.linalg.solve_triangular(cho[0], kv, lower=True)
+        var_e = np.maximum(np_kdiag(kern, grid) - np.sum(v * v, axis=0),
+                           0.0)
+        S_e = (mu_e - beta * np.sqrt(var_e)) > fmin
+
+        mu0, v0 = plain.predict_f64(grid)
+        mu1, v1 = cons.predict_f64(grid)
+        S0 = (mu0 - beta * np.sqrt(v0)) > fmin
+        S1 = (mu1 - beta * np.sqrt(v1)) > fmin
+        opt0 = int(np.count_nonzero(S0 & ~S_e))
+        opt1 = int(np.count_nonzero(S1 & ~S_e))
+        assert opt0 > 0, "config must exhibit plain-DTC optimistic drift"
+        assert opt1 == 0, f"floor left {opt1} optimistic flips"
+        # lower bounds only drop
+        assert np.all(mu1 - beta * np.sqrt(v1)
+                      <= mu0 - beta * np.sqrt(v0) + 1e-12)
+
+    def test_checkpoint_roundtrip(self, tmp_path):
+        from safeopt_tpu.utils import checkpoint
+
+        _, _, _, _, cons = self._models()
+        grid = linearly_spaced_combinations([(-2.0, 2.0), (-2.0, 2.0)],
+                                            15)
+        opt = SafeOpt(cons, grid, fmin=[0.2], exact_boundaries=True)
+        path = str(tmp_path / "cons.npz")
+        checkpoint.save(opt, path)
+        opt2 = checkpoint.load(path)
+        g = opt2.gps[0]
+        assert g.conservative == cons.conservative
+        assert_allclose(g._floor, cons._floor, rtol=1e-12)
+        rng = np.random.default_rng(2)
+        Xq = rng.uniform(-4, 4, size=(20, 2))
+        assert_allclose(g.predict_f64(Xq)[1], cons.predict_f64(Xq)[1],
+                        atol=0)
+
+    def test_safeopt_runs_certified_on_conservative_model(self):
+        _, _, _, _, cons = self._models()
+        grid = linearly_spaced_combinations([(-3.0, 3.0), (-3.0, 3.0)],
+                                            25)
+        opt = SafeOpt(cons, grid, fmin=[0.2], exact_boundaries=True)
+        x = opt.optimize()
+        assert np.isfinite(np.asarray(x)).all()
+        assert opt.S.any()
+
+    def test_hyperopt_fits_base_kernel(self):
+        """LML targets the data-model kernel; the floored view is
+        rebuilt (and recalibrated) after the fit."""
+        X, Y, kern, _, cons = self._models(n=150, m=16)
+        lml = cons.optimize_hyperparameters(steps=40)
+        assert np.isfinite(lml)
+        from safeopt_tpu.gp.kernels import Sum, White
+        assert isinstance(cons.kern, Sum)
+        assert any(isinstance(p, White) for p in cons.kern.parts)
+        assert not isinstance(cons.kern_base, Sum)
