@@ -98,16 +98,23 @@ class SafeOpt(GaussianProcessOptimization):
     refine_k : int, optional
         Rows per global-threshold criterion (width / best lower bound
         / maximizer boundary) restored to full precision. Default
-        (None) auto-selects 128 whenever ``interval_precision`` is set:
-        with the selection head restored, reduced-precision runs keep
-        STRICT golden-trajectory identity (measured on hardware: cap512
-        next-query/G match, +~3.4 ms for three ~0.6 ms ``partial_top_k``
-        sweeps plus the larger refine gather — bench
-        ``cap512_trajectory_match``). Explicit ``refine_k=0`` opts out
-        for speed: safe-set decisions remain f64-certified through the
-        boundary band, but near-tie query selections may differ from
-        the full-precision trajectory by a ~1e-3-relative width tie (a
-        runtime warning records this).
+        (None) auto-selects 1024 whenever ``interval_precision`` is
+        set — sized to cover the reduced-precision noise band AROUND
+        each decision boundary (measured on the cap512 bench config:
+        3-pass noise flips maximizer membership up to ~2e-3 from
+        ``best_l0`` and reorders the expander walk at ~5e-4 width
+        gaps; 128 was too narrow). With the head restored, the
+        CERTIFIED trajectory (after the f64 boundary oracle) matches
+        the full-precision certified run on the bench config; residual
+        knife-edge flips remain possible because refined rows are
+        recomputed on a different (exact-posterior) code path than the
+        chunked grid pass, so bench reports the measured
+        ``cap512_trajectory_match`` honestly rather than asserting it.
+        Explicit ``refine_k=0`` opts out for speed: safe-set decisions
+        remain f64-certified through the boundary band, but near-tie
+        query selections may differ from the full-precision trajectory
+        by a ~1e-3-relative width tie (a runtime warning records
+        this).
     refine_band : float
         Scaled-margin width of the safety refinement band — size it to
         the reduced-precision interval noise (default 5e-3, sized for
@@ -216,9 +223,10 @@ class SafeOpt(GaussianProcessOptimization):
         # exact_boundaries=True.
         self._interval_precision = interval_precision
         if refine_k is None:
-            # auto: restore the selection head so reduced precision
-            # keeps strict golden-trajectory identity (docstring)
-            refine_k = 128 if interval_precision is not None else 0
+            # auto: restore the selection head wide enough to cover the
+            # reduced-precision noise band around each decision
+            # boundary (docstring; measured on the cap512 bench config)
+            refine_k = 1024 if interval_precision is not None else 0
         elif refine_k == 0 and interval_precision is not None:
             import logging
             logging.warning(

@@ -694,12 +694,22 @@ def _refine_Q(kernels, states, grid, Q, fmin, beta, scaling, valid,
       narrow width (~1e-3). The band population is returned so callers
       can detect overflow (population > band_k ⇒ some in-band rows
       kept bf16 noise and parity is voided);
-    - the top-``rk`` rows by (a) scaled interval width (selection
-      argmax, ``max_var``, the expander visit-order head), (b)
+    - the top-``rk`` rows by (a) scaled interval width among
+      currently-safe rows (selection argmax, ``max_var``, the expander
+      visit-order head — all live inside S, and unexplored rows at
+      prior-level sigma fill the global width top), (b)
       objective lower bound among currently-safe rows (``best_l0``)
       and (c) closeness of the objective upper bound to the incumbent
       ``best_l0`` (the maximizer boundary) — the global thresholds the
-      classification derives from Q.
+      classification derives from Q.  ``rk`` must cover the reduced-
+      precision noise band AROUND each boundary, not just the winner:
+      measured on the cap512 bench config, 3-pass noise (~1e-3 on u)
+      flips maximizer membership at rows within ~2e-3 of ``best_l0``
+      (26 rows of 3,796 maximizers) and reorders the expander walk at
+      adjacent widths (gap ~5e-4), so the default head is 1024 rows
+      per criterion — the extra top_k cost over the 1e6-row grid is
+      k-independent and the added posterior rows are negligible MXU
+      work next to the refinement band itself.
 
     Rows outside the union sit far from every decision boundary
     relative to the reduced-precision error (validated on hardware by
@@ -717,10 +727,16 @@ def _refine_Q(kernels, states, grid, Q, fmin, beta, scaling, valid,
     band_pop = jnp.sum(margin < refine_band)
 
     if rk:
-        widths = jnp.max((u - l) / scaling, axis=1)
-        _, i_w = partial_top_k(jnp.where(valid, widths, -jnp.inf), rk)
-
         S0 = jnp.all(l > fmin, axis=1) & valid
+        # Width head over SAFE rows only: maximizers, expander
+        # candidates and the selection argmax all live inside S, and
+        # unexplored rows at prior-level sigma occupy the entire
+        # global top of the width order (measured: the first expander
+        # of the cap512 bench ranks ~427,000th globally but 0th among
+        # candidates), so a global head never reaches them.
+        widths = jnp.max((u - l) / scaling, axis=1)
+        _, i_w = partial_top_k(jnp.where(S0, widths, -jnp.inf), rk)
+
         l0v = jnp.where(S0, l[:, 0], -jnp.inf)
         _, i_l = partial_top_k(l0v, rk)
 

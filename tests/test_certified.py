@@ -275,6 +275,50 @@ class TestBudgetAndValidation:
         assert opt2._boundary_k == 16
 
 
+def test_refine_width_head_is_safe_masked(monkeypatch):
+    """The refine width head must rank SAFE rows only: maximizers,
+    expander candidates and the selection argmax all live inside S,
+    while unexplored rows at prior-level sigma fill the global top of
+    the width order (measured on the cap512 bench: the first expander
+    ranks ~427,000th globally but 0th among candidates — a global head
+    never reaches it and golden-trajectory identity breaks)."""
+    from safeopt_tpu.algorithms import safe_opt_core as core
+
+    gp = GPRegression(np.array([[0.0]]), np.array([[1.5]]),
+                      RBF(1, variance=2.0), noise_var=1e-4)
+    grid = np.linspace(-2.0, 2.0, 16)[:, None]
+    dtype = gp.state.X.dtype
+    grid_dev = jax.numpy.asarray(grid, dtype)
+
+    # Hand-built Q: rows 0-7 unsafe (l < fmin) with HUGE widths, rows
+    # 8-15 safe with small, increasing widths.
+    l = np.concatenate([np.full(8, -5.0), np.linspace(0.5, 0.9, 8)])
+    u = np.concatenate([np.full(8, 5.0), np.linspace(0.6, 1.2, 8)])
+    Q = jax.numpy.asarray(np.stack([l, u], axis=1), dtype)
+
+    keys = []
+    orig = core.partial_top_k
+
+    def spy(key, k):
+        keys.append(np.asarray(key))
+        return orig(key, k)
+
+    monkeypatch.setattr(core, "partial_top_k", spy)
+    core._refine_Q((gp.kern,), (gp.state,), grid_dev, Q,
+                   jax.numpy.asarray([0.0], dtype),
+                   jax.numpy.asarray(2.0, dtype),
+                   jax.numpy.asarray([1.0], dtype),
+                   jax.numpy.ones(16, bool), rk=4, band_k=4,
+                   refine_band=jax.numpy.asarray(5e-3, dtype))
+    # call order: band margin, widths, best-l0, maximizer boundary
+    assert len(keys) == 4
+    widths_key = keys[1]
+    assert np.all(np.isneginf(widths_key[:8])), \
+        "unsafe rows must be excluded from the width head"
+    assert np.all(np.isfinite(widths_key[8:])), \
+        "safe rows must stay rankable in the width head"
+
+
 def test_refine_band_must_cover_boundary_band():
     gp = GPRegression(np.array([[0.0]]), np.array([[1.5]]),
                       RBF(1, variance=2.0), noise_var=1e-4)
