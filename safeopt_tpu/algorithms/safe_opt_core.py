@@ -427,7 +427,23 @@ def _find_first_expander(kernels, states, grid, Q, unsafe, mus, sigmas, Vs,
     init = (cand, jnp.zeros((B,), i32), jnp.asarray(-1, i32),
             jnp.asarray(0, i32), jnp.asarray(0, i32),
             jnp.asarray(False), jnp.asarray(0, i32))
-    *_, found, winner = jax.lax.while_loop(cond, body, init)
+
+    def run_walk(_):
+        *_, found, winner = jax.lax.while_loop(cond, body, init)
+        return found, winner
+
+    def no_unsafe(_):
+        return jnp.asarray(False), jnp.asarray(0, i32)
+
+    # With zero unsafe points the predicate is provably false for every
+    # candidate (both variants reduce to ``any(unsafe & ...)`` per
+    # constrained GP — gp_opt.py:598-606 finds no unsafe point to lift,
+    # gp_opt.py:570 has no distance to beat), so the whole exhaustion
+    # walk — up to |candidates|/chunk full-grid passes — collapses to
+    # one scalar reduction. This is the common case once a run has
+    # explored its reachable safe region.
+    found, winner = jax.lax.cond(jnp.any(unsafe), run_walk, no_unsafe,
+                                 None)
     G = jnp.zeros((N,), dtype=bool).at[winner].set(found)
     return G
 

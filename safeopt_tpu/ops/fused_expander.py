@@ -58,39 +58,45 @@ def _expander_kernel(zt_ref, unsafe_ref, mu_ref, sigma_ref, xs_ref,
     beta = scal_ref[0, 2]
     fmin_i = scal_ref[0, 3]
 
-    # gram tiles by explicit per-dimension differences, product parts
-    # multiplied in VMEM (see fused_posterior._part_gram)
-    kmat = _part_gram(xs, zt, lambda p: pvar_ref[0, p],
-                      lambda p, k: scales_ref[p, k], kinds, acc,
-                      prescaled=prescaled)                       # (cap, B)
-    var = sigma * sigma
-    kc = _part_gram(xc, zt, lambda p: pvar_ref[0, p],
-                    lambda p, k: scales_ref[p, k], kinds, acc,
-                    prescaled=prescaled)                         # (C, B)
-    # Explicit HIGHEST — see fused_posterior._tri_matmul: precision-less
-    # dots inherit the ambient setting (bf16 garbage on a bare call,
-    # Mosaic lowering crash under ambient 'high').
-    cross = jax.lax.dot_general(m2, kmat, (((1,), (0,)), ((), ())),
-                                precision=jax.lax.Precision.HIGHEST,
-                                preferred_element_type=acc)
-    inv_dd = cvec[0, :][:, None]                           # (C, 1)
-    gain = cvec[1, :][:, None]
-    valid = cvec[2, :][:, None]
-
-    E = (kc - cross) * inv_dd                              # (C, B)
-    var2 = jnp.maximum(var - E * E, 0.0)
-    l2 = mu + E * gain - beta * jnp.sqrt(var2)
-
-    hit = (unsafe > 0.5) & (l2 >= fmin_i) & (valid > 0.5)  # (C, B)
-    # f32 0/1 accumulator (bool VMEM tiles are fragile across Mosaic
-    # versions); caller thresholds at 0.5.
-    partial = jnp.any(hit, axis=1).astype(acc)             # (C,)
-
     @pl.when(pl.program_id(0) == 0)
     def _():
         out_ref[0, :] = jnp.zeros_like(out_ref[0, :])
 
-    out_ref[0, :] = jnp.maximum(out_ref[0, :], partial)
+    # A block with no unsafe points cannot contribute: ``hit`` is
+    # identically false there, so the gram / cross-dot / interval
+    # arithmetic — the entire per-block cost — is skipped. On a
+    # converged run (few or clustered unsafe points) most blocks skip;
+    # results are exactly identical either way.
+    @pl.when(jnp.any(unsafe > 0.5))
+    def _():
+        # gram tiles by explicit per-dimension differences, product
+        # parts multiplied in VMEM (see fused_posterior._part_gram)
+        kmat = _part_gram(xs, zt, lambda p: pvar_ref[0, p],
+                          lambda p, k: scales_ref[p, k], kinds, acc,
+                          prescaled=prescaled)                   # (cap, B)
+        var = sigma * sigma
+        kc = _part_gram(xc, zt, lambda p: pvar_ref[0, p],
+                        lambda p, k: scales_ref[p, k], kinds, acc,
+                        prescaled=prescaled)                     # (C, B)
+        # Explicit HIGHEST — see fused_posterior._tri_matmul:
+        # precision-less dots inherit the ambient setting (bf16 garbage
+        # on a bare call, Mosaic lowering crash under ambient 'high').
+        cross = jax.lax.dot_general(m2, kmat, (((1,), (0,)), ((), ())),
+                                    precision=jax.lax.Precision.HIGHEST,
+                                    preferred_element_type=acc)
+        inv_dd = cvec[0, :][:, None]                       # (C, 1)
+        gain = cvec[1, :][:, None]
+        valid = cvec[2, :][:, None]
+
+        E = (kc - cross) * inv_dd                          # (C, B)
+        var2 = jnp.maximum(var - E * E, 0.0)
+        l2 = mu + E * gain - beta * jnp.sqrt(var2)
+
+        hit = (unsafe > 0.5) & (l2 >= fmin_i) & (valid > 0.5)  # (C, B)
+        # f32 0/1 accumulator (bool VMEM tiles are fragile across
+        # Mosaic versions); caller thresholds at 0.5.
+        partial = jnp.any(hit, axis=1).astype(acc)         # (C,)
+        out_ref[0, :] = jnp.maximum(out_ref[0, :], partial)
 
 
 @functools.partial(jax.jit,
@@ -285,33 +291,38 @@ def _expander_kernel_multi(zt_ref, unsafe_ref, mu_ref, sigma_ref, ils_ref,
         partial = jnp.any(hit, axis=1).astype(acc)       # (C,)
         out_ref[g, :] = jnp.maximum(out_ref[g, :], partial)
 
-    if group_size == 1:
-        for g in range(num_gps):
-            kmat = gram(g, xs_ref[g])                    # (cap, B)
-            cross = jax.lax.dot_general(
-                m2_ref[g], kmat, (((1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=acc)
-            emit(g, cross)
-        return
+    # Skip the whole block when it holds no unsafe points — ``hit`` is
+    # identically false there (see _expander_kernel); exact either way.
+    @pl.when(jnp.any(unsafe > 0.5))
+    def _():
+        if group_size == 1:
+            for g in range(num_gps):
+                kmat = gram(g, xs_ref[g])                # (cap, B)
+                cross = jax.lax.dot_general(
+                    m2_ref[g], kmat, (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=acc)
+                emit(g, cross)
+            return
 
-    C = xc_ref.shape[1]
-    cap = xs_ref.shape[1]
-    for t in range(-(-num_gps // group_size)):
-        members = range(t * group_size, (t + 1) * group_size)
-        # A partial last group pads with zero gram blocks (matching the
-        # zero projection blocks built host-side) — exact, one dot.
-        kstack = jnp.concatenate(
-            [gram(g, xs_ref[g]) if g < num_gps
-             else jnp.zeros((cap, zt.shape[1]), acc)
-             for g in members], axis=0)
-        cross_stack = jax.lax.dot_general(
-            m2_ref[t], kstack, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=acc)                  # (gsz*C, B)
-        for j, g in enumerate(members):
-            if g < num_gps:
-                emit(g, cross_stack[j * C:(j + 1) * C])
+        C = xc_ref.shape[1]
+        cap = xs_ref.shape[1]
+        for t in range(-(-num_gps // group_size)):
+            members = range(t * group_size, (t + 1) * group_size)
+            # A partial last group pads with zero gram blocks (matching
+            # the zero projection blocks built host-side) — exact, one
+            # dot.
+            kstack = jnp.concatenate(
+                [gram(g, xs_ref[g]) if g < num_gps
+                 else jnp.zeros((cap, zt.shape[1]), acc)
+                 for g in members], axis=0)
+            cross_stack = jax.lax.dot_general(
+                m2_ref[t], kstack, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=acc)              # (gsz*C, B)
+            for j, g in enumerate(members):
+                if g < num_gps:
+                    emit(g, cross_stack[j * C:(j + 1) * C])
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "block", "num_gps",
