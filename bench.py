@@ -517,8 +517,9 @@ def _cap512_certified_secondary(grid_dev, boundary_band=1e-3,
     Round 4 (VERDICT r3 #3): TWO configurations are measured and gated
     separately —
 
-    * STRICT (the shipped default, refine_k=1024): the selection head
-      (width / best-l0 / maximizer-boundary top rows) is also restored
+    * STRICT (the shipped default, refine_k=2048): the selection head
+      (one combined top-k over width / best-l0 / maximizer-boundary
+      proximity scores, safe rows only) is also restored
       to full precision, so golden-trajectory identity must hold
       EXACTLY: ``cap512_trajectory_match`` gates next_idx equality and
       bitwise S/M/G equality against the full-precision run, no tie
@@ -567,7 +568,7 @@ def _cap512_certified_secondary(grid_dev, boundary_band=1e-3,
             use_pallas=use_pallas, interval_precision=prec)
 
     el_strict, (res_s, packed_s) = _time_step(
-        lambda: run(precision, 1024, refine_band_k), reps=10)
+        lambda: run(precision, 2048, refine_band_k), reps=10)
     el_fast, (res_f, packed_f) = _time_step(
         lambda: run(precision, 0, refine_band_k), reps=10)
     el_ref, (res_r, packed_r) = _time_step(
@@ -581,7 +582,7 @@ def _cap512_certified_secondary(grid_dev, boundary_band=1e-3,
     def dev_prog(b0, *, reps):
         def body(i, carry):
             b, acc = carry
-            res, packed = run(precision, 1024, refine_band_k, b=b)
+            res, packed = run(precision, 2048, refine_band_k, b=b)
             acc = acc + jnp.max(res.Q) + jnp.sum(packed).astype(dtype)
             return b + (acc % 2).astype(dtype) * 1e-9, acc
         return jax.lax.fori_loop(0, reps, body,
@@ -589,17 +590,26 @@ def _cap512_certified_secondary(grid_dev, boundary_band=1e-3,
 
     def dev_t(reps):
         float(dev_prog(beta, reps=reps))
-        t0 = time.perf_counter()
-        float(dev_prog(beta * (1 + reps * 1e-9), reps=reps))
-        return time.perf_counter() - t0
+        best = np.inf
+        # best-of-3: a single tunnel hiccup (hundreds of ms) otherwise
+        # lands straight in the difference (measured: one-sample runs
+        # reported 107 ms for a 24 ms step)
+        for j in range(1, 4):
+            t0 = time.perf_counter()
+            float(dev_prog(beta * (1 + (reps + j) * 1e-9), reps=reps))
+            best = min(best, time.perf_counter() - t0)
+        return best
 
     device_ms = (dev_t(6) - dev_t(1)) / 5 * 1e3
 
     pf = np.asarray(packed_f)
     ps = np.asarray(packed_s)
     pr = np.asarray(packed_r)
+    # the refine budget is shared across every boundary's band
+    # (safety + the rk trajectory-identity head) — _refine_Q's uniform
+    # overflow contract
     overflow_f = bool(pf[5] > k) or bool(pf[6] > refine_band_k)
-    overflow_s = bool(ps[5] > k) or bool(ps[6] > refine_band_k)
+    overflow_s = bool(ps[5] > k) or bool(ps[6] > refine_band_k + 2048)
 
     # ---- apply the PRODUCTION protocol to every run: float64 oracle
     # on the triaged band rows, correction pass only on a flip

@@ -16,10 +16,9 @@ Reference rows:
 
   intervals6   full-precision (6-pass f32) Pallas interval pass
   topk_width   ONE partial_top_k over a derived full-grid key — the
-               marginal price of each additional refine_k criterion
-               (VERDICT r3 #3: restoring trajectory identity costs 3
-               of these plus a slightly larger refine gather)
-  refine_rk    _refine_Q with refine_k=128 (all four criteria) minus
+               marginal price of a full-grid selection sweep
+  refine_rk    _refine_Q with refine_k=1024 (the shipped strict
+               default: unified max-combined key, one top-9216) minus
                the rk=0 refine — the measured trajectory-identity cost
 
 Timing protocol (CLAUDE.md): reps inside ONE jit via lax.fori_loop
@@ -181,8 +180,8 @@ if __name__ == "__main__":
         per_call(stage, "6p:intervals", "intervals", three_pass=False), 3)
     out["topk_width_128"] = round(
         per_call(topk_width, "topk_width", "-"), 3)
-    out["refine_rk128_cum"] = round(
-        per_call(stage, "3p:refine+rk", "refine", rk=128), 3)
-    out["full_rk128"] = round(
-        per_call(full, "full(rk=128)", "full", rk=128), 3)
+    out["refine_rk1024_cum"] = round(
+        per_call(stage, "3p:refine+rk", "refine", rk=1024), 3)
+    out["full_rk1024"] = round(
+        per_call(full, "full(rk=1024)", "full", rk=1024), 3)
     print(json.dumps(out))

@@ -92,18 +92,23 @@ class SafeOpt(GaussianProcessOptimization):
         restored to full precision on device before classification:
         the entire reduced-precision safety ambiguity band
         (``refine_band`` wide, up to ``refine_band_k`` rows) plus the
-        top-``refine_k`` rows per global-threshold criterion — so the
-        f64 certification band can stay at its usual narrow
-        ``boundary_band``. Requires ``exact_boundaries=True``.
+        top-``refine_k`` safe rows by a combined boundary-proximity
+        score — so the f64 certification band can stay at its usual
+        narrow ``boundary_band``. Requires ``exact_boundaries=True``.
     refine_k : int, optional
-        Rows per global-threshold criterion (width / best lower bound
-        / maximizer boundary) restored to full precision. Default
-        (None) auto-selects 1024 whenever ``interval_precision`` is
+        Size of the combined global-threshold head: the top safe rows
+        by the pointwise max of three boundary-proximity scores (width
+        / best lower bound / maximizer boundary, each 0 at its
+        decision boundary) restored to full precision. Default
+        (None) auto-selects 2048 whenever ``interval_precision`` is
         set — sized to cover the reduced-precision noise band AROUND
         each decision boundary (measured on the cap512 bench config:
         3-pass noise flips maximizer membership up to ~2e-3 from
         ``best_l0`` and reorders the expander walk at ~5e-4 width
-        gaps; 128 was too narrow). With the head restored, the
+        gaps, and 1611 rows sit within ``refine_band`` of a head
+        boundary; the head shares one top-(refine_band_k + refine_k)
+        selection with the safety band, so its marginal cost is ~zero
+        and it is sized for slack). With the head restored, the
         CERTIFIED trajectory (after the f64 boundary oracle) matches
         the full-precision certified run on the bench config; residual
         knife-edge flips remain possible because refined rows are
@@ -225,8 +230,13 @@ class SafeOpt(GaussianProcessOptimization):
         if refine_k is None:
             # auto: restore the selection head wide enough to cover the
             # reduced-precision noise band around each decision
-            # boundary (docstring; measured on the cap512 bench config)
-            refine_k = 1024 if interval_precision is not None else 0
+            # boundary (docstring; measured on the cap512 bench config:
+            # 1611 rows sit within refine_band=5e-3 of a head boundary,
+            # and the shared top-(band_k + rk) budget absorbs them).
+            # The marginal cost is ~zero — the head folds into the one
+            # unified top_k (full(rk) == full(0) on hardware) — so size
+            # for slack, not thrift.
+            refine_k = 2048 if interval_precision is not None else 0
         elif refine_k == 0 and interval_precision is not None:
             import logging
             logging.warning(
@@ -416,13 +426,17 @@ class SafeOpt(GaussianProcessOptimization):
                 "to a threshold were certified", total, k)
         self._band_overflow = total > k
         self._refine_band_population = refine_pop
-        self._refine_band_overflow = refine_pop > self._refine_band_k
+        # the selection budget is shared across every boundary's band
+        # (safety + the rk trajectory-identity head) — see _refine_Q's
+        # uniform overflow contract
+        refine_budget = self._refine_band_k + self._refine_k
+        self._refine_band_overflow = refine_pop > refine_budget
         if self._refine_band_overflow:
             logging.warning(
                 "interval_precision: %d rows inside the refinement band "
-                "exceed refine_band_k=%d; un-refined near-boundary rows "
-                "keep reduced-precision noise", refine_pop,
-                self._refine_band_k)
+                "exceed the refine budget %d (refine_band_k + refine_k); "
+                "un-refined near-boundary rows keep reduced-precision "
+                "noise", refine_pop, refine_budget)
 
         sel = np.flatnonzero(within)
         self._band_population = int(sel.size)

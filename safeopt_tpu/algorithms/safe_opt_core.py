@@ -697,41 +697,48 @@ def _refine_Q(kernels, states, grid, Q, fmin, beta, scaling, valid,
     full MATMUL_PRECISION and scatter them back in.
 
     Used by the reduced-precision certified mode: the full-grid
-    interval pass ran at 1-pass MXU precision (~1e-2 absolute noise
-    through an ill-conditioned factor), and every interval that any
-    decision boundary touches must come from full-precision values.
-    The refined set is the union of
+    interval pass ran at reduced MXU precision, and every interval
+    that any decision boundary touches must come from full-precision
+    values. Selection is ONE top-(band_k + rk) over a single
+    boundary-proximity key — the pointwise max of per-boundary scores,
+    each 0 at its decision boundary and negative away from it, all in
+    scaled units so they are commensurate:
 
-    - the top-``band_k`` rows by closeness to a safety threshold —
-      sized to swallow the ENTIRE reduced-precision ambiguity band
-      (``refine_band``, ~2e-2 scaled for 1-pass bf16), so after the
-      scatter every near-boundary safe bit is f32-highest quality and
-      the downstream float64 certification band can stay at its usual
-      narrow width (~1e-3). The band population is returned so callers
-      can detect overflow (population > band_k ⇒ some in-band rows
-      kept bf16 noise and parity is voided);
-    - the top-``rk`` rows by (a) scaled interval width among
-      currently-safe rows (selection argmax, ``max_var``, the expander
-      visit-order head — all live inside S, and unexplored rows at
-      prior-level sigma fill the global width top), (b)
-      objective lower bound among currently-safe rows (``best_l0``)
-      and (c) closeness of the objective upper bound to the incumbent
-      ``best_l0`` (the maximizer boundary) — the global thresholds the
-      classification derives from Q.  ``rk`` must cover the reduced-
-      precision noise band AROUND each boundary, not just the winner:
-      measured on the cap512 bench config, 3-pass noise (~1e-3 on u)
-      flips maximizer membership at rows within ~2e-3 of ``best_l0``
-      (26 rows of 3,796 maximizers) and reorders the expander walk at
-      adjacent widths (gap ~5e-4), so the default head is 1024 rows
-      per criterion — the extra top_k cost over the 1e6-row grid is
-      k-independent and the added posterior rows are negligible MXU
-      work next to the refinement band itself.
+    - ``-margin``: closeness to a safety threshold. ``band_k`` sizes
+      this share of the budget to swallow the ENTIRE reduced-precision
+      safety ambiguity band (``refine_band``, ~5e-3 scaled for 3-pass),
+      so after the scatter every near-boundary safe bit is f32-highest
+      quality and the downstream float64 certification band can stay
+      at its usual narrow width (~1e-3);
+    - with ``rk`` (the trajectory-identity head), three more scores
+      over SAFE rows only: (a) scaled interval width relative to the
+      current safe maximum (selection argmax, ``max_var``, the
+      expander visit-order head — all live inside S, and unexplored
+      rows at prior-level sigma fill the global width top, so the
+      mask is essential), (b) objective lower bound relative to the
+      incumbent ``best_l0``, and (c) distance of the objective upper
+      bound to ``best_l0`` (the maximizer boundary). ``rk`` must cover
+      the reduced-precision noise band AROUND each boundary, not just
+      the winner: measured on the cap512 bench config, 3-pass noise
+      (~1e-3 on u) flips maximizer membership at rows within ~2e-3 of
+      ``best_l0`` (26 rows of 3,796 maximizers) and reorders the
+      expander walk at adjacent widths (gap ~5e-4); the default
+      rk=1024 covers the measured tens-of-rows populations with two
+      orders of magnitude of slack.
 
-    Rows outside the union sit far from every decision boundary
+    The max-combined key makes the budget shared and the overflow
+    check uniform: the returned population counts rows within
+    ``refine_band`` of ANY boundary, and whenever it fits the
+    (band_k + rk) budget the top-k provably contains every such row
+    (any displacing row is itself in-band and counted). This is
+    strictly better coverage-per-slot than per-criterion heads (a row
+    2e-3 from the maximizer boundary always beats a row 0.3 below the
+    width top) at a quarter of the full-grid top_k sweeps. Rows
+    outside the selection sit far from every decision boundary
     relative to the reduced-precision error (validated on hardware by
-    bench.py's cap512-certified gate).
+    bench.py's cap512-certified strict-trajectory gate).
 
-    Cost: a (band_k + 3*rk)-point exact posterior per GP — (cap, cap)
+    Cost: a (band_k + rk)-point exact posterior per GP — (cap, cap)
     x (cap, P) matmuls, well under a millisecond at band_k=32768 /
     cap=512 next to the grid pass it replaces.
     """
@@ -739,33 +746,31 @@ def _refine_Q(kernels, states, grid, Q, fmin, beta, scaling, valid,
     u = Q[:, 1::2]
 
     margin = _safety_margin(Q, fmin, scaling, valid)
-    _, i_b = partial_top_k(-margin, band_k)
-    band_pop = jnp.sum(margin < refine_band)
-
+    key = -margin
     if rk:
         S0 = jnp.all(l > fmin, axis=1) & valid
-        # Width head over SAFE rows only: maximizers, expander
+        # Combined head over SAFE rows only: maximizers, expander
         # candidates and the selection argmax all live inside S, and
         # unexplored rows at prior-level sigma occupy the entire
         # global top of the width order (measured: the first expander
         # of the cap512 bench ranks ~427,000th globally but 0th among
         # candidates), so a global head never reaches them.
         widths = jnp.max((u - l) / scaling, axis=1)
-        _, i_w = partial_top_k(jnp.where(S0, widths, -jnp.inf), rk)
-
-        l0v = jnp.where(S0, l[:, 0], -jnp.inf)
-        _, i_l = partial_top_k(l0v, rk)
-
-        best_l0 = jnp.max(l0v)
-        dM = jnp.where(S0, jnp.abs(u[:, 0] - best_l0), jnp.inf)
-        _, i_m = partial_top_k(-dM, rk)
-        idx = jnp.concatenate([i_b, i_w, i_l, i_m])    # dups are harmless
-    else:
-        # the 3-pass mode's width/threshold noise is f32-grade; only
-        # the safety band needs restoring, and skipping the three
-        # extra top_k sweeps (4.3 ms EACH over a 1e6 grid — measured)
-        # keeps the refinement cheaper than the precision saving
-        idx = i_b
+        s_w = widths - jnp.max(jnp.where(S0, widths, -jnp.inf))
+        l0s = l[:, 0] / scaling[0]
+        best_l0 = jnp.max(jnp.where(S0, l0s, -jnp.inf))
+        s_l = l0s - best_l0
+        s_m = -jnp.abs(u[:, 0] / scaling[0] - best_l0)
+        head = jnp.maximum(jnp.maximum(s_w, s_l), s_m)
+        key = jnp.maximum(key, jnp.where(S0, head, -jnp.inf))
+    _, idx = partial_top_k(key, min(band_k + rk, key.shape[0]))
+    # Uniform overflow contract: EVERY row within ``refine_band`` of
+    # ANY decision boundary (safety threshold or, with ``rk``, a
+    # global-threshold head boundary) must be selected. If the
+    # population fits the budget, the top-(band_k + rk) provably
+    # contains it (any displacing row is itself in-band and counted);
+    # callers compare the returned population against band_k + rk.
+    band_pop = jnp.sum(key > -refine_band)
     pts = jnp.take(grid, idx, axis=0)
     cols = []
     for kern, st in zip(kernels, states):
@@ -773,7 +778,7 @@ def _refine_Q(kernels, states, grid, Q, fmin, beta, scaling, valid,
         sig = jnp.sqrt(var)
         cols.append(mu - beta * sig)
         cols.append(mu + beta * sig)
-    return Q.at[idx].set(jnp.stack(cols, axis=1)), band_pop, i_b
+    return Q.at[idx].set(jnp.stack(cols, axis=1)), band_pop, idx
 
 
 @partial(jax.jit, static_argnames=("k", "refine_k", "refine_band_k", "ucb",

@@ -109,14 +109,6 @@ def _dot3(a, b, acc):
     return dot(a_hi, b_hi) + dot(a_hi, b_lo) + dot(a_lo, b_hi)
 
 
-def _split_hi_lo(x, acc):
-    """Exact bf16 hi/lo limb split of ``x`` (``hi = bf16(x)``,
-    ``lo = x - hi`` — exactly representable residual), both in ``acc``.
-    """
-    hi = x.astype(jnp.bfloat16).astype(acc)
-    return hi, x - hi
-
-
 def _tri_matmul(lm, kmat, acc, three_pass: bool = False):
     """``lm @ kmat`` exploiting that ``lm`` is lower-triangular.
 
@@ -132,17 +124,11 @@ def _tri_matmul(lm, kmat, acc, three_pass: bool = False):
     splits are hoisted OUT of the tile loops — one VPU pass over
     ``lm`` and ``kmat`` each, instead of per-tile-product casts that
     were measured to eat the entire MXU saving (docs/design.md).
-    ``lm`` may arrive as a pre-split ``(lm_hi, lm_lo)`` tuple: the
-    factor is grid-invariant, so the interval kernels hoist its split
-    all the way OUT of the Pallas grid loop (a (cap, cap) cast+sub per
-    grid block, ~2000 blocks at 1e6/512 — pure wasted VPU re-compute).
     """
+    cap = lm.shape[0]
     if three_pass:
-        if isinstance(lm, tuple):
-            lm_hi, lm_lo = lm
-        else:
-            lm_hi, lm_lo = _split_hi_lo(lm, acc)
-        cap = lm_hi.shape[0]
+        lm_hi = lm.astype(jnp.bfloat16).astype(acc)
+        lm_lo = lm - lm_hi
         km_hi = kmat.astype(jnp.bfloat16).astype(acc)
         km_lo = kmat - km_hi
 
@@ -157,7 +143,6 @@ def _tri_matmul(lm, kmat, acc, three_pass: bool = False):
                     + dotp(lm_hi[r0:r1, c0:c1], km_lo[c0:c1, :])
                     + dotp(lm_lo[r0:r1, c0:c1], km_hi[c0:c1, :]))
     else:
-        cap = lm.shape[0]
         # Explicit HIGHEST: an ambient-precision dot here is a footgun
         # twice over — a caller invoking the fused ops outside
         # `with_matmul_precision` would silently get single-pass bf16
@@ -313,10 +298,7 @@ def _interval_kernel(zt_ref, xs_ref, lm_ref, w_ref, scales_ref, pvar_ref,
     """One grid block: gram tile -> whitened solve -> intervals."""
     zt = zt_ref[:]                      # (d, B) grid block
     xs = xs_ref[:]                      # (cap, d) training inputs
-    # masked Linv: (1, cap, cap), or pre-split (hi, lo) limbs
-    # (2, cap, cap) in three-pass mode — the split is grid-invariant,
-    # hoisted out of the Pallas grid loop entirely (see _tri_matmul)
-    lm = (lm_ref[0], lm_ref[1]) if three_pass else lm_ref[0]
+    lm = lm_ref[:]                      # (cap, cap) masked Linv
     w = w_ref[:]                        # (1, cap) whitened targets
     acc = zt.dtype                      # f32 accum on TPU; f64 in x64 tests
 
@@ -354,7 +336,6 @@ def _fused_intervals_impl(zt, xs, lm, w_row, scales, pvar, scal,
     d, n = zt.shape
     cap = xs.shape[0]
     P = scales.shape[0]
-    L = lm.shape[0]                     # 2 limbs (three-pass) or 1
     grid = (n // block,)
 
     # Interpret mode keeps the kernel testable on the CPU mesh used by
@@ -371,7 +352,7 @@ def _fused_intervals_impl(zt, xs, lm, w_row, scales, pvar, scal,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((cap, d), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, cap, cap), lambda i: (0, 0, 0),
+            pl.BlockSpec((cap, cap), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cap), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -427,11 +408,6 @@ def fused_intervals(kernel, state, grid: jnp.ndarray, beta,
         xs = state.X
     mask = (jnp.arange(cap) < state.count).astype(dtype)
     lm = state.Linv * mask[None, :]
-    if three_pass:
-        # hoist the grid-invariant factor split out of the grid loop
-        lm = jnp.stack(_split_hi_lo(lm, dtype))
-    else:
-        lm = lm[None]
     w_row = state.w[None, :]
     # scal rows 0 and 3 are padding (the gram variance moved to pvar);
     # the kernel reads kdiag at [0,1] and beta at [0,2].
@@ -515,15 +491,9 @@ def _interval_kernel_multi(zt_ref, ils_ref, xs_ref, lm_ref, w_ref, scal_ref,
         out_ref[g, 0, :] = mu - spread
         out_ref[g, 1, :] = mu + spread
 
-    def lm_at(f):
-        # (nfac, 1, R, R) factors, or pre-split (hi, lo) limbs
-        # (nfac, 2, R, R) in three-pass mode (hoisted — see _tri_matmul)
-        return ((lm_ref[f, 0], lm_ref[f, 1]) if three_pass
-                else lm_ref[f, 0])
-
     if group_size == 1:
         for g in range(num_gps):
-            V = _tri_matmul(lm_at(g), gram(g, xs_ref[g]), acc,
+            V = _tri_matmul(lm_ref[g], gram(g, xs_ref[g]), acc,
                             three_pass=three_pass)
             emit(g, V)
         return
@@ -537,7 +507,7 @@ def _interval_kernel_multi(zt_ref, ils_ref, xs_ref, lm_ref, w_ref, scal_ref,
             [gram(g, xs_ref[g]) if g < num_gps
              else jnp.zeros((cap, zt.shape[1]), acc)
              for g in members], axis=0)                      # (R, B)
-        Vstack = _tri_matmul(lm_at(t), kstack, acc,
+        Vstack = _tri_matmul(lm_ref[t], kstack, acc,
                              three_pass=three_pass)
         for j, g in enumerate(members):
             if g < num_gps:
@@ -558,10 +528,9 @@ def _fused_intervals_multi_impl(zt, ils, xs, lm, w, scal, *, kind: str,
     grid = (n // block,)
     interpret = jax.default_backend() == "cpu"
 
-    # lm is (num_gps, L, cap, cap) per-GP factors when group_size == 1,
-    # else (ngroups, L, R, R) block-diagonal group factors, with L = 2
-    # pre-split hi/lo limbs in three-pass mode and L = 1 otherwise.
-    nfac, L, R = lm.shape[0], lm.shape[1], lm.shape[2]
+    # lm is (num_gps, cap, cap) per-GP factors when group_size == 1,
+    # else (ngroups, R, R) block-diagonal group factors.
+    nfac, R = lm.shape[0], lm.shape[1]
 
     return pl.pallas_call(
         functools.partial(_interval_kernel_multi, kind=kind,
@@ -576,7 +545,7 @@ def _fused_intervals_multi_impl(zt, ils, xs, lm, w, scal, *, kind: str,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((num_gps, cap, d), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nfac, L, R, R), lambda i: (0, 0, 0, 0),
+            pl.BlockSpec((nfac, R, R), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((num_gps, cap), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -666,12 +635,6 @@ def fused_intervals_batched(kernels, states, grid: jnp.ndarray, beta,
         lm_in = jnp.stack(groups)
     else:
         lm_in = jnp.stack(lm_rows)
-    if three_pass:
-        # hoist the grid-invariant factor splits out of the grid loop
-        hi, lo = _split_hi_lo(lm_in, dtype)
-        lm_in = jnp.stack([hi, lo], axis=1)
-    else:
-        lm_in = lm_in[:, None]
 
     out = _fused_intervals_multi_impl(
         zt, jnp.stack(ils_rows), jnp.stack(xs_rows), lm_in,

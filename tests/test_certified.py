@@ -275,8 +275,8 @@ class TestBudgetAndValidation:
         assert opt2._boundary_k == 16
 
 
-def test_refine_width_head_is_safe_masked(monkeypatch):
-    """The refine width head must rank SAFE rows only: maximizers,
+def test_refine_head_is_safe_masked(monkeypatch):
+    """The combined refine head must rank SAFE rows only: maximizers,
     expander candidates and the selection argmax all live inside S,
     while unexplored rows at prior-level sigma fill the global top of
     the width order (measured on the cap512 bench: the first expander
@@ -310,13 +310,29 @@ def test_refine_width_head_is_safe_masked(monkeypatch):
                    jax.numpy.asarray([1.0], dtype),
                    jax.numpy.ones(16, bool), rk=4, band_k=4,
                    refine_band=jax.numpy.asarray(5e-3, dtype))
-    # call order: band margin, widths, best-l0, maximizer boundary
-    assert len(keys) == 4
-    widths_key = keys[1]
-    assert np.all(np.isneginf(widths_key[:8])), \
-        "unsafe rows must be excluded from the width head"
-    assert np.all(np.isfinite(widths_key[8:])), \
-        "safe rows must stay rankable in the width head"
+    # ONE unified top_k: key = max(-margin, combined head), the head
+    # (width / incumbent / maximizer proximity scores) over SAFE rows
+    # only — on unsafe rows the key falls back to the pure safety
+    # margin (they must stay rankable for the refinement band)
+    assert len(keys) == 1
+    key = keys[0]
+    Qn = np.asarray(Q)
+    margin = np.abs(Qn[:, 0] - 0.0)          # fmin=0, scaling=1
+    np.testing.assert_allclose(
+        key[:8], -margin[:8],
+        err_msg="unsafe rows must rank by safety margin alone "
+                "(head masked)")
+    assert np.all(key[8:] >= -margin[8:] - 1e-12), \
+        "safe rows must rank at least as high as their margin score"
+    # each criterion's own boundary row must sit at the TOP of the
+    # combined order: the widest safe row, the incumbent best-l row
+    # and the row whose u is closest to best_l all score exactly 0
+    widths = Qn[:, 1] - Qn[:, 0]
+    best_l = Qn[8:, 0].max()
+    top = set(np.argsort(key)[-4:].tolist())
+    assert 8 + int(np.argmax(widths[8:])) in top
+    assert 8 + int(np.argmax(Qn[8:, 0])) in top
+    assert 8 + int(np.argmin(np.abs(Qn[8:, 1] - best_l))) in top
 
 
 def test_refine_band_must_cover_boundary_band():
