@@ -503,7 +503,7 @@ def _cap512_gps():
 
 
 def _cap512_certified_secondary(grid_dev, boundary_band=1e-3,
-                                refine_band=5e-3, refine_band_k=8192,
+                                refine_band=1e-2, refine_band_k=20480,
                                 k=4096, precision="high"):
     """The route below the 6-pass-f32 MXU floor: run the cap512
     interval pass at 3-pass precision (emulated in the Mosaic kernel —

@@ -5,7 +5,7 @@ VERDICT r3 #2: the certified cap512 step measured 26-27 ms against a
 difference actually lives, on hardware, stage by stage:
 
   intervals3   3-pass (_dot3) Pallas interval pass over the 1e6 grid
-  +refine      + _refine_Q (safety-band restore, rk=0 / band_k=8192)
+  +refine      + _refine_Q (safety-band restore, rk=0 / band_k=20480)
   +classify    + _classify reductions on the refined Q
   +triage      + the f64-band triage top_k over the refined subset
   +expander    + the full expander while_loop (chunk=32)
@@ -67,8 +67,8 @@ N = grid_dev.shape[0]
 CHUNK = 32
 K = 4096
 BAND = jnp.asarray(1e-3, dtype)
-RBAND = jnp.asarray(5e-3, dtype)
-RBK = 8192
+RBAND = jnp.asarray(1e-2, dtype)
+RBK = 20480
 BETA = jnp.asarray(2.0, dtype)
 
 

@@ -121,12 +121,21 @@ class SafeOpt(GaussianProcessOptimization):
         by a ~1e-3-relative width tie (a runtime warning records
         this).
     refine_band : float
-        Scaled-margin width of the safety refinement band — size it to
-        the reduced-precision interval noise (default 5e-3, sized for
-        the 3-pass ``'high'`` mode).
+        Scaled-margin width of the refinement band: the radius around
+        every decision boundary within which rows are PROMISED full
+        precision. Size it ABOVE the reduced-precision interval noise
+        ceiling — default 1e-2, 1.37x the 7.3e-3 max scaled 3-pass
+        error measured on hardware over the cap512 bench grid
+        (``benchmarks/probe_interval_precision.py``); a band below the
+        noise ceiling lets a knife-edge row escape both the refinement
+        and the downstream f64 oracle.
     refine_band_k : int
         Budget of near-boundary rows restored to full precision
-        (default 8192; overflow is reported via
+        (default 20480, sized so the measured 1e-2 band population on
+        the 1e6-point bench grid (~16,400 rows) fits in ``band_k``
+        alone with ~25% slack — the ``refine_k`` share is never needed
+        to absorb the safety band, even in fast mode; overflow is
+        reported via
         ``_refine_band_overflow`` and voids the parity guarantee).
 
     Examples
@@ -149,8 +158,8 @@ class SafeOpt(GaussianProcessOptimization):
                  expander_chunk: int = 32, use_pallas=None,
                  exact_boundaries: bool = False, boundary_band: float = 1e-3,
                  boundary_k: int = 1024, interval_precision=None,
-                 refine_k=None, refine_band: float = 5e-3,
-                 refine_band_k: int = 8192):
+                 refine_k=None, refine_band: float = 1e-2,
+                 refine_band_k: int = 20480):
         super().__init__(gp, fmin=fmin, beta=beta,
                          num_contexts=num_contexts, threshold=threshold,
                          scaling=scaling)
@@ -231,8 +240,8 @@ class SafeOpt(GaussianProcessOptimization):
             # auto: restore the selection head wide enough to cover the
             # reduced-precision noise band around each decision
             # boundary (docstring; measured on the cap512 bench config:
-            # 1611 rows sit within refine_band=5e-3 of a head boundary,
-            # and the shared top-(band_k + rk) budget absorbs them).
+            # ~1600 rows sat within 5e-3 of a head boundary, and the
+            # shared top-(band_k + rk) budget absorbs them).
             # The marginal cost is ~zero — the head folds into the one
             # unified top_k (full(rk) == full(0) on hardware) — so size
             # for slack, not thrift.

@@ -706,7 +706,8 @@ def _refine_Q(kernels, states, grid, Q, fmin, beta, scaling, valid,
 
     - ``-margin``: closeness to a safety threshold. ``band_k`` sizes
       this share of the budget to swallow the ENTIRE reduced-precision
-      safety ambiguity band (``refine_band``, ~5e-3 scaled for 3-pass),
+      safety ambiguity band (``refine_band``, default 1e-2 — above the
+      7.3e-3 max scaled 3-pass error measured on hardware),
       so after the scatter every near-boundary safe bit is f32-highest
       quality and the downstream float64 certification band can stay
       at its usual narrow width (~1e-3);
@@ -723,7 +724,7 @@ def _refine_Q(kernels, states, grid, Q, fmin, beta, scaling, valid,
       (~1e-3 on u) flips maximizer membership at rows within ~2e-3 of
       ``best_l0`` (26 rows of 3,796 maximizers) and reorders the
       expander walk at adjacent widths (gap ~5e-4); the default
-      rk=1024 covers the measured tens-of-rows populations with two
+      rk=2048 covers the measured tens-of-rows populations with two
       orders of magnitude of slack.
 
     The max-combined key makes the budget shared and the overflow

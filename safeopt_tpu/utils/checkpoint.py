@@ -278,8 +278,8 @@ def load(path: str, beta=None):
                       boundary_k=meta.get("boundary_k", 1024),
                       interval_precision=meta.get("interval_precision"),
                       refine_k=meta.get("refine_k", 0),
-                      refine_band=meta.get("refine_band", 5e-3),
-                      refine_band_k=meta.get("refine_band_k", 8192))
+                      refine_band=meta.get("refine_band", 1e-2),
+                      refine_band_k=meta.get("refine_band_k", 20480))
         if "use_lipschitz" in meta:
             opt.use_lipschitz = meta["use_lipschitz"]
         for i, g in enumerate(opt.gps):
