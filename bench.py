@@ -219,6 +219,52 @@ def main():
         "pallas": use_pallas,
     }
 
+    # Pure device time for the same step, measured with the in-program
+    # protocol (reps chained inside ONE jit via lax.fori_loop, operands
+    # perturbed from the carry, the whole result consumed, reps=1 vs
+    # reps=11 differenced). The host-loop `value` above includes
+    # per-dispatch tunnel overhead that drifts day to day (the SAME
+    # round-3 commit measured 3.5 ms and 5.0 ms on different days while
+    # this in-program number held); on a directly attached TPU the two
+    # converge, so this is the per-chip throughput number.
+    def chained(g0, reps):
+        def body(i, carry):
+            b, acc = carry
+            r = safeopt_step(kernels, states, grid_dev * b, fmin, beta,
+                             scaling, threshold, chunk=32,
+                             use_pallas=use_pallas)
+            tot = (r.next_idx.astype(jnp.float32)
+                   + r.safe_count.astype(jnp.float32)
+                   + r.maximizer_count.astype(jnp.float32)
+                   + jnp.max(r.Q))
+            return b + (tot % 2) * 1e-12, acc + tot
+        return jax.lax.fori_loop(
+            0, reps, body, (g0, jnp.zeros((), jnp.float32)))[1]
+
+    try:
+        chained_j = jax.jit(chained, static_argnames=("reps",))
+        one = jnp.asarray(1.0, dtype)
+        # reps is static: warm up BOTH programs before any timed window
+        float(chained_j(one, 1))
+        float(chained_j(one, 11))
+        # Difference the BEST-OF of each window series separately: a
+        # tunnel hiccup inflating one t1 paired with a clean t11 would
+        # otherwise bias (t11 - t1) low.
+        t1s, t11s = [], []
+        for k in range(3):
+            t0 = time.perf_counter()
+            float(chained_j(one * (1 + 1e-9 * (2 * k + 1)), 1))
+            t1s.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            float(chained_j(one * (1 + 1e-9 * (2 * k + 2)), 11))
+            t11s.append(time.perf_counter() - t0)
+        dev_ms = (min(t11s) - min(t1s)) / 10 * 1e3
+        out["flagship_device_ms"] = round(dev_ms, 3)
+        out["step_points_per_sec_device"] = round(grid.shape[0]
+                                                  / (dev_ms / 1e3))
+    except Exception as e:  # pragma: no cover - diagnostics only
+        out["flagship_device_ms_error"] = f"{type(e).__name__}: {e}"
+
     # Host-observed latency context: any BLOCKING sync through this
     # remote tunnel costs ~30 ms round trip (measured on a trivial
     # jitted op), so every per-iteration e2e number below decomposes as
