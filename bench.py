@@ -605,6 +605,11 @@ def _cap512_certified_secondary(grid_dev, boundary_band=1e-3,
     threshold = jnp.asarray([0.0, 0.0], dtype)
     use_pallas = jax.default_backend() != "cpu"
 
+    # the strict-mode refine budget: keep ONE local so the overflow
+    # check below can never drift from the refine_k actually passed to
+    # run() (ADVICE r4 #3 — the literal already went stale once)
+    strict_rk = 2048
+
     def run(prec, rk, rbk, b=beta):
         return certified_scan(
             kernels, states, grid_dev, fmin, b, scaling, threshold,
@@ -614,7 +619,7 @@ def _cap512_certified_secondary(grid_dev, boundary_band=1e-3,
             use_pallas=use_pallas, interval_precision=prec)
 
     el_strict, (res_s, packed_s) = _time_step(
-        lambda: run(precision, 2048, refine_band_k), reps=10)
+        lambda: run(precision, strict_rk, refine_band_k), reps=10)
     el_fast, (res_f, packed_f) = _time_step(
         lambda: run(precision, 0, refine_band_k), reps=10)
     el_ref, (res_r, packed_r) = _time_step(
@@ -628,7 +633,7 @@ def _cap512_certified_secondary(grid_dev, boundary_band=1e-3,
     def dev_prog(b0, *, reps):
         def body(i, carry):
             b, acc = carry
-            res, packed = run(precision, 2048, refine_band_k, b=b)
+            res, packed = run(precision, strict_rk, refine_band_k, b=b)
             acc = acc + jnp.max(res.Q) + jnp.sum(packed).astype(dtype)
             return b + (acc % 2).astype(dtype) * 1e-9, acc
         return jax.lax.fori_loop(0, reps, body,
@@ -655,7 +660,8 @@ def _cap512_certified_secondary(grid_dev, boundary_band=1e-3,
     # (safety + the rk trajectory-identity head) — _refine_Q's uniform
     # overflow contract
     overflow_f = bool(pf[5] > k) or bool(pf[6] > refine_band_k)
-    overflow_s = bool(ps[5] > k) or bool(ps[6] > refine_band_k + 2048)
+    overflow_s = (bool(ps[5] > k)
+                  or bool(ps[6] > refine_band_k + strict_rk))
 
     # ---- apply the PRODUCTION protocol to every run: float64 oracle
     # on the triaged band rows, correction pass only on a flip

@@ -26,6 +26,16 @@ from .safe_opt_core import (certified_scan, full_expander_sets,
 
 __all__ = ["SafeOpt"]
 
+# Measured max scaled interval error of each reduced-precision mode on
+# hardware (benchmarks/probe_interval_precision.py, cap512 bench grid).
+# refine_band must exceed boundary_band by at least this much or a
+# knife-edge row can escape both the refinement and the f64 oracle.
+# 1-pass bf16 ('default') was measured unsalvageable at high capacity
+# (82k wrong safe bits through a kappa~1e6 factor, docs/design.md);
+# the 5e-2 entry makes ANY plausible band warn rather than pretend a
+# ceiling exists.
+_REDUCED_PRECISION_NOISE_CEILING = {"high": 7.3e-3, "default": 5e-2}
+
 # Sentinel distinguishing "keep the current context" (compute_sets,
 # reference gp_opt.py:483 never touches the context) from an explicit
 # ``context=None`` (which, with num_contexts > 0, is an error exactly
@@ -115,6 +125,12 @@ class SafeOpt(GaussianProcessOptimization):
         recomputed on a different (exact-posterior) code path than the
         chunked grid pass, so bench reports the measured
         ``cap512_trajectory_match`` honestly rather than asserting it.
+        The head's PROVABLE coverage is limited to its three score
+        boundaries (safety margin, safe-max width, best_l0/maximizer
+        proximity); comparisons away from them — the ``max_var``
+        candidate cutoff, the ``threshold*beta`` cut, deep expander-
+        walk width ties — are empirically-gated residuals (see
+        ``safe_opt_core._refine_Q``).
         Explicit ``refine_k=0`` opts out for speed: safe-set decisions
         remain f64-certified through the boundary band, but near-tie
         query selections may differ from the full-precision trajectory
@@ -270,6 +286,27 @@ class SafeOpt(GaussianProcessOptimization):
                 f"refine_band ({self._refine_band}) must be >= "
                 f"boundary_band ({self._boundary_band}) so the refined "
                 "subset covers every possible f64-band row")
+        if interval_precision is not None:
+            # Soundness needs refine_band >= boundary_band + the
+            # reduced-precision interval error ceiling: a band whose
+            # slack over the f64 band is below the noise lets a
+            # knife-edge row escape BOTH the refinement and the oracle
+            # (design.md, "Widening the refinement band"). Measured max
+            # scaled error on the cap512 hardware probe: 7.3e-3 for
+            # 3-pass ('high'); 1-pass bf16 ('default') is far worse.
+            ceiling = _REDUCED_PRECISION_NOISE_CEILING.get(
+                interval_precision, 7.3e-3)
+            if self._refine_band - self._boundary_band < ceiling:
+                import logging
+                logging.warning(
+                    "interval_precision=%r: refine_band (%g) minus "
+                    "boundary_band (%g) is below the measured "
+                    "reduced-precision noise ceiling (%g); a knife-edge "
+                    "row can escape both the refinement and the f64 "
+                    "oracle — widen refine_band to at least "
+                    "boundary_band + %g", interval_precision,
+                    self._refine_band, self._boundary_band, ceiling,
+                    ceiling)
         if self._exact_boundaries:
             for g in self.gps:
                 if not hasattr(g, "predict_f64"):

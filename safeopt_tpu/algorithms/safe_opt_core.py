@@ -734,10 +734,17 @@ def _refine_Q(kernels, states, grid, Q, fmin, beta, scaling, valid,
     (any displacing row is itself in-band and counted). This is
     strictly better coverage-per-slot than per-criterion heads (a row
     2e-3 from the maximizer boundary always beats a row 0.3 below the
-    width top) at a quarter of the full-grid top_k sweeps. Rows
-    outside the selection sit far from every decision boundary
-    relative to the reduced-precision error (validated on hardware by
-    bench.py's cap512-certified strict-trajectory gate).
+    width top) at a quarter of the full-grid top_k sweeps. Scope of
+    the provable contract: it covers exactly the three head
+    boundaries above (safety margin, safe-max width, best_l0 /
+    maximizer proximity). Decision-relevant comparisons away from
+    those boundaries — the ``max_var`` candidate cutoff in
+    ``_classify``, the ``threshold*beta`` cut, and adjacent-width
+    reorderings deep in the expander walk — score far from 0 in the
+    combined key and are NOT promised refinement; trajectory identity
+    there stays empirically gated (validated on hardware by bench.py's
+    cap512-certified strict-trajectory gate, same status as the old
+    rank-based heads).
 
     Cost: a (band_k + rk)-point exact posterior per GP — (cap, cap)
     x (cap, P) matmuls, well under a millisecond at band_k=32768 /

@@ -226,6 +226,17 @@ def load(path: str, beta=None):
     ``beta`` overrides the stored constant (required to resume a run
     that used a callable beta schedule — ``save`` stores only the
     schedule's current value and flags it in the metadata).
+
+    Migration note (round 4): checkpoints written before the
+    ``refine_band``/``refine_band_k`` metadata existed restore with
+    the CURRENT defaults (refine_band=1e-2, refine_band_k=20480), not
+    the 5e-3/8192 in effect when they were saved. This is deliberate —
+    the old defaults were unsound (a band below the measured 3-pass
+    noise ceiling lets knife-edge rows escape both the refinement and
+    the f64 oracle; docs/design.md) — but it means a resumed legacy
+    run refines a wider band than it did before the upgrade. Pass the
+    old values explicitly to ``SafeOpt`` after loading only if you
+    must reproduce the legacy behavior bit-for-bit.
     """
     from ..algorithms.safe_opt import SafeOpt
     from ..algorithms.swarm_opt import SafeOptSwarm
