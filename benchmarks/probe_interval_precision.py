@@ -91,6 +91,25 @@ def main():
             print(f"{name:10s} FAILED {type(e).__name__}: {e}", flush=True)
     print(json.dumps(out))
 
+    # Stamp the Pallas surface on a PASS (tools/probe_stamp.py; the
+    # snapshot gate refuses an ops/ change without a fresh stamp).
+    sys.path.insert(0, "/root/repo/tools")
+    import probe_stamp
+
+    ok = all(isinstance(v, float) for v in out.values())
+    if ok:
+        for name, v in out.items():
+            ceiling = (probe_stamp.CEILING_3PASS if name.startswith("p3")
+                       else probe_stamp.CEILING_6PASS)
+            if v > ceiling:
+                print(f"probe: {name} error {v:.3e} exceeds its ceiling "
+                      f"{ceiling:.0e} — NOT stamping", flush=True)
+                ok = False
+    if ok:
+        probe_stamp.record("interval_precision", out)
+    else:
+        sys.exit(1)
+
 
 if __name__ == "__main__":
     main()

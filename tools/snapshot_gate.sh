@@ -11,6 +11,14 @@
 set -e
 cd "$(dirname "$0")/.."
 
+# Hardware-probe gate (VERDICT r4 #4): any change to the Pallas
+# surface (safeopt_tpu/ops/, safe_opt_core.py, config.py) since the
+# last PROBE_STAMP must have re-passed both TPU probes — CPU interpret
+# mode is blind to Mosaic numerics (round-4 limb-hoist incident:
+# 381 CPU tests green, hardware bit-broken). probe_stamp.py compares
+# content hashes, so uncommitted edits invalidate the stamp too.
+python tools/probe_stamp.py
+
 rm -f TESTS_GREEN
 ./run_tests.sh
 git rev-parse HEAD > TESTS_GREEN 2>/dev/null || echo "no-git" > TESTS_GREEN
