@@ -92,12 +92,25 @@ class SparseGPRegression:
         per full refit and is skipped at ``c = 0``. Note: a ``White``
         summand routes SafeOpt's auto ``use_pallas`` to the XLA
         interval path (measured equal at small capacities).
+    calibration : 'max' or float in (0, 1]
+        Statistic of the per-training-point mean-convergence error
+        ``|mu_m(X_i) - mu_2m(X_i)|`` the floor is sized to. ``'max'``
+        is the worst case — sound but an outlier statistic: one
+        sparse-data-region training point with a large (and therefore
+        high-variance, already-guarded) error inflates the floor
+        everywhere, forfeiting large tracts of the exact safe set as
+        conservative drift (measured 47% at m=64/c=1 on the bench
+        configuration, VERDICT r4). A float q uses the q-quantile
+        instead (e.g. ``0.99``), trimming those outliers; the bench
+        (m x c x statistic) sweep picks the shipped recommendation by
+        *optimistic drift == 0 first, then minimal conservative
+        drift* (docs/design.md, sparse floor sweep).
     """
 
     def __init__(self, X, Y, kernel: Optional[Kernel] = None,
                  noise_var: float = 1.0, inducing=16,
                  refit_every: int = 512, jitter: float = 1e-8,
-                 conservative: float = 0.0):
+                 conservative: float = 0.0, calibration="max"):
         X = np.atleast_2d(np.asarray(X, dtype=np.float64))
         Y = np.asarray(Y, dtype=np.float64).reshape(X.shape[0], -1)
         if kernel is None:
@@ -105,6 +118,13 @@ class SparseGPRegression:
         self._conservative = float(conservative)
         if self._conservative < 0.0:
             raise ValueError("conservative inflation factor must be >= 0")
+        if calibration != "max":
+            calibration = float(calibration)
+            if not 0.0 < calibration <= 1.0:
+                raise ValueError(
+                    "calibration must be 'max' or a quantile in (0, 1], "
+                    f"got {calibration!r}")
+        self._calibration = calibration
         self._floor = 0.0
         self.kern = kernel          # property setter: stores kern_base
         self.noise_var = float(noise_var)
@@ -180,7 +200,11 @@ class SparseGPRegression:
                                  jitter=self._jitter)
         mu_m, _ = self.predict_f64(self._X)
         mu_2m, _ = ref.predict_f64(self._X)
-        delta = float(np.max(np.abs(mu_m - mu_2m)))
+        err = np.abs(mu_m - mu_2m)
+        if self._calibration == "max":
+            delta = float(np.max(err))
+        else:
+            delta = float(np.quantile(err, self._calibration))
         self._floor = (self._conservative * delta) ** 2
         self.kern = self._kern_base        # rebuild the floored view
 
@@ -194,6 +218,11 @@ class SparseGPRegression:
     def conservative(self) -> float:
         """Safety inflation factor c (0 = plain DTC)."""
         return self._conservative
+
+    @property
+    def calibration(self):
+        """Floor calibration statistic: 'max' or a quantile in (0, 1]."""
+        return self._calibration
 
     # -- factor construction (host float64) --------------------------------
 

@@ -181,6 +181,8 @@ def save(opt, path: str) -> None:
             arrays[f"gp{i}_Z"] = np.asarray(g.Z)
             meta.setdefault("sparse_conservative", {})[str(i)] = \
                 float(g.conservative)
+            meta.setdefault("sparse_calibration", {})[str(i)] = \
+                g.calibration
         else:
             meta["kernels"].append(_kernel_spec(g.kern, arrays, f"k{i}_"))
             meta["gp_models"].append("exact")
@@ -267,7 +269,9 @@ def load(path: str, beta=None):
                 noise_var=meta["noise_vars"][i],
                 inducing=arrays[f"gp{i}_Z"],
                 conservative=meta.get("sparse_conservative",
-                                      {}).get(str(i), 0.0)))
+                                      {}).get(str(i), 0.0),
+                calibration=meta.get("sparse_calibration",
+                                     {}).get(str(i), "max")))
         else:
             gps.append(GPRegression(placeholder, np.zeros((1, 1)), kern,
                                     noise_var=meta["noise_vars"][i]))
