@@ -285,6 +285,7 @@ def main():
         ("certified", lambda: _certified_secondary(gp_f, gp_g, grid)),
         ("cap512", lambda: _cap512_secondary(rng, grid_dev)),
         ("cap512-certified", lambda: _cap512_certified_secondary(grid_dev)),
+        ("cap512-default", lambda: _cap512_default_secondary(grid)),
         ("expander-stress", lambda: _expander_stress_secondary()),
         ("context-kernel", lambda: _context_kernel_secondary(grid_dev)),
         ("deploy", lambda: _deploy_secondary(
@@ -823,6 +824,63 @@ def _cap512_certified_secondary(grid_dev, boundary_band=1e-3,
 
 
 # ---------------------------------------------------------------------------
+# VERDICT r4 item 1: the DEFAULT path at cap512 is the certified winner
+# ---------------------------------------------------------------------------
+
+
+def _cap512_default_secondary(grid):
+    """A default-constructed SafeOpt at capacity 512 — no precision or
+    certification kwargs — must resolve to the certified 3-pass path
+    on TPU (the auto policy, safe_opt.AUTO_CERTIFIED_MIN_CAP) and be at
+    least as fast as the plain 6-pass opt-out while reproducing its
+    full-precision certified trajectory exactly. This measures what a
+    USER gets, SafeOpt.optimize() end-to-end, not the certified_scan
+    internals (_cap512_certified_secondary covers those)."""
+    from safeopt_tpu import SafeOpt
+
+    def windows(fn, reps=5, k=3):
+        best = np.inf
+        for _ in range(k):
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                fn()
+            best = min(best, (time.perf_counter() - t0) / reps * 1e3)
+        return best
+
+    def build():
+        gp_f, gp_g = _cap512_gps()
+        return [gp_f, gp_g]
+
+    fmin = [0.2, 0.5]
+    default = SafeOpt(build(), grid, fmin=fmin)            # the policy
+    fullprec = SafeOpt(build(), grid, fmin=fmin,           # the oracle
+                       exact_boundaries=True, interval_precision=None)
+    plain = SafeOpt(build(), grid, fmin=fmin,              # the opt-out
+                    exact_boundaries=False, interval_precision=None)
+
+    x_d = np.asarray(default.optimize())                   # compile
+    x_f = np.asarray(fullprec.optimize())
+    plain.optimize()
+    traj_match = (bool(np.array_equal(x_d, x_f))
+                  and bool(np.array_equal(default.S, fullprec.S))
+                  and bool(np.array_equal(default.M, fullprec.M))
+                  and bool(np.array_equal(default.G, fullprec.G)))
+
+    ms_default = windows(default.optimize)
+    ms_plain = windows(plain.optimize)
+    return {
+        "cap512_default_ms": round(ms_default, 3),
+        "cap512_default_auto_enabled": bool(default._auto_certified),
+        "cap512_default_precision": default._interval_precision,
+        "cap512_default_trajectory_match": traj_match,
+        "cap512_plain_optout_ms": round(ms_plain, 3),
+        # the dominance gate: the default must not be slower than the
+        # plain opt-out it replaced (small tolerance for tunnel noise)
+        "cap512_default_dominates": bool(ms_default <= ms_plain * 1.05),
+    }
+
+
+# ---------------------------------------------------------------------------
 # VERDICT r2 item 5: driver-captured serving evidence (jax.export)
 # ---------------------------------------------------------------------------
 
@@ -928,23 +986,58 @@ def _sparse_secondary(grid_dev, n=2000, m=64):
     drift_margins = np.abs(margin_e[drift]) if drift.any() else np.array([0.0])
     spread = float(np.percentile(np.abs(margin_e), 95))
 
-    # ---- m-sweep + recommended conservative setting (r4 #4) ----
+    # ---- full (m x c x calibration) floor sweep (VERDICT r4 #5) ----
+    # The round-4 sweep only varied m at c=0 plus one floored point
+    # (m=64, c=1, max-statistic), whose floor — calibrated to an
+    # outlier statistic — forfeited 47% of the exact safe set. Run the
+    # complete product and let the data pick the recommendation:
+    # optimistic drift == 0 AND >= 10x speedup first, then minimal
+    # conservative drift. Step time depends on (m, floored-or-not)
+    # only, so each is timed once and shared across c/statistic.
     S_e_np = np.asarray(S_e)
     sweep = {}
+    candidates = []
+    step_ms_by = {}
     for m_i in (64, 128, 256):
-        sp_i = SparseGPRegression(X, Y, kern, noise_var=0.05 ** 2,
-                                  inducing=m_i)
-        r_i = safeopt_step((sp_i.kern,), (sp_i.state,), grid_dev, fmin,
-                           beta, scaling, threshold, chunk=32,
-                           use_pallas=use_pallas)
-        S_i = np.asarray(jax.device_get(r_i.S))
-        sweep[f"m{m_i}"] = {
-            "optimistic": int(np.count_nonzero(S_i & ~S_e_np)),
-            "conservative": int(np.count_nonzero(~S_i & S_e_np)),
-        }
+        for c_i, cal in ((0.0, "max"), (0.5, "max"), (1.0, "max"),
+                         (0.5, 0.99), (1.0, 0.99)):
+            sp_i = SparseGPRegression(X, Y, kern, noise_var=0.05 ** 2,
+                                      inducing=m_i, conservative=c_i,
+                                      calibration=cal)
+            tkey = (m_i, c_i > 0)     # kernel structure: plain vs +White
+            if tkey not in step_ms_by:
+                el_i, _ = _time_step(lambda sp=sp_i: safeopt_step(
+                    (sp.kern,), (sp.state,), grid_dev, fmin, beta,
+                    scaling, threshold, chunk=32,
+                    use_pallas=use_pallas), reps=5)
+                step_ms_by[tkey] = el_i * 1e3
+            r_i = safeopt_step((sp_i.kern,), (sp_i.state,), grid_dev,
+                               fmin, beta, scaling, threshold, chunk=32,
+                               use_pallas=use_pallas)
+            S_i = np.asarray(jax.device_get(r_i.S))
+            opt_i = int(np.count_nonzero(S_i & ~S_e_np))
+            con_i = int(np.count_nonzero(~S_i & S_e_np))
+            key = (f"m{m_i}_c{c_i:g}" + ("" if cal == "max"
+                                         else f"_p{int(cal * 100)}"))
+            entry = {
+                "optimistic": opt_i, "conservative": con_i,
+                "floor": round(float(sp_i._floor), 6),
+                "step_ms": round(step_ms_by[tkey], 3),
+                "speedup": round(el_e * 1e3 / step_ms_by[tkey], 1),
+            }
+            sweep[key] = entry
+            candidates.append((key, m_i, c_i, cal, entry))
 
+    eligible = [c for c in candidates
+                if c[4]["optimistic"] == 0 and c[4]["speedup"] >= 10.0]
+    # min conservative drift; deterministic tie-break toward smaller m
+    # (cheaper refits) then smaller c
+    eligible.sort(key=lambda c: (c[4]["conservative"], c[1], c[2]))
+    rec_key, rec_m, rec_c, rec_cal, rec_entry = (
+        eligible[0] if eligible else candidates[0])
     rec = SparseGPRegression(X, Y, kern, noise_var=0.05 ** 2,
-                             inducing=m, conservative=1.0)
+                             inducing=rec_m, conservative=rec_c,
+                             calibration=rec_cal)
     el_rec, r_rec = _time_step(lambda: safeopt_step(
         (rec.kern,), (rec.state,), grid_dev, fmin, beta, scaling,
         threshold, chunk=32, use_pallas=use_pallas), reps=10)
@@ -965,7 +1058,8 @@ def _sparse_secondary(grid_dev, n=2000, m=64):
 
     return {
         "sparse_m_sweep": sweep,
-        "sparse_recommended": f"m={m}, conservative=1.0",
+        "sparse_recommended": (f"m={rec_m}, conservative={rec_c:g}, "
+                               f"calibration={rec_cal}"),
         "sparse_recommended_step_ms": round(el_rec * 1e3, 3),
         "sparse_recommended_speedup": round(el_e / el_rec, 1),
         "sparse_recommended_floor": round(float(rec._floor), 6),
@@ -973,6 +1067,9 @@ def _sparse_secondary(grid_dev, n=2000, m=64):
         "sparse_recommended_drift_conservative": rec_con,
         "sparse_recommended_gate": (rec_opt == 0
                                     and el_e / el_rec >= 10.0),
+        # VERDICT r4 #5 target: the full sweep should surface a config
+        # forfeiting <= ~10k exact-safe rows (informational)
+        "sparse_recommended_conservative_under_10k": rec_con <= 10000,
         "sparse_n": n, "sparse_m": m,
         "sparse_step_ms": round(el_s * 1e3, 3),
         "sparse_exact_step_ms": round(el_e * 1e3, 3),
@@ -1287,7 +1384,52 @@ def _swarm_secondary():
     out["swarm_10d_2gp_compute_ms"] = round(compute2, 2)
 
     out["swarm_loop_ms_per_iter"] = _swarm_loop_ms()
+    out.update(_swarm_pipeline())
     return out
+
+
+def _swarm_pipeline(n_iter=24):
+    """VERDICT r4 #6: the lag-1 campaign loop pipelined over the
+    tunnel. ``run_lagged_campaign`` overlaps iteration t's result pull
+    (and the plant's evaluation) with iteration t+1's device compute
+    by chaining dispatches on in-flight device state — per-iteration
+    wall time should approach max(pull, compute) instead of their sum,
+    with the query sequence BITWISE equal to the blocking loop (the
+    two run the same lag-1 algorithm; see algorithms/pipeline.py).
+
+    Timing protocol: each mode runs a throwaway warmup campaign
+    (compiles; trajectories are deterministic so capacities repeat),
+    then a fresh timed campaign.
+    """
+    from safeopt_tpu.algorithms.pipeline import run_lagged_campaign
+
+    def plant(x):
+        return float(2.0 * np.exp(-0.5 * np.sum(np.asarray(x) ** 2)))
+
+    def run(pipelined):
+        opt = _swarm_config(num_gps=1)
+        t0 = time.perf_counter()
+        xs, _ = run_lagged_campaign(opt, plant, n_iter,
+                                    pipelined=pipelined)
+        ms = (time.perf_counter() - t0) / n_iter * 1e3
+        return xs, ms
+
+    run(False)                             # compile warmup (serial)
+    xs_s, serial_ms = run(False)
+    run(True)                              # compile warmup (pipelined)
+    xs_p, pipe_ms = run(True)
+
+    match = bool(np.array_equal(xs_s, xs_p))
+    return {
+        "swarm_10d_lagged_serial_ms": round(serial_ms, 2),
+        "swarm_10d_pipelined_ms": round(pipe_ms, 2),
+        "swarm_pipeline_speedup": round(serial_ms / max(pipe_ms, 1e-9), 2),
+        "swarm_pipeline_traj_match": match,
+        # the overlap claim: pipelined per-iter is at most ~max(pull,
+        # compute) + slack, i.e. it must shed most of the serialized
+        # compute+host time rather than just noise
+        "swarm_pipeline_overlap_gate": match and pipe_ms < serial_ms,
+    }
 
 
 def _swarm_loop_ms():

@@ -22,6 +22,7 @@ Public API mirrors the reference package
 """
 
 from .algorithms import (GaussianProcessOptimization, SafeOpt, SafeOptSwarm,
+                         run_lagged_campaign,
                          SwarmOptimization)
 from .gp import (GPRegression, Matern32, Matern52, Exponential, RatQuad,
                  Cosine, StdPeriodic, Linear, Poly, MLP, Bias, White,
@@ -33,7 +34,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "SafeOpt", "SafeOptSwarm", "SwarmOptimization",
-    "GaussianProcessOptimization",
+    "GaussianProcessOptimization", "run_lagged_campaign",
     "GPRegression", "RBF", "Matern32", "Matern52", "Exponential",
     "RatQuad", "Cosine", "StdPeriodic", "Linear", "Poly", "MLP",
     "Bias", "White", "Product", "Sum",

@@ -6,9 +6,11 @@ light.
 """
 
 from .base import GaussianProcessOptimization
+from .pipeline import run_lagged_campaign
 from .safe_opt import SafeOpt
 from .swarm import SwarmOptimization
-from .swarm_opt import SafeOptSwarm
+from .swarm_opt import PendingSwarmIteration, SafeOptSwarm
 
 __all__ = ["GaussianProcessOptimization", "SafeOpt", "SafeOptSwarm",
-           "SwarmOptimization"]
+           "SwarmOptimization", "PendingSwarmIteration",
+           "run_lagged_campaign"]

@@ -26,6 +26,17 @@ from .safe_opt_core import (certified_scan, full_expander_sets,
 
 __all__ = ["SafeOpt"]
 
+# Capacity at and above which the auto policy promotes the certified
+# 3-pass path to the DEFAULT decision path on TPUs: the 3-pass interval
+# pass + unified refinement + f64 boundary oracle is measured FASTER
+# than the plain 6-pass step there (cap512: 29.3 vs 32.3 ms end-to-end,
+# round 4) while also carrying strict trajectory identity — the faster
+# path is the safer path, so defaults should pick it. Below the
+# threshold the refinement's fixed cost outweighs the halved matmul
+# passes (crossover measured on hardware, docs/design.md "Auto-
+# certified crossover"). Mirrors the context_auto_policy pattern.
+AUTO_CERTIFIED_MIN_CAP = 512
+
 # Measured max scaled interval error of each reduced-precision mode on
 # hardware (benchmarks/probe_interval_precision.py, cap512 bench grid).
 # refine_band must exceed boundary_band by at least this much or a
@@ -68,13 +79,16 @@ class SafeOpt(GaussianProcessOptimization):
         Trailing context dimensions appended to every candidate.
     threshold : float or list of floats
     scaling : 'auto' or list of floats
-    exact_boundaries : bool
+    exact_boundaries : bool, optional
         Certify safe-set decisions in float64: candidates whose scaled
         safety margin falls inside ``boundary_band`` (the f32 ambiguity
         band of accelerator interval bounds, ~1e-4 measured; see
         docs/design.md) are recomputed on the host at full precision
         and their safe bits overridden before maximizers/expanders/
-        query selection. Costs a second device dispatch per iteration.
+        query selection. Costs a second device dispatch per iteration
+        only when a verdict actually flips. Default ``None``: enabled
+        automatically by the auto-certified policy (see
+        ``interval_precision``); pass ``False`` to force it off.
         Accepts any model with a float64 host oracle (``predict_f64``):
         ``GPRegression`` and ``SparseGPRegression``. For sparse models
         "exact" means exact for the DTC model, not for the exact GP —
@@ -98,7 +112,17 @@ class SafeOpt(GaussianProcessOptimization):
         Run the full-grid interval pass at reduced MXU precision
         (``'default'`` = 1-pass bf16; ``'high'`` = 3-pass, XLA
         interval path only) — the route below the 6-pass-f32 matmul
-        floor at large capacities. The decision-critical rows are
+        floor at large capacities. Default ``'auto'``: on a real TPU
+        with any finite ``fmin``, float64-oracle models, and capacity
+        >= ``AUTO_CERTIFIED_MIN_CAP`` (512), resolves to ``'high'``
+        with ``exact_boundaries=True`` — at those shapes the certified
+        3-pass path is measured FASTER than the plain 6-pass step
+        (cap512: 29.3 vs 32.3 ms) while adding strict trajectory
+        identity and f64-certified knife edges (crossover sweep in
+        docs/design.md). Anywhere else ``'auto'`` resolves to ``None``
+        (the plain path — CPU suites and small capacities are
+        unchanged). Pass ``None`` to force the plain path. The
+        decision-critical rows are
         restored to full precision on device before classification:
         the entire reduced-precision safety ambiguity band
         (``refine_band`` wide, up to ``refine_band_k`` rows) plus the
@@ -172,13 +196,43 @@ class SafeOpt(GaussianProcessOptimization):
     def __init__(self, gp, parameter_set, fmin, lipschitz=None, beta=2,
                  num_contexts=0, threshold=0, scaling="auto",
                  expander_chunk: int = 32, use_pallas=None,
-                 exact_boundaries: bool = False, boundary_band: float = 1e-3,
-                 boundary_k: int = 1024, interval_precision=None,
+                 exact_boundaries=None, boundary_band: float = 1e-3,
+                 boundary_k: int = 1024, interval_precision="auto",
                  refine_k=None, refine_band: float = 1e-2,
                  refine_band_k: int = 20480):
         super().__init__(gp, fmin=fmin, beta=beta,
                          num_contexts=num_contexts, threshold=threshold,
                          scaling=scaling)
+
+        # Auto-certified policy (VERDICT r4 #1): at large capacities on
+        # real TPUs the 3-pass + unified-refinement certified path is
+        # measured faster than the plain 6-pass step AND carries strict
+        # trajectory identity plus f64-certified knife edges, so it is
+        # the default where it dominates. Resolution order: explicit
+        # user values always win ('auto' only fills what was left
+        # unset); CPU backends, small capacities, models without a
+        # float64 oracle, and fully unconstrained problems resolve to
+        # the plain path.
+        self._auto_certified = False
+        if interval_precision == "auto":
+            import jax as _jax
+            interval_precision = None
+            eligible = (
+                _jax.default_backend() not in ("cpu",)
+                and exact_boundaries is not False
+                and any(np.isfinite(f) for f in np.atleast_1d(self.fmin))
+                and all(hasattr(g, "predict_f64") for g in self.gps)
+                and max(g.state.capacity for g in self.gps)
+                    >= AUTO_CERTIFIED_MIN_CAP)
+            if eligible:
+                interval_precision = "high"
+                exact_boundaries = True
+                self._auto_certified = True
+        if interval_precision is not None and exact_boundaries is None:
+            # an explicit reduced-precision request implies the f64
+            # certification it is only sound under
+            exact_boundaries = True
+        exact_boundaries = bool(exact_boundaries)
 
         parameter_set = np.asarray(parameter_set, dtype=float)
         if self.num_contexts > 0:
@@ -422,6 +476,42 @@ class SafeOpt(GaussianProcessOptimization):
         th = np.asarray(self.threshold, dtype=float)
         return np.broadcast_to(th, (len(self.gps),))
 
+    def _step_consts(self) -> dict:
+        """Iteration-invariant step operands, device-resident.
+
+        Over a remote TPU each ``jnp.asarray`` of fresh host data is a
+        blocking ~6 ms transfer; re-shipping fmin/scaling/threshold/
+        bands/lipschitz on every ``optimize()`` cost more than the
+        device compute itself (measured: end-to-end optimize() 57 ms
+        vs 32 ms for the bare step at cap512 — round 5). Ship them
+        once and key the cache on the current host values so direct
+        attribute mutation (``opt.fmin = ...``) still takes effect;
+        the only per-iteration operand left is beta(t). Mirrors the
+        swarm's ``_device_consts`` (swarm_opt.py).
+        """
+        dtype = default_dtype()
+        key = (tuple(np.atleast_1d(np.asarray(self.fmin,
+                                              dtype=float)).tolist()),
+               tuple(np.atleast_1d(np.asarray(self.scaling,
+                                              dtype=float)).tolist()),
+               tuple(self._threshold_array().tolist()),
+               None if self.lipschitz is None else
+               tuple(np.atleast_1d(np.asarray(self.lipschitz,
+                                              dtype=float)).tolist()),
+               float(self._boundary_band), float(self._refine_band),
+               str(dtype))
+        if getattr(self, "_consts_key", None) != key:
+            self._consts_key = key
+            self._consts = dict(
+                fmin=jnp.asarray(self.fmin, dtype),
+                scaling=jnp.asarray(self.scaling, dtype),
+                threshold=jnp.asarray(self._threshold_array(), dtype),
+                lipschitz=(None if self.lipschitz is None
+                           else jnp.asarray(self.lipschitz, dtype)),
+                boundary_band=jnp.asarray(self._boundary_band, dtype),
+                refine_band=jnp.asarray(self._refine_band, dtype))
+        return self._consts
+
     def _certified_step(self, kernels, states, ucb: bool):
         """Optimistic certified iteration (one dispatch in the common case).
 
@@ -442,16 +532,16 @@ class SafeOpt(GaussianProcessOptimization):
 
         dtype = default_dtype()
         k = self._boundary_k
+        consts = self._step_consts()
         result, packed = certified_scan(
             kernels, states, self._grid(),
-            jnp.asarray(self.fmin, dtype),
+            consts["fmin"],
             jnp.asarray(self.beta(self.t), dtype),
-            jnp.asarray(self.scaling, dtype),
-            jnp.asarray(self._threshold_array(), dtype),
-            jnp.asarray(self._boundary_band, dtype),
-            None if self.lipschitz is None else jnp.asarray(self.lipschitz,
-                                                            dtype),
-            refine_band=jnp.asarray(self._refine_band, dtype),
+            consts["scaling"],
+            consts["threshold"],
+            consts["boundary_band"],
+            consts["lipschitz"],
+            refine_band=consts["refine_band"],
             k=k, refine_k=self._refine_k,
             refine_band_k=(self._refine_band_k
                            if self._interval_precision is not None else 0),
@@ -512,12 +602,11 @@ class SafeOpt(GaussianProcessOptimization):
         corrected = safeopt_step_from_Q(
             kernels, states, self._grid(), result.Q,
             jnp.asarray(fix_idx), jnp.asarray(fix_bits),
-            jnp.asarray(self.fmin, dtype),
+            consts["fmin"],
             jnp.asarray(beta, dtype),
-            jnp.asarray(self.scaling, dtype),
-            jnp.asarray(self._threshold_array(), dtype),
-            None if self.lipschitz is None else jnp.asarray(self.lipschitz,
-                                                            dtype),
+            consts["scaling"],
+            consts["threshold"],
+            consts["lipschitz"],
             ucb=ucb, use_lipschitz=self._use_lipschitz,
             chunk=self._expander_chunk, use_pallas=self._use_pallas)
         return corrected, None
@@ -537,14 +626,14 @@ class SafeOpt(GaussianProcessOptimization):
         if self._exact_boundaries:
             result, diag = self._certified_step(kernels, states, ucb)
         else:
+            consts = self._step_consts()
             result = safeopt_step(
                 kernels, states, self._grid(),
-                jnp.asarray(self.fmin, dtype),
+                consts["fmin"],
                 jnp.asarray(self.beta(self.t), dtype),
-                jnp.asarray(self.scaling, dtype),
-                jnp.asarray(self._threshold_array(), dtype),
-                None if self.lipschitz is None else
-                jnp.asarray(self.lipschitz, dtype),
+                consts["scaling"],
+                consts["threshold"],
+                consts["lipschitz"],
                 ucb=ucb, use_lipschitz=self._use_lipschitz,
                 chunk=self._expander_chunk, use_pallas=self._use_pallas)
         if ucb and self._dev is not None:
@@ -591,13 +680,13 @@ class SafeOpt(GaussianProcessOptimization):
         kernels, states = self._model_args()
         dtype = default_dtype()
         if full_sets:
+            consts = self._step_consts()
             result = full_expander_sets(
                 kernels, states, self._grid(),
-                jnp.asarray(self.fmin, dtype),
+                consts["fmin"],
                 jnp.asarray(self.beta(self.t), dtype),
-                jnp.asarray(self.scaling, dtype),
-                None if self.lipschitz is None else
-                jnp.asarray(self.lipschitz, dtype),
+                consts["scaling"],
+                consts["lipschitz"],
                 use_lipschitz=self._use_lipschitz,
                 chunk=self._expander_chunk,
                 use_pallas=self._use_pallas)
@@ -666,7 +755,7 @@ class SafeOpt(GaussianProcessOptimization):
         dtype = default_dtype()
         idx, lb, has_safe, Q, S, diag = safe_maximum(
             kernels, states, self._grid(),
-            jnp.asarray(self.fmin, dtype),
+            self._step_consts()["fmin"],
             jnp.asarray(self.beta(self.t), dtype),
             use_pallas=self._use_pallas)
         # Q/S are stored as device arrays and pulled only if accessed;

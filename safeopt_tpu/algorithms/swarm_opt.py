@@ -52,7 +52,50 @@ from .base import GaussianProcessOptimization
 from .swarm import SwarmOptimization
 from .swarm_core import swarm_scan
 
-__all__ = ["SafeOptSwarm"]
+__all__ = ["SafeOptSwarm", "PendingSwarmIteration"]
+
+
+@jax.jit
+def _chain_pack(head, diag):
+    """Assemble the fused pack buffer [beta, blb, last_x, best_x,
+    greedy] from a host-built head [beta, _, last_x, best_x] and the
+    still-in-flight previous iteration's diag (device slices 5d = best
+    lower bound, 4d:5d = greedy point) — no device->host pull."""
+    d = (head.shape[0] - 2) // 2
+    return jnp.concatenate([head[:1], diag[5 * d:5 * d + 1], head[2:],
+                            diag[4 * d:5 * d]])
+
+
+class PendingSwarmIteration:
+    """Handle for an in-flight fused iteration (``optimize_async``).
+
+    ``result()`` blocks on the single diagnostics pull, commits the
+    host-side state exactly like the blocking ``optimize()``, and
+    returns the next query point. Idempotent. Finalize pendings in
+    dispatch order; the reference's empty-safe-set RuntimeError
+    (gp_opt.py:1049) surfaces here.
+    """
+
+    def __init__(self, opt, out, ucb: bool):
+        self._opt, self._out, self._ucb = opt, out, ucb
+        self._x = None
+        self._done = False
+        # start the device->host copy of the diagnostics as soon as
+        # the program produces them, so result()'s pull overlaps the
+        # NEXT iteration's compute instead of paying the full tunnel
+        # round trip synchronously (no-op where unsupported)
+        try:
+            out.diag.copy_to_host_async()
+        except (AttributeError, RuntimeError):  # pragma: no cover
+            pass
+
+    def result(self) -> np.ndarray:
+        """Block on the diagnostics pull, commit host state, and
+        return the next query point (idempotent)."""
+        if not self._done:
+            self._x = self._opt._commit_fused(self._out, ucb=self._ucb)
+            self._done = True
+        return self._x
 
 _SWARM_TYPES = ("greedy", "maximizers", "expanders")
 
@@ -272,6 +315,7 @@ class SafeOptSwarm(GaussianProcessOptimization):
         self._S_host = None
         self._S_dev = None          # SwarmIterState or None
         self._count = 0
+        self._count_ub = 0          # worst-case count while pipelining
         self._dev_consts = None
         self.S = np.asarray(self.gp.X_host, dtype=float).copy()
 
@@ -668,6 +712,108 @@ class SafeOptSwarm(GaussianProcessOptimization):
                       ucb=ucb)
         return args, kwargs
 
+    def _fused_args_after(self, out_prev, ucb: bool = False):
+        """Operands of one fused iteration CHAINED on a still-in-flight
+        previous iteration — nothing here blocks on a device->host
+        pull.
+
+        The three values the unchained path takes from the previous
+        iteration's *committed host mirrors* (the safe-set buffer, the
+        best lower bound, the greedy point) are taken directly from the
+        previous ``SwarmIterOut``'s device arrays instead: the state
+        rides ``out_prev.state`` and the two pack scalars are sliced
+        out of ``out_prev.diag`` on device (``_chain_pack``), which is
+        exactly what ``_commit_fused`` would have written back (diag
+        slices 5d and 4d:5d). Everything else — the PRNG key split, the
+        GP states, beta(t), the last/best observations — comes from the
+        host exactly as in ``_fused_args``, so a lag-aware caller
+        (pipeline.py) that adds observations in the same order gets a
+        BITWISE-identical trajectory to the blocking loop; pinned by
+        tests/test_pipeline.py.
+
+        Capacity is governed by a host-side upper bound (growth is at
+        most ``2 * swarm_size`` rows per iteration) because the true
+        count is still in flight; ``reserve()`` sizes the buffer for a
+        whole pipelined campaign up front.
+        """
+        dtype = default_dtype()
+        kernels, states = self._model_args()
+        consts = self._device_consts()
+        d = self.gp.input_dim
+
+        self._count_ub += 2 * self.swarm_size
+        need = self._count_ub + 2 * self.swarm_size + 8
+        if out_prev.state.S.shape[0] < need:
+            raise RuntimeError(
+                "pipelined dispatch may exceed the device safe-set "
+                f"buffer (capacity {out_prev.state.S.shape[0]}, worst-"
+                f"case need {need}); call reserve(n_iterations) before "
+                "pipelining")
+
+        Xh = np.asarray(self.gp.X_host, dtype=float)
+        Yh = np.asarray(self.gp.Y_host, dtype=float)
+        head = np.empty(2 + 2 * d)
+        head[0] = float(self.beta(self.t))
+        head[1] = 0.0                       # blb: filled from diag
+        head[2:2 + d] = Xh[-1]
+        head[2 + d:] = Xh[int(np.argmax(Yh[:, 0]))]
+        pack = _chain_pack(jnp.asarray(head, dtype), out_prev.diag)
+
+        key_raw = np.asarray(jax.random.key_data(self._split()))
+        args = (kernels, states, out_prev.state, key_raw,
+                consts["vel"], consts["bounds"], consts["fmin"],
+                consts["scaling"], consts["threshold"], pack,
+                self._fused_streams(ucb=ucb))
+        kwargs = dict(swarm_size=self.swarm_size, max_iters=self.max_iters,
+                      ucb=ucb)
+        return args, kwargs
+
+    def reserve(self, iterations: int) -> None:
+        """Pre-grow the device safe-set buffer for ``iterations``
+        worst-case growth steps so a pipelined campaign never needs a
+        mid-flight rebuild (a rebuild requires pulling the buffer to
+        the host, which is exactly what pipelining avoids)."""
+        from .swarm_opt_fused import SwarmIterState
+
+        dtype = default_dtype()
+        need = (self._count + (int(iterations) + 2) * 2 * self.swarm_size
+                + 8)
+        if self._S_dev is not None and self._S_dev.S.shape[0] >= need:
+            return
+        cap = ((need + 127) // 128) * 128
+        S_host = self.S                     # pulls if device-canonical
+        S_buf = np.zeros((cap, S_host.shape[1]))
+        S_buf[: S_host.shape[0]] = S_host
+        self._S_dev = SwarmIterState(
+            S=jnp.asarray(S_buf, dtype),
+            count=jnp.asarray(S_host.shape[0], jnp.int32),
+            greedy=jnp.asarray(self.greedy_point, dtype))
+        self._S_host = None                 # device canonical again
+
+    def optimize_async(self, ucb: bool = False, after=None):
+        """Dispatch one fused iteration WITHOUT waiting for its result.
+
+        Returns a :class:`PendingSwarmIteration`; calling ``.result()``
+        pulls the diagnostics and commits host state (the tail of the
+        blocking ``optimize()``). With ``after=<previous pending>`` the
+        dispatch chains on the in-flight iteration's device state
+        (``_fused_args_after``) so the device starts computing
+        iteration t+1 while the host is still waiting on iteration t's
+        pull — the tunnel-latency overlap the pipelined campaign
+        runner (``algorithms/pipeline.py``) is built on. Finalize
+        pendings in dispatch order; an empty-safe-set RuntimeError
+        surfaces at ``result()`` of the failing iteration.
+        """
+        from .swarm_opt_fused import fused_swarm_optimize
+
+        if after is None:
+            self._count_ub = self._count
+            args, kwargs = self._fused_args(ucb=ucb)
+        else:
+            args, kwargs = self._fused_args_after(after._out, ucb=ucb)
+        out = fused_swarm_optimize(*args, **kwargs)
+        return PendingSwarmIteration(self, out, ucb)
+
     def _optimize_fused(self, ucb: bool = False) -> np.ndarray:
         """Single-dispatch iteration (swarm_opt_fused.py).
 
@@ -679,7 +825,10 @@ class SafeOptSwarm(GaussianProcessOptimization):
 
         args, kwargs = self._fused_args(ucb=ucb)
         out = fused_swarm_optimize(*args, **kwargs)
+        return self._commit_fused(out, ucb=ucb)
 
+    def _commit_fused(self, out, ucb: bool = False) -> np.ndarray:
+        """Pull a fused iteration's diagnostics and commit host state."""
         d = self.gp.input_dim
         diag = np.asarray(jax.device_get(out.diag), dtype=float)
         x_next = diag[0:d]
@@ -704,6 +853,7 @@ class SafeOptSwarm(GaussianProcessOptimization):
         self._S_dev = out.state            # device stays canonical
         self._S_host = None
         self._count = count
+        self._count_ub = count
         self.greedy_point = greedy_point
         self.greedy = np.asarray(x_greedy, dtype=float)
         self.best_lower_bound = float(blb)

@@ -247,16 +247,24 @@ class GPRegression:
 
     # -- construction helpers --------------------------------------------
     def _device_state(self) -> GPState:
+        # copy=True: the host factor mutates X/L/Linv/w IN PLACE on
+        # every append/pop, and on CPU backends a dtype-matching
+        # ``jnp.asarray`` aliases the numpy memory zero-copy — an
+        # in-flight async dispatch (pipelined campaigns,
+        # algorithms/pipeline.py) would then read half-mutated factors
+        # (observed: flaky trajectory divergence, round 5). The copy
+        # severs the alias; on accelerators the dtype cast copied
+        # anyway, so this costs nothing there.
         dtype = default_dtype()
         h = self._host
         return GPState(
-            X=jnp.asarray(h.X, dtype),
-            Y=jnp.asarray(h.Y, dtype),
-            count=jnp.asarray(h.count, jnp.int32),
-            L=jnp.asarray(h.L, dtype),
-            Linv=jnp.asarray(h.Linv, dtype),
-            w=jnp.asarray(h.w, dtype),
-            noise_var=jnp.asarray(h.noise_var, dtype),
+            X=jnp.array(h.X, dtype, copy=True),
+            Y=jnp.array(h.Y, dtype, copy=True),
+            count=jnp.asarray(int(h.count), jnp.int32),
+            L=jnp.array(h.L, dtype, copy=True),
+            Linv=jnp.array(h.Linv, dtype, copy=True),
+            w=jnp.array(h.w, dtype, copy=True),
+            noise_var=jnp.asarray(float(h.noise_var), dtype),
         )
 
     # -- GPy API surface ---------------------------------------------------

@@ -178,11 +178,15 @@ class TestOptimisticStepping:
 
 class TestReducedPrecisionIntervals:
     def test_requires_exact_boundaries(self):
+        # an EXPLICIT exact_boundaries=False with reduced precision is
+        # the unsound combination and still raises; leaving it unset
+        # now implies certification (TestAutoCertifiedPolicy)
         gp = GPRegression(np.array([[0.0]]), np.array([[1.5]]),
                           RBF(1, variance=2.0), noise_var=1e-4)
         grid = linearly_spaced_combinations([(-2.0, 2.0)], 50)
         with pytest.raises(ValueError, match="exact_boundaries"):
-            SafeOpt(gp, grid, fmin=[0.0], interval_precision="default")
+            SafeOpt(gp, grid, fmin=[0.0], interval_precision="default",
+                    exact_boundaries=False)
 
     def test_same_trajectory_as_plain(self):
         """Reduced-precision certified mode preserves the reference
@@ -488,3 +492,74 @@ class TestSparseKnifeEdgeCertification:
         with pytest.raises(ValueError, match="OracleLess"):
             SafeOpt(OracleLess(gp), grid, fmin=[0.0],
                     exact_boundaries=True)
+
+
+class TestAutoCertifiedPolicy:
+    """interval_precision='auto' (the default): on a real TPU at
+    capacity >= AUTO_CERTIFIED_MIN_CAP the certified 3-pass path is
+    measured faster than the plain 6-pass step (VERDICT r4 #1), so the
+    default constructor promotes it; everywhere else the plain path is
+    untouched. These tests pin the resolution matrix."""
+
+    def _gp(self, capacity=16):
+        X = np.array([[0.0], [0.5], [1.0]])
+        Y = 1.0 + np.exp(-0.5 * X ** 2)
+        return GPRegression(X, Y, RBF(1, variance=2.0, lengthscale=1.0),
+                            noise_var=1e-4, capacity=capacity)
+
+    def _grid(self):
+        return linearly_spaced_combinations([(-2.0, 2.0)], 50)
+
+    def test_cpu_default_resolves_plain(self):
+        opt = SafeOpt(self._gp(capacity=512), self._grid(), fmin=[0.0])
+        assert opt._interval_precision is None
+        assert opt._exact_boundaries is False
+        assert opt._auto_certified is False
+
+    def test_tpu_large_cap_promotes_certified(self, monkeypatch):
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        opt = SafeOpt(self._gp(capacity=512), self._grid(), fmin=[0.0],
+                      use_pallas=False)
+        assert opt._interval_precision == "high"
+        assert opt._exact_boundaries is True
+        assert opt._auto_certified is True
+        assert opt._refine_k == 50            # auto head sizing: min(2048, N)
+
+    @pytest.mark.parametrize("kwargs,why", [
+        (dict(exact_boundaries=False), "explicit opt-out wins"),
+        (dict(fmin=[-np.inf]), "unconstrained problem"),
+        (dict(capacity=64), "below the measured crossover"),
+        (dict(interval_precision=None), "explicit plain path"),
+    ])
+    def test_tpu_ineligible_stays_plain(self, monkeypatch, kwargs, why):
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        cap = kwargs.pop("capacity", 512)
+        fmin = kwargs.pop("fmin", [0.0])
+        opt = SafeOpt(self._gp(capacity=cap), self._grid(), fmin=fmin,
+                      use_pallas=False, **kwargs)
+        assert opt._interval_precision is None, why
+        assert opt._auto_certified is False, why
+
+    def test_explicit_precision_implies_certification(self):
+        # explicit reduced precision with exact_boundaries left unset
+        # resolves to certified rather than raising
+        opt = SafeOpt(self._gp(), self._grid(), fmin=[0.0],
+                      interval_precision="high", use_pallas=False)
+        assert opt._exact_boundaries is True
+        assert opt._interval_precision == "high"
+
+    def test_explicit_false_with_precision_still_raises(self):
+        with pytest.raises(ValueError, match="exact_boundaries"):
+            SafeOpt(self._gp(), self._grid(), fmin=[0.0],
+                    interval_precision="high", exact_boundaries=False,
+                    use_pallas=False)
+
+    def test_auto_certified_step_runs_on_cpu(self, monkeypatch):
+        """The resolved config must actually execute (CPU backend used
+        as the executor; the policy is forced on via monkeypatch)."""
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        opt = SafeOpt(self._gp(capacity=512), self._grid(), fmin=[0.0],
+                      use_pallas=False)
+        assert opt._auto_certified
+        x = opt.optimize()
+        assert np.isfinite(x).all()
