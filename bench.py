@@ -295,6 +295,7 @@ def main():
             kernels, states, grid_dev, fmin, beta, scaling, threshold)),
         ("swarm", lambda: _swarm_secondary()),
         ("fleet", lambda: _fleet_secondary()),
+        ("hyperopt", lambda: _hyperopt_secondary()),
     ]
     for name, fn in extras:
         try:
@@ -455,7 +456,8 @@ def _certified_secondary(gp_f, gp_g, grid):
 
     opt = SafeOpt([gp_f, gp_g], grid, fmin=[0.2, 0.5],
                   exact_boundaries=True, boundary_band=1e-3)
-    plain = SafeOpt([gp_f, gp_g], grid, fmin=[0.2, 0.5])
+    plain = SafeOpt([gp_f, gp_g], grid, fmin=[0.2, 0.5],
+                    exact_boundaries=False)
     opt.optimize()                       # compile both passes
     reps = 5
     cert_ms = windows(opt.optimize)
@@ -463,6 +465,17 @@ def _certified_secondary(gp_f, gp_g, grid):
     plain_ms = windows(plain.optimize)
     S_cert = opt.S
     S_plain = plain.S
+
+    # VERDICT r4 #8 evidence: the host-oracle protocol this round's
+    # on-device settlement replaced (2 host round trips + host predict
+    # + redundant re-classification per flipping iteration)
+    host_o = SafeOpt([gp_f, gp_g], grid, fmin=[0.2, 0.5],
+                     exact_boundaries=True, boundary_band=1e-3,
+                     oracle="host")
+    x_h = np.asarray(host_o.optimize())
+    host_ms = windows(host_o.optimize)
+    oracle_match = (bool(np.array_equal(np.asarray(opt.optimize()), x_h))
+                    and bool(np.array_equal(opt.S, host_o.S)))
 
     # Optimistic-protocol demonstration (VERDICT r2 weak #3): with no
     # candidate inside the ambiguity band — the common case once a run
@@ -480,12 +493,13 @@ def _certified_secondary(gp_f, gp_g, grid):
 
     return {
         "certified_step_ms": round(cert_ms, 3),
-        # round-3 optimistic protocol: certification is ONE dispatch +
-        # one packed pull unless the f64 oracle overturns an f32
-        # verdict, so the overhead vs plain optimize() is the host
-        # oracle only (VERDICT r2 weak #3)
         "certified_overhead_ms": round(cert_ms - plain_ms, 3),
         "plain_optimize_ms": round(plain_ms, 3),
+        "certified_oracle": opt._oracle,
+        "certified_host_oracle_step_ms": round(host_ms, 3),
+        "certified_device_vs_host_match": oracle_match,
+        # VERDICT r4 #8 target: certified WITH flips <= ~55 ms
+        "certified_step_under_55ms": bool(cert_ms <= 55.0),
         "certified_flips": int(np.count_nonzero(S_cert != S_plain)),
         "certified_band_population": int(opt._band_population),
         "certified_corrections": int(opt._certified_corrections),
@@ -853,8 +867,10 @@ def _cap512_default_secondary(grid):
 
     fmin = [0.2, 0.5]
     default = SafeOpt(build(), grid, fmin=fmin)            # the policy
-    fullprec = SafeOpt(build(), grid, fmin=fmin,           # the oracle
-                       exact_boundaries=True, interval_precision=None)
+    # the bitwise reference: full precision + HOST f64 oracle
+    fullprec = SafeOpt(build(), grid, fmin=fmin,
+                       exact_boundaries=True, interval_precision=None,
+                       oracle="host")
     plain = SafeOpt(build(), grid, fmin=fmin,              # the opt-out
                     exact_boundaries=False, interval_precision=None)
 
@@ -872,7 +888,12 @@ def _cap512_default_secondary(grid):
         "cap512_default_ms": round(ms_default, 3),
         "cap512_default_auto_enabled": bool(default._auto_certified),
         "cap512_default_precision": default._interval_precision,
+        "cap512_default_oracle": default._oracle,
+        # trajectory AND sets equal to the full-precision host-f64
+        # reference — this also exercises the device-vs-host oracle
+        # agreement on the production workload
         "cap512_default_trajectory_match": traj_match,
+        "cap512_device_oracle_match": traj_match,
         "cap512_plain_optout_ms": round(ms_plain, 3),
         # the dominance gate: the default must not be slower than the
         # plain opt-out it replaced (small tolerance for tunnel noise)
@@ -1534,12 +1555,114 @@ def _fleet_secondary(K=8, n_iter=8):
     for i in range(reps):
         r = fleet(i + 1)           # varying key: no dispatch elision
     ok = bool(np.asarray(r.has_safe).all())
-    ms = (time.perf_counter() - t0) / reps / (K * n_iter) * 1e3
+    wall_ms = (time.perf_counter() - t0) / reps / (K * n_iter) * 1e3
     assert ok, "fleet lost certification"
+
+    # VERDICT r4 #9: the headline fleet number varied +-80% across
+    # rounds because a handful of ~17 ms dispatches sample the
+    # tunnel's bimodal latency. Repeat INSIDE one program (keys
+    # perturbed from the carry so the runtime cannot elide the
+    # repeats, whole result consumed), difference reps 1 vs 9 — the
+    # cap512_certified_device_ms protocol (CLAUDE.md).
+    from functools import partial as _partial
+
+    @_partial(jax.jit, static_argnames=("reps",))
+    def fleet_reps(seed0, *, reps):
+        def body(i, acc):
+            keys = jax.random.split(
+                jax.random.key(seed0 + i + (acc % 2.0).astype(jnp.int32)),
+                K)
+            rr = run_safeopt_campaigns(
+                (kern,), batched, grid, jnp.asarray([0.5], dtype),
+                jnp.asarray(2.0, dtype),
+                jnp.asarray([np.sqrt(2.0)], dtype),
+                jnp.asarray([0.0], dtype), keys,
+                objectives=(objective,), n_iter=n_iter, chunk=16)
+            return acc + jnp.max(rr.xs) * 1e-9
+        return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
+
+    def t(reps):
+        float(fleet_reps(1, reps=reps))        # compile + warm
+        best = np.inf
+        for j in range(1, 4):
+            t0 = time.perf_counter()
+            float(fleet_reps(1 + j, reps=reps))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    dev_ms = (t(9) - t(1)) / 8 / (K * n_iter) * 1e3
+
     return {
         "fleet_campaigns": K,
         "fleet_iters": n_iter,
-        "fleet_ms_per_campaign_iter": round(ms, 3),
+        "fleet_ms_per_campaign_iter": round(dev_ms, 3),
+        "fleet_wall_ms_per_campaign_iter": round(wall_ms, 3),
+    }
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r4 #7: hyperparameter fitting, measured on hardware
+# ---------------------------------------------------------------------------
+
+
+def _hyperopt_secondary(n=512, restarts=8):
+    """Time ``optimize_restarts`` (r=8, n=512, RBF-ARD) and sparse
+    hyperopt with inducing moves, and justify the device routing with
+    numbers: the 'auto' route runs the whole vmapped Adam scan + BFGS
+    polish on the HOST CPU (float64, zero per-step accelerator round
+    trips); the 'accel' route is measured alongside for the honest
+    comparison (it also runs at the session dtype — f32 on TPUs — so
+    both speed and fit quality are reported). gp/hyperopt.py 'Device
+    routing' note holds the conclusion; the consumed-surface contract
+    is GPy's ``optimize_restarts`` (reference gp_opt.py:329 doctest
+    models are user-fit)."""
+    from safeopt_tpu.gp import GPRegression, RBF
+    from safeopt_tpu.gp.hyperopt import fit_hyperparameters
+    from safeopt_tpu.gp.sparse import SparseGPRegression
+
+    rng = np.random.default_rng(7)
+    X = rng.uniform(-3.0, 3.0, size=(n, 2))
+    Y = (1.5 * np.exp(-0.5 * np.sum((X / [1.0, 1.8]) ** 2, axis=1))
+         + 0.05 * rng.normal(size=n))[:, None]
+
+    def fresh_kern():
+        return RBF(2, variance=0.6, lengthscale=[0.4, 0.4], ARD=True)
+
+    gp = GPRegression(X, Y, fresh_kern(), noise_var=0.02)
+    t0 = time.perf_counter()
+    lml = gp.optimize_restarts(num_restarts=restarts, max_iters=200)
+    auto_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    _, _, lml_accel = fit_hyperparameters(
+        fresh_kern(), X, Y, 0.02, steps=200, restarts=restarts,
+        device="accel")
+    accel_s = time.perf_counter() - t0
+
+    # sparse fit incl. inducing moves (GPy sparse optimize semantics)
+    Xs = rng.uniform(-3.0, 3.0, size=(2000, 2))
+    Ys = (1.5 * np.exp(-0.5 * np.sum((Xs / [1.0, 1.8]) ** 2, axis=1))
+          + 0.05 * rng.normal(size=2000))[:, None]
+    sp = SparseGPRegression(Xs, Ys, fresh_kern(), noise_var=0.02,
+                            inducing=64)
+    t0 = time.perf_counter()
+    lml_sp = sp.optimize_restarts(num_restarts=2, max_iters=100,
+                                  optimize_inducing=True)
+    sparse_s = time.perf_counter() - t0
+
+    return {
+        "hyperopt_restarts_ms": round(auto_s * 1e3, 1),
+        "hyperopt_restarts_lml": round(float(lml), 3),
+        "hyperopt_restarts_accel_ms": round(accel_s * 1e3, 1),
+        "hyperopt_restarts_accel_lml": (None if not np.isfinite(lml_accel)
+                                        else round(float(lml_accel), 3)),
+        "hyperopt_route": "host-cpu f64 (auto)",
+        "hyperopt_auto_beats_accel": bool(auto_s <= accel_s),
+        "hyperopt_sparse_inducing_ms": round(sparse_s * 1e3, 1),
+        "hyperopt_sparse_lml": round(float(lml_sp), 3),
+        "hyperopt_n": n, "hyperopt_restarts": restarts,
+        "hyperopt_lml_finite": bool(np.isfinite(lml)
+                                    and np.isfinite(lml_sp)),
     }
 
 

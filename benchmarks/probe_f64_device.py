@@ -129,6 +129,24 @@ def remeasure_cap512():
           f"flips={cert._certified_corrections}, "
           f"overflow={cert._band_overflow})", flush=True)
 
+    # --- the round-5 device-oracle path: settle knife edges on the TPU
+    for prec, label in ((None, "fullprec"), ("high", "3-pass")):
+        devo = SafeOpt(build(), grid, fmin=fmin,
+                       exact_boundaries=True, interval_precision=prec,
+                       boundary_k=2048, oracle="device")
+        x_dev = np.asarray(devo.optimize())
+        ms_devo = best_ms(devo.optimize)
+        ref = full if prec is None else cert
+        x_ref = np.asarray(ref.optimize())
+        traj = (bool(np.array_equal(x_dev, x_ref))
+                and bool(np.array_equal(devo.S, ref.S))
+                and bool(np.array_equal(devo.M, ref.M))
+                and bool(np.array_equal(devo.G, ref.G)))
+        print(f"{label} certified optimize() DEVICE oracle: "
+              f"{ms_devo:.2f} ms (band={devo._band_population}, "
+              f"flips={devo._certified_corrections}, "
+              f"host-oracle match={traj})", flush=True)
+
 
 def main():
     import jax

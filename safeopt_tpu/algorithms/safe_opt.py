@@ -21,8 +21,10 @@ import numpy as np
 
 from ..config import default_dtype
 from .base import GaussianProcessOptimization
-from .safe_opt_core import (certified_scan, full_expander_sets,
-                            safe_maximum, safeopt_step, safeopt_step_from_Q)
+from .safe_opt_core import (certified_finish, certified_scan,
+                            device_oracle, full_expander_sets,
+                            interval_scan, safe_maximum, safeopt_step,
+                            safeopt_step_from_Q)
 
 __all__ = ["SafeOpt"]
 
@@ -116,9 +118,10 @@ class SafeOpt(GaussianProcessOptimization):
         with any finite ``fmin``, float64-oracle models, and capacity
         >= ``AUTO_CERTIFIED_MIN_CAP`` (512), resolves to ``'high'``
         with ``exact_boundaries=True`` — at those shapes the certified
-        3-pass path is measured FASTER than the plain 6-pass step
-        (cap512: 29.3 vs 32.3 ms) while adding strict trajectory
-        identity and f64-certified knife edges (crossover sweep in
+        3-pass path (with the on-device f64 oracle, ``oracle``) is
+        measured at or below the plain 6-pass step end-to-end while
+        adding strict trajectory identity and f64-certified knife
+        edges (crossover sweep in
         docs/design.md). Anywhere else ``'auto'`` resolves to ``None``
         (the plain path — CPU suites and small capacities are
         unchanged). Pass ``None`` to force the plain path. The
@@ -177,6 +180,21 @@ class SafeOpt(GaussianProcessOptimization):
         to absorb the safety band, even in fast mode; overflow is
         reported via
         ``_refine_band_overflow`` and voids the parity guarantee).
+    oracle : str
+        Where the f64 knife-edge oracle runs: ``'host'`` (the bitwise
+        reference — ``predict_f64`` on the host f64 factors; costs, per
+        iteration with flips, two extra tunnel round trips + a host
+        predict + a redundant re-classification), ``'device'`` (the
+        SAME f64 factors evaluated by the accelerator — XLA F64
+        emulation, ``safe_opt_core.device_oracle`` — with
+        classification running ONCE after the verdicts exist, so the
+        certified path pulls one diagnostics buffer per iteration
+        exactly like the plain step; decisions agree with the host
+        oracle except on ~1e-15-relative knife edges from accumulation
+        order, asserted on hardware by
+        ``bench.py cap512_device_oracle_match``), or ``'auto'``
+        (default: ``'device'`` on accelerators, ``'host'`` on CPU
+        sessions).
 
     Examples
     --------
@@ -199,7 +217,7 @@ class SafeOpt(GaussianProcessOptimization):
                  exact_boundaries=None, boundary_band: float = 1e-3,
                  boundary_k: int = 1024, interval_precision="auto",
                  refine_k=None, refine_band: float = 1e-2,
-                 refine_band_k: int = 20480):
+                 refine_band_k: int = 20480, oracle: str = "auto"):
         super().__init__(gp, fmin=fmin, beta=beta,
                          num_contexts=num_contexts, threshold=threshold,
                          scaling=scaling)
@@ -299,6 +317,35 @@ class SafeOpt(GaussianProcessOptimization):
         self._exact_boundaries = bool(exact_boundaries)
         self._boundary_band = float(boundary_band)
         self._boundary_k = min(int(boundary_k), N)
+        # Where the f64 knife-edge oracle runs. 'host' is the bitwise
+        # reference (predict_f64 on the host f64 factors) but costs,
+        # per iteration WITH flips, a packed-buffer round trip + host
+        # predict + correction dispatch + second round trip (measured
+        # 141-154 ms vs 54 ms plain at cap512 over the remote tunnel).
+        # 'device' evaluates the same f64 factors on the accelerator
+        # (XLA F64 emulation; safe_opt_core.device_oracle) and settles
+        # corrections in-program (certified_settle's lax.cond), so the
+        # certified path pulls ONE diagnostics buffer like the plain
+        # step — decisions agree with the host oracle except on
+        # ~1e-15-relative knife edges (accumulation order; asserted on
+        # the bench workload). 'auto': 'device' on accelerators,
+        # 'host' on CPU sessions (tests keep bitwise reference
+        # semantics there).
+        if oracle not in ("auto", "host", "device"):
+            raise ValueError("oracle must be 'auto', 'host' or 'device', "
+                             f"got {oracle!r}")
+        has_dev_oracle = all(hasattr(g, "device_oracle_state")
+                             for g in self.gps)
+        if oracle == "auto":
+            import jax as _jax
+            oracle = ("device"
+                      if _jax.default_backend() != "cpu" and has_dev_oracle
+                      else "host")
+        elif oracle == "device" and not has_dev_oracle:
+            raise ValueError(
+                "oracle='device' requires models exposing "
+                "device_oracle_state (GPRegression, SparseGPRegression)")
+        self._oracle = oracle
         # Reduced-precision certified mode: run the full-grid interval
         # pass at 'default' (1-pass) or 'high' (3-pass) MXU precision,
         # restore full precision on the decision-critical rows
@@ -530,6 +577,9 @@ class SafeOpt(GaussianProcessOptimization):
         """
         import logging
 
+        if self._oracle == "device":
+            return self._certified_step_device(kernels, states, ucb)
+
         dtype = default_dtype()
         k = self._boundary_k
         consts = self._step_consts()
@@ -610,6 +660,84 @@ class SafeOpt(GaussianProcessOptimization):
             ucb=ucb, use_lipschitz=self._use_lipschitz,
             chunk=self._expander_chunk, use_pallas=self._use_pallas)
         return corrected, None
+
+    def _certified_step_device(self, kernels, states, ucb: bool):
+        """Certified iteration, settled entirely on device.
+
+        Three chained dispatches, ZERO intermediate host pulls:
+        ``interval_scan`` (f32 intervals + refinement + band triage,
+        NO classification), ``device_oracle`` (float64 verdicts for
+        the <=k band rows against each model's ``OracleState`` — the
+        same f64 factors the host oracle uses), and
+        ``certified_finish`` (classify/expander/select ONCE with the
+        settled bits). The host blocks only on the final 9-int
+        diagnostics buffer — the same single pull the plain step pays —
+        so certification costs ~the oracle's 0.3 ms of f64 compute
+        instead of the host protocol's extra round trips + redundant
+        re-classification (measured 141-154 ms -> ~plain at cap512).
+        """
+        import logging
+
+        import jax as _jax
+
+        dtype = default_dtype()
+        k = self._boundary_k
+        consts = self._step_consts()
+        beta32 = jnp.asarray(self.beta(self.t), dtype)
+        Q, packed_t = interval_scan(
+            kernels, states, self._grid(), consts["fmin"], beta32,
+            consts["scaling"], consts["boundary_band"],
+            refine_band=consts["refine_band"], k=k,
+            refine_k=self._refine_k,
+            refine_band_k=(self._refine_band_k
+                           if self._interval_precision is not None else 0),
+            use_pallas=self._use_pallas,
+            interval_precision=self._interval_precision)
+
+        ostates, kinds = [], []
+        for g in self.gps:
+            st, kind = g.device_oracle_state()
+            ostates.append(st)
+            kinds.append(kind)
+        constrained = tuple(bool(np.isfinite(f))
+                            for f in np.atleast_1d(self.fmin))
+        with _jax.enable_x64(True):
+            fmin64 = jnp.asarray(np.atleast_1d(
+                np.asarray(self.fmin, dtype=np.float64)))
+            beta64 = jnp.asarray(float(self.beta(self.t)), jnp.float64)
+            fix_idx, fix_bits, flips, n_within = device_oracle(
+                kernels, tuple(ostates), self._grid(), Q, packed_t,
+                fmin64, beta64, kinds=tuple(kinds),
+                constrained=constrained, k=k)
+
+        settled, diag9 = certified_finish(
+            kernels, states, self._grid(), Q, packed_t, fix_idx,
+            fix_bits, flips, n_within, consts["fmin"], beta32,
+            consts["scaling"], consts["threshold"], consts["lipschitz"],
+            ucb=ucb, use_lipschitz=self._use_lipschitz,
+            chunk=self._expander_chunk, use_pallas=self._use_pallas)
+
+        d = np.asarray(diag9)                    # the ONE host pull
+        flips_h, total = int(d[5]), int(d[6])
+        refine_pop, n_within_h = int(d[7]), int(d[8])
+        if total > k:
+            logging.warning(
+                "exact_boundaries: %d candidates inside the ambiguity "
+                "band exceed the triage budget k=%d; only the k closest "
+                "to a threshold were certified", total, k)
+        self._band_overflow = total > k
+        self._refine_band_population = refine_pop
+        refine_budget = self._refine_band_k + self._refine_k
+        self._refine_band_overflow = refine_pop > refine_budget
+        if self._refine_band_overflow:
+            logging.warning(
+                "interval_precision: %d rows inside the refinement band "
+                "exceed the refine budget %d (refine_band_k + refine_k); "
+                "un-refined near-boundary rows keep reduced-precision "
+                "noise", refine_pop, refine_budget)
+        self._band_population = n_within_h
+        self._certified_corrections = flips_h
+        return settled, d[:5]
 
     def _run_step(self, context=_KEEP_CONTEXT, ucb: bool = False):
         """Execute the fused device step and mirror results host-side.

@@ -61,7 +61,8 @@ from ..gp.regression import GPState
 
 __all__ = ["StepResult", "safeopt_step", "safe_maximum",
            "full_expander_sets", "boundary_scan", "safeopt_step_from_Q",
-           "certified_scan"]
+           "certified_scan", "interval_scan", "device_oracle",
+           "certified_finish"]
 
 
 class StepResult(NamedTuple):
@@ -116,6 +117,40 @@ def _posterior_with_V(kernel: Kernel, state: GPState, grid: jnp.ndarray):
     return mu, var, V
 
 
+# The XLA interval path materializes (cap, N) temporaries (kvec, V); at
+# cap=1024 x 1e6 grid x 2 GPs those alone are ~15 GB and the program
+# OOMs the 16 GB HBM at compile time (measured, round 5). Above this
+# per-GP V-size the posterior runs CHUNKED over the grid instead
+# (sequential lax.map, HBM bounded by one chunk, V not retained — the
+# expander recomputes its cross terms chunk-wise, which it already
+# does on the Pallas path).
+_V_BYTES_LIMIT = 3 << 30
+_CHUNK_ROWS = 1 << 16
+
+
+def _posterior_chunked(kernel: Kernel, state: GPState, grid: jnp.ndarray):
+    """(mu, var) over the grid with HBM bounded by one grid chunk."""
+    cap = state.capacity
+    n, d = grid.shape
+    mask = (jnp.arange(cap) < state.count).astype(grid.dtype)
+    lmasked = state.Linv * mask[None, :]
+
+    block = min(_CHUNK_ROWS, n)
+    pad = (-n) % block
+    gpad = (jnp.concatenate([grid, jnp.zeros((pad, d), grid.dtype)])
+            if pad else grid)
+
+    def one(gb):
+        kvec = kernel.K(state.X, gb) * mask[:, None]       # (cap, B)
+        V = lmasked @ kvec                                 # (cap, B)
+        mu = V.T @ state.w
+        var = jnp.maximum(kernel.Kdiag(gb) - jnp.sum(V * V, axis=0), 0.0)
+        return mu, var
+
+    mu, var = jax.lax.map(one, gpad.reshape(-1, block, d))
+    return mu.reshape(-1)[:n], var.reshape(-1)[:n]
+
+
 def _confidence_intervals(kernels, states, grid, beta, use_pallas=False,
                           three_pass=False):
     """Q columns, plus per-GP (mu, sigma, V) retained for the expander.
@@ -133,6 +168,7 @@ def _confidence_intervals(kernels, states, grid, beta, use_pallas=False,
     if use_pallas:
         from ..ops.fused_posterior import (fused_intervals,
                                            fused_intervals_batched,
+                                           fused_vmem_ok,
                                            supports_batched, supports_kernel)
         if supports_batched(kernels, states, grid.shape[1]):
             # one grid pass for every GP. (A batched-parts variant for
@@ -151,7 +187,8 @@ def _confidence_intervals(kernels, states, grid, beta, use_pallas=False,
             return jnp.stack(cols, axis=1), mus, sigmas, Vs
 
     for kern, st in zip(kernels, states):
-        if use_pallas and supports_kernel(kern):
+        if use_pallas and supports_kernel(kern) and fused_vmem_ok(
+                st.capacity, 1, grid.shape[1]):
             l, u = fused_intervals(kern, st, grid, beta,
                                    three_pass=three_pass)
             mus.append((l + u) * 0.5)
@@ -159,7 +196,11 @@ def _confidence_intervals(kernels, states, grid, beta, use_pallas=False,
             Vs.append(None)
             cols.extend([l, u])
             continue
-        mu, var, V = _posterior_with_V(kern, st, grid)
+        if 4 * st.capacity * grid.shape[0] > _V_BYTES_LIMIT:
+            mu, var = _posterior_chunked(kern, st, grid)
+            V = None
+        else:
+            mu, var, V = _posterior_with_V(kern, st, grid)
         sigma = jnp.sqrt(var)
         mus.append(mu)
         sigmas.append(sigma)
@@ -250,8 +291,10 @@ def _chunk_expander_predicate(kernels, states, grid, Q, unsafe, mus, sigmas,
 
             if use_pallas:
                 from ..ops.fused_expander import fused_expander_predicate
-                from ..ops.fused_posterior import supports_kernel
-                if supports_kernel(kern):
+                from ..ops.fused_posterior import (fused_vmem_ok,
+                                                   supports_kernel)
+                if supports_kernel(kern) and fused_vmem_ok(
+                        st.capacity, 1, grid.shape[1]):
                     pred_i = fused_expander_predicate(
                         kern, st, grid, unsafe, mus[i], sigmas[i], Xc, uc,
                         valid, beta, fmin_i)
@@ -276,7 +319,24 @@ def _chunk_expander_predicate(kernels, states, grid, Q, unsafe, mus, sigmas,
                 cross = Cm.T @ Vs[i]                        # (C, N)
             else:
                 M2 = Cm.T @ (st.Linv * mask[None, :])       # (C, cap)
-                cross = M2 @ (kern.K(st.X, grid) * mask[:, None])
+                if 4 * cap * grid.shape[0] > _V_BYTES_LIMIT:
+                    # (cap, N) kvec would blow HBM (see
+                    # _posterior_chunked); stream grid chunks instead
+                    n, d = grid.shape
+                    block = min(_CHUNK_ROWS, n)
+                    pad = (-n) % block
+                    gpad = (jnp.concatenate(
+                        [grid, jnp.zeros((pad, d), grid.dtype)])
+                        if pad else grid)
+
+                    def one(gb, kern=kern, st=st, mask=mask, M2=M2):
+                        return M2 @ (kern.K(st.X, gb) * mask[:, None])
+
+                    cross = jnp.swapaxes(
+                        jax.lax.map(one, gpad.reshape(-1, block, d)),
+                        0, 1).reshape(M2.shape[0], -1)[:, :n]
+                else:
+                    cross = M2 @ (kern.K(st.X, grid) * mask[:, None])
             E = (kern.K(Xc, grid) - cross) / dd[:, None]    # (C, N)
             mu2 = mus[i][None, :] + E * gain[:, None]
             var2 = jnp.maximum(sigmas[i][None, :] ** 2 - E * E, 0.0)
@@ -838,6 +898,47 @@ def certified_scan(kernels, states, grid, fmin, beta, scaling, threshold,
     valid = (jnp.ones((N,), bool) if num_valid is None
              else jnp.arange(N) < num_valid)
 
+    Q, mus, sigmas, Vs, refine_pop, refined_idx = _scan_intervals(
+        kernels, states, grid, fmin, beta, scaling, valid, band,
+        refine_band, refine_k, refine_band_k, use_pallas,
+        interval_precision)
+
+    with jax.default_matmul_precision(MATMUL_PRECISION):
+        S, M, cand, width, has_safe = _classify(
+            Q, fmin, scaling, threshold, beta, valid)
+
+        if ucb:
+            G = jnp.zeros_like(S)
+            M = jnp.zeros_like(S)
+        else:
+            lip = lipschitz if use_lipschitz else None
+            G = _find_first_expander(kernels, states, grid, Q, valid & ~S,
+                                     mus, sigmas, Vs, fmin, beta, lip,
+                                     cand, width, chunk,
+                                     use_pallas=use_pallas)
+
+        next_idx = _select_query(Q, S, M, G, scaling, ucb)
+        res = _pack_result(Q, S, M, G, next_idx, has_safe)
+
+        idx, within, total_within = _band_triage(
+            Q, refined_idx, fmin, scaling, valid, band, k)
+        packed = jnp.concatenate([
+            res.diag, total_within.astype(jnp.int32)[None],
+            refine_pop.astype(jnp.int32)[None],
+            idx.astype(jnp.int32), within.astype(jnp.int32),
+            S[idx].astype(jnp.int32)])
+    return res, packed
+
+
+def _scan_intervals(kernels, states, grid, fmin, beta, scaling, valid,
+                    band, refine_band, refine_k, refine_band_k,
+                    use_pallas, interval_precision):
+    """Shared pass-1 interval machinery of the certified paths: the
+    full-grid interval pass at the requested precision, then (reduced-
+    precision mode) the unified full-precision refinement. Returns
+    ``(Q, mus, sigmas, Vs, refine_pop, refined_idx)``."""
+    from ..config import MATMUL_PRECISION
+
     prec = interval_precision or MATMUL_PRECISION
     if prec == "high" and use_pallas:
         # Mosaic lowers only DEFAULT/HIGHEST dots; 'high' on the Pallas
@@ -863,44 +964,155 @@ def certified_scan(kernels, states, grid, fmin, beta, scaling, threshold,
                 refine_k, max(refine_band_k, 1), rband)
             mus, sigmas = _moments_from_Q(Q, beta)
             Vs = [None] * len(mus)
+    return Q, mus, sigmas, Vs, refine_pop, refined_idx
 
-        S, M, cand, width, has_safe = _classify(
-            Q, fmin, scaling, threshold, beta, valid)
 
-        if ucb:
-            G = jnp.zeros_like(S)
-            M = jnp.zeros_like(S)
-        else:
-            lip = lipschitz if use_lipschitz else None
-            G = _find_first_expander(kernels, states, grid, Q, valid & ~S,
-                                     mus, sigmas, Vs, fmin, beta, lip,
-                                     cand, width, chunk,
-                                     use_pallas=use_pallas)
+def _band_triage(Q, refined_idx, fmin, scaling, valid, band, k):
+    """Top-k rows by closeness to a safety threshold, flagged when
+    inside the f64 certification band. Over the refined subset in
+    reduced-precision mode (every possible in-band row was refined, so
+    one small top_k replaces a second 4.3 ms full-grid sweep)."""
+    if refined_idx is not None and refined_idx.shape[0] >= k:
+        sub = _safety_margin(Q[refined_idx], fmin, scaling,
+                             jnp.ones((refined_idx.shape[0],), bool))
+        sub = jnp.where(jnp.take(valid, refined_idx), sub, jnp.inf)
+        neg, j = partial_top_k(-sub, k)
+        idx = jnp.take(refined_idx, j)
+        within = (-neg) < band
+        total_within = jnp.sum(sub < band)
+    else:
+        margin = _safety_margin(Q, fmin, scaling, valid)
+        neg, idx = partial_top_k(-margin, k)
+        within = (-neg) < band
+        total_within = jnp.sum(margin < band)
+    return idx, within, total_within
 
-        next_idx = _select_query(Q, S, M, G, scaling, ucb)
-        res = _pack_result(Q, S, M, G, next_idx, has_safe)
 
-        if refined_idx is not None and refined_idx.shape[0] >= k:
-            # Reduced-precision mode: every row whose TRUE margin can
-            # sit inside the narrow f64 band was refined (the refine
-            # band covers the reduced-precision noise), so the triage
-            # runs over the refined subset — one small top_k instead of
-            # a second 4.3 ms full-grid sweep.
-            sub = _safety_margin(Q[refined_idx], fmin, scaling,
-                                 jnp.ones((refined_idx.shape[0],), bool))
-            sub = jnp.where(jnp.take(valid, refined_idx), sub, jnp.inf)
-            neg, j = partial_top_k(-sub, k)
-            idx = jnp.take(refined_idx, j)
-            within = (-neg) < band
-            total_within = jnp.sum(sub < band)
-        else:
-            margin = _safety_margin(Q, fmin, scaling, valid)
-            neg, idx = partial_top_k(-margin, k)
-            within = (-neg) < band
-            total_within = jnp.sum(margin < band)
-        packed = jnp.concatenate([
-            res.diag, total_within.astype(jnp.int32)[None],
+@partial(jax.jit, static_argnames=("k", "refine_k", "refine_band_k",
+                                   "use_pallas", "interval_precision"))
+def interval_scan(kernels, states, grid, fmin, beta, scaling, band,
+                  num_valid=None, refine_band=None, *, k: int = 128,
+                  refine_k: int = 0, refine_band_k: int = 0,
+                  use_pallas: bool = False, interval_precision=None):
+    """Pass 1 of the DEVICE-ORACLE certified iteration: intervals
+    (+ reduced-precision refinement) + band triage — NO classification.
+
+    The host-oracle protocol classifies in pass 1 and re-classifies in
+    the correction whenever a knife-edge verdict flips; on workloads
+    where band rows genuinely straddle the f32/f64 boundary (measured:
+    ~50 of 1,400 band rows at cap512, EVERY iteration) that redundant
+    classify+expander+select pass costs ~12 ms per iteration forever.
+    The device-oracle pipeline instead classifies ONCE, after the f64
+    verdicts exist: ``interval_scan -> device_oracle ->
+    certified_finish``, all chained on device, one diagnostics pull.
+
+    Returns ``(Q, packed_t)`` with
+    ``packed_t = [total_within, refine_pop, idx(k), within(k)]`` (i32).
+    """
+    N = grid.shape[0]
+    valid = (jnp.ones((N,), bool) if num_valid is None
+             else jnp.arange(N) < num_valid)
+    from ..config import MATMUL_PRECISION
+
+    Q, _, _, _, refine_pop, refined_idx = _scan_intervals(
+        kernels, states, grid, fmin, beta, scaling, valid, band,
+        refine_band, refine_k, refine_band_k, use_pallas,
+        interval_precision)
+    with jax.default_matmul_precision(MATMUL_PRECISION):
+        idx, within, total_within = _band_triage(
+            Q, refined_idx, fmin, scaling, valid, band, k)
+        packed_t = jnp.concatenate([
+            total_within.astype(jnp.int32)[None],
             refine_pop.astype(jnp.int32)[None],
-            idx.astype(jnp.int32), within.astype(jnp.int32),
-            S[idx].astype(jnp.int32)])
-    return res, packed
+            idx.astype(jnp.int32), within.astype(jnp.int32)])
+    return Q, packed_t
+
+
+# ---------------------------------------------------------------------------
+# on-device float64 knife-edge oracle (round 5)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("kinds", "constrained", "k"))
+def device_oracle(kernels, ostates, grid, Q, packed_t, fmin, beta, *,
+                  kinds, constrained, k: int):
+    """Settle the certified band's safe verdicts in float64 ON DEVICE.
+
+    The host-oracle protocol costs, per iteration with flips: one
+    round trip to pull the packed band buffer, a host f64 predict, a
+    correction dispatch, and a second round trip for its diagnostics —
+    measured 141-154 ms end-to-end at cap512 over the remote tunnel vs
+    54 ms for the plain step (round 5). This program removes every
+    host touch: it consumes ``interval_scan``'s triage buffer *as a
+    device array*, recomputes the <=k in-band rows' lower bounds at
+    float64 against each model's :class:`OracleState` (the SAME f64
+    factors the host oracle uses — XLA emulates F64 on the TPU VPU;
+    the oracle-shaped matmul measured 0.25-0.34 ms), and emits the fix
+    bits ``certified_finish`` classifies with. Decisions match the
+    host oracle except on ~1e-15-relative knife edges (accumulation
+    order), asserted empirically on the production workload by
+    bench.py (``cap512_device_oracle_match``; also this round's
+    hardware probe: host-oracle trajectory match at both precisions).
+
+    Trace and dispatch under ``jax.enable_x64(True)``. ``kinds`` picks
+    each model's mu formula ('exact': ``V^T w``; 'sparse':
+    ``k^T alpha`` — mirroring ``predict_f64`` exactly);
+    ``constrained`` statically skips unconstrained GPs like the host
+    loop does. ``flips`` (pass-1 f32 verdict vs f64) is telemetry,
+    computed here from the gathered Q rows.
+
+    Reference contract: the f64 exactness of near-threshold
+    ``compute_safe_set`` decisions (gp_opt.py:478-481).
+    """
+    idx = packed_t[2:2 + k]
+    within = packed_t[2 + k:2 + 2 * k] > 0
+
+    pts = grid[jnp.maximum(idx, 0)].astype(jnp.float64)
+    l_rows = Q[jnp.maximum(idx, 0), 0::2]               # f32 pass-1 l
+    safe64 = jnp.ones((k,), bool)
+    s_f32 = jnp.ones((k,), bool)
+    for i, (kern, st, kind) in enumerate(zip(kernels, ostates, kinds)):
+        if not constrained[i]:
+            continue
+        cap = st.capacity
+        mask = (jnp.arange(cap) < st.count).astype(jnp.float64)
+        kvec = kern.K(st.X, pts) * mask[:, None]          # (cap, k) f64
+        V = st.F @ kvec
+        if kind == "sparse":
+            mu = kvec.T @ st.alpha
+        else:
+            mu = V.T @ st.w
+        var = kern.Kdiag(pts) - jnp.sum(V * V, axis=0)
+        l64 = mu - beta * jnp.sqrt(jnp.maximum(var, 0.0))
+        safe64 &= l64 > fmin[i]
+        s_f32 &= l_rows[:, i] > fmin[i].astype(l_rows.dtype)
+
+    fix_idx = jnp.where(within, idx, -1).astype(jnp.int32)
+    fix_bits = within & safe64
+    flips = jnp.sum(within & (safe64 != s_f32)).astype(jnp.int32)
+    n_within = jnp.sum(within).astype(jnp.int32)
+    return fix_idx, fix_bits, flips, n_within
+
+
+@partial(jax.jit, static_argnames=("ucb", "use_lipschitz", "chunk",
+                                   "use_pallas"))
+def certified_finish(kernels, states, grid, Q, packed_t, fix_idx,
+                     fix_bits, flips, n_within, fmin, beta, scaling,
+                     threshold, lipschitz=None, num_valid=None, *,
+                     ucb: bool = False, use_lipschitz: bool = False,
+                     chunk: int = 64, use_pallas: bool = False):
+    """Pass 3 of the device-oracle certified iteration: classify ONCE
+    with the f64-settled safe bits scattered in (the
+    ``safeopt_step_from_Q`` protocol), then pack the caller's stats
+    into one 9-int diagnostics buffer
+    ``[has_safe, next_idx, |S|, |M|, anyG, flips, total_within,
+    refine_pop, n_within]`` — the certified path's ONLY host pull,
+    same count as the plain step's."""
+    res = safeopt_step_from_Q(
+        kernels, states, grid, Q, fix_idx, fix_bits, fmin, beta,
+        scaling, threshold, lipschitz, num_valid, ucb=ucb,
+        use_lipschitz=use_lipschitz, chunk=chunk, use_pallas=use_pallas)
+    diag9 = jnp.concatenate([
+        res.diag, flips[None], packed_t[0:1], packed_t[1:2],
+        n_within[None]])
+    return res, diag9

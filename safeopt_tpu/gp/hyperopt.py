@@ -86,7 +86,7 @@ def fit_hyperparameters(kernel, X, Y, noise_var: float, *,
                         noise_floor: float = 1e-6,
                         restarts: int = 0, restart_scale: float = 1.5,
                         seed: int = 0, lml_fn=None, polish: bool = True,
-                        inducing=None) -> Tuple:
+                        inducing=None, device: str = "auto") -> Tuple:
     """Maximize the marginal likelihood over kernel params (+ noise).
 
     All kernel pytree leaves (variances, lengthscales — scalar or ARD,
@@ -214,11 +214,24 @@ def fit_hyperparameters(kernel, X, Y, noise_var: float, *,
             params_b = jax.tree_util.tree_map(lambda v: v[None], params)
             runner = jax.jit(jax.vmap(run))
 
-        # Tiny problem; host CPU avoids per-step accelerator round trips.
-        try:
-            cpu = jax.devices("cpu")[0]
-        except RuntimeError:
-            cpu = None
+        # Device routing, MEASURED (bench.py hyperopt section, round
+        # 5): the LML objective is (n, n) factor math — far below MXU
+        # shapes — and an Adam scan of hundreds of tiny steps, so the
+        # host CPU wins end-to-end over a remote accelerator for the
+        # bench shapes (n<=512): per-step dispatch+sync overheads and
+        # a much slower small-matrix f64 path dominate any compute win.
+        # 'auto' therefore routes to the CPU when one is registered;
+        # 'accel' (used by the bench to keep the comparison honest)
+        # leaves the backend default in charge.
+        if device not in ("auto", "cpu", "accel"):
+            raise ValueError("device must be 'auto', 'cpu' or 'accel', "
+                             f"got {device!r}")
+        cpu = None
+        if device in ("auto", "cpu"):
+            try:
+                cpu = jax.devices("cpu")[0]
+            except RuntimeError:
+                cpu = None
         if cpu is not None:
             with jax.default_device(cpu):
                 params_b, lmls = runner(params_b)

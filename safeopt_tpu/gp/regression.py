@@ -72,6 +72,32 @@ class GPState(NamedTuple):
         return self.X.shape[1]
 
 
+class OracleState(NamedTuple):
+    """Float64 device mirror of a model's HOST exactness oracle.
+
+    Carries exactly the f64 factors ``predict_f64`` uses, so the
+    device can settle knife-edge safe-set decisions at full precision
+    without a host round trip (``safe_opt_core.device_oracle``):
+    operands are bit-identical to the host oracle's, only the
+    accumulation order differs (XLA f64 emulation vs BLAS), so
+    decisions agree except on ~1e-15-relative knife edges (asserted on
+    hardware by bench.py ``cap512_device_oracle_match``). Create the
+    arrays under ``jax.enable_x64(True)`` — a float32 session would
+    silently downcast them otherwise.
+    """
+
+    X: jnp.ndarray        # (cap, d) f64 data rows (inducing rows: sparse)
+    F: jnp.ndarray        # (cap, cap) f64 factor; V = F @ k(X, q)
+    w: jnp.ndarray        # (cap,) f64 whitened weights (exact: mu = V^T w)
+    alpha: jnp.ndarray    # (cap,) f64 direct weights (sparse: mu = k^T a)
+    count: jnp.ndarray    # () int32 active rows
+
+    @property
+    def capacity(self) -> int:
+        """Padded buffer size."""
+        return self.X.shape[0]
+
+
 def _row_mask(cap: int, count: jnp.ndarray, dtype) -> jnp.ndarray:
     return (jnp.arange(cap) < count).astype(dtype)
 
@@ -257,6 +283,7 @@ class GPRegression:
         # anyway, so this costs nothing there.
         dtype = default_dtype()
         h = self._host
+        self._oracle_cache = None        # f64 mirror is now stale
         return GPState(
             X=jnp.array(h.X, dtype, copy=True),
             Y=jnp.array(h.Y, dtype, copy=True),
@@ -266,6 +293,23 @@ class GPRegression:
             w=jnp.array(h.w, dtype, copy=True),
             noise_var=jnp.asarray(float(h.noise_var), dtype),
         )
+
+    def device_oracle_state(self):
+        """``(OracleState, 'exact')`` — the float64 device mirror of
+        this model's host oracle (``predict_f64``), for on-device
+        knife-edge certification (``SafeOpt(oracle='device')``).
+        Same operands as the host oracle (the f64 factor), shipped
+        lazily and re-shipped only after a model update."""
+        if getattr(self, "_oracle_cache", None) is None:
+            h = self._host
+            with jax.enable_x64(True):
+                self._oracle_cache = OracleState(
+                    X=jnp.array(h.X, jnp.float64, copy=True),
+                    F=jnp.array(h.Linv, jnp.float64, copy=True),
+                    w=jnp.array(h.w, jnp.float64, copy=True),
+                    alpha=jnp.zeros((h.X.shape[0],), jnp.float64),
+                    count=jnp.asarray(int(h.count), jnp.int32))
+        return self._oracle_cache, "exact"
 
     # -- GPy API surface ---------------------------------------------------
     @property

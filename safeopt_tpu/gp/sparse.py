@@ -315,6 +315,7 @@ class SparseGPRegression:
 
         self._alpha = alpha
         self._R = R                     # host f64 pseudo-factor (m, m)
+        self._oracle_cache = None       # f64 device mirror now stale
         dtype = default_dtype()
         self._state = GPState(
             X=jnp.asarray(Xp, dtype), Y=jnp.asarray(Yp, dtype),
@@ -376,6 +377,31 @@ class SparseGPRegression:
         return mu[:, None], np.maximum(var, 0.0)[:, None]
 
     _raw_predict = predict_noiseless
+
+    def device_oracle_state(self):
+        """``(OracleState, 'sparse')`` — float64 device mirror of the
+        DTC host oracle (``predict_f64``: ``mu = k^T alpha``,
+        ``V = R k``), for on-device knife-edge certification. Exact
+        FOR THE DTC MODEL, like the host oracle."""
+        if getattr(self, "_oracle_cache", None) is None:
+            import jax
+
+            from .regression import OracleState
+            m, cap = self._m, self._cap
+            with jax.enable_x64(True):
+                Xp = np.zeros((cap, self.Z.shape[1]))
+                Xp[:m] = self.Z
+                Fp = np.eye(cap)
+                Fp[:m, :m] = self._R
+                ap = np.zeros(cap)
+                ap[:m] = self._alpha
+                self._oracle_cache = OracleState(
+                    X=jnp.asarray(Xp, jnp.float64),
+                    F=jnp.asarray(Fp, jnp.float64),
+                    w=jnp.zeros((cap,), jnp.float64),
+                    alpha=jnp.asarray(ap, jnp.float64),
+                    count=jnp.asarray(m, jnp.int32))
+        return self._oracle_cache, "sparse"
 
     def predict_f64(self, Xq):
         """Float64 DTC latent posterior (mu, var), each 1-D of length q

@@ -369,6 +369,23 @@ def _fused_intervals_impl(zt, xs, lm, w_row, scales, pvar, scal,
     )(zt, xs, lm, w_row, scales, pvar, scal)
 
 
+def fused_vmem_ok(cap: int, num_gps: int, d: int) -> bool:
+    """Conservative VMEM feasibility of the fused interval kernels.
+
+    The whitened factors are resident for the whole pass
+    (``num_gps * cap^2`` f32 — 8 MB at cap=1024 x 2 GPs) ON TOP of the
+    per-block working set ``_pick_block`` budgets, and the 3-pass
+    emulation roughly doubles the gram/solve tiles (hi/lo limbs).
+    Round 5: cap=1024 x 2 GPs x 3-pass exceeded the 16 MB scoped VMEM
+    by 8.8 MB at compile time on hardware. Oversized configurations
+    route to the XLA interval path instead (correct, and the MXU still
+    does the matmuls — only the manual fusion is lost).
+    """
+    factors = 4 * num_gps * cap * cap
+    per_block = 2 * 4 * 512 * (2 * cap + 2 * num_gps + d + 16)
+    return factors + per_block <= (12 << 20)
+
+
 def _pick_block(cap: int, extra_rows: int = 0, budget_bytes: int = 6 << 20,
                 cap_block: int = 4096) -> int:
     """Largest 512-multiple block whose VMEM working set fits.
@@ -579,6 +596,9 @@ def supports_batched(kernels, states, d=None) -> bool:
     if len({type(k) for k in kernels}) != 1:
         return False
     if len({s.capacity for s in states}) != 1:
+        return False
+    if not fused_vmem_ok(states[0].capacity, len(kernels),
+                         kernels[0].input_dim):
         return False
     return len({k.input_dim for k in kernels}) == 1
 

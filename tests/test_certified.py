@@ -523,6 +523,7 @@ class TestAutoCertifiedPolicy:
         assert opt._interval_precision == "high"
         assert opt._exact_boundaries is True
         assert opt._auto_certified is True
+        assert opt._oracle == "device"        # on-device f64 settlement
         assert opt._refine_k == 50            # auto head sizing: min(2048, N)
 
     @pytest.mark.parametrize("kwargs,why", [
@@ -563,3 +564,150 @@ class TestAutoCertifiedPolicy:
         assert opt._auto_certified
         x = opt.optimize()
         assert np.isfinite(x).all()
+
+
+class TestDeviceOracle:
+    """On-device float64 settlement (oracle='device'): the same f64
+    factors the host oracle uses, evaluated by the accelerator, with
+    corrections applied in-program (safe_opt_core.device_oracle /
+    certified_settle). Must reproduce the host-oracle path's
+    trajectory and sets."""
+
+    def _gps(self, sparse=False):
+        rng = np.random.default_rng(2)
+        X = rng.uniform(-2.0, 2.0, size=(60, 2))
+        Y = (1.0 + np.exp(-0.5 * np.sum(X ** 2, axis=1))
+             + 0.01 * rng.normal(size=60))[:, None]
+        kern = RBF(2, variance=2.0, lengthscale=1.0)
+        if sparse:
+            return SparseGPRegression(X, Y, kern, noise_var=1e-4,
+                                      inducing=16)
+        return GPRegression(X, Y, kern, noise_var=1e-4)
+
+    def _grid(self):
+        return linearly_spaced_combinations(
+            [(-2.0, 2.0), (-2.0, 2.0)], 30)
+
+    @pytest.mark.parametrize("sparse", [False, True])
+    def test_matches_host_oracle_path(self, sparse):
+        grid = self._grid()
+        host = SafeOpt(self._gps(sparse), grid, fmin=[1.0],
+                       exact_boundaries=True, oracle="host",
+                       use_pallas=False)
+        dev = SafeOpt(self._gps(sparse), grid, fmin=[1.0],
+                      exact_boundaries=True, oracle="device",
+                      use_pallas=False)
+        x_h = host.optimize()
+        x_d = dev.optimize()
+        np.testing.assert_array_equal(x_d, x_h)
+        np.testing.assert_array_equal(dev.S, host.S)
+        np.testing.assert_array_equal(dev.M, host.M)
+        np.testing.assert_array_equal(dev.G, host.G)
+        assert dev._band_population == host._band_population
+        assert dev._certified_corrections == host._certified_corrections
+
+    def test_oracle_state_matches_host_factors(self):
+        gp = self._gps()
+        st, kind = gp.device_oracle_state()
+        assert kind == "exact"
+        assert st.X.dtype == np.float64 and st.F.dtype == np.float64
+        np.testing.assert_array_equal(np.asarray(st.F), gp._host.Linv)
+        np.testing.assert_array_equal(np.asarray(st.w), gp._host.w)
+        # cache invalidates on model update
+        gp.append_data(np.array([0.3, -0.2]), 1.4)
+        st2, _ = gp.device_oracle_state()
+        assert int(st2.count) == int(st.count) + 1
+
+    def test_interval_scan_plus_finish_equals_certified_scan(self):
+        """The device-oracle pipeline's pass 1+3 (interval_scan ->
+        certified_finish with NO fixes) must reproduce certified_scan's
+        classification exactly — they are the same math with
+        classification moved after the oracle. And manufactured flips
+        through certified_finish equal a direct safeopt_step_from_Q."""
+        import jax.numpy as jnp
+
+        from safeopt_tpu.algorithms.safe_opt_core import (
+            certified_finish, certified_scan, interval_scan,
+            safeopt_step_from_Q)
+        from safeopt_tpu.config import default_dtype
+
+        gp = self._gps()
+        grid = jnp.asarray(self._grid(), default_dtype())
+        dtype = default_dtype()
+        fmin = jnp.asarray([1.0], dtype)
+        beta = jnp.asarray(2.0, dtype)
+        scaling = jnp.asarray([np.sqrt(2.0)], dtype)
+        threshold = jnp.asarray([0.0], dtype)
+        k = 64
+        res, packed = certified_scan(
+            (gp.kern,), (gp.state,), grid, fmin, beta, scaling,
+            threshold, jnp.asarray(1e-3, dtype), k=k, chunk=16)
+        Q, packed_t = interval_scan(
+            (gp.kern,), (gp.state,), grid, fmin, beta, scaling,
+            jnp.asarray(1e-3, dtype), k=k)
+        np.testing.assert_array_equal(np.asarray(Q), np.asarray(res.Q))
+        # triage halves agree: [total, refine_pop, idx(k), within(k)]
+        np.testing.assert_array_equal(np.asarray(packed_t),
+                                      np.asarray(packed)[5:5 + 2 + 2 * k])
+
+        p = np.asarray(packed_t)
+        idx = p[2:2 + k]
+        within = p[2 + k:2 + 2 * k].astype(bool)
+        assert within.any(), "test config must have band rows"
+
+        zero = jnp.asarray(0, jnp.int32)
+        no_fix = jnp.full((k,), -1, jnp.int32)
+        out0, diag0 = certified_finish(
+            (gp.kern,), (gp.state,), grid, Q, packed_t, no_fix,
+            jnp.zeros((k,), bool), zero, zero,
+            fmin, beta, scaling, threshold, chunk=16)
+        np.testing.assert_array_equal(np.asarray(out0.S),
+                                      np.asarray(res.S))
+        np.testing.assert_array_equal(np.asarray(out0.M),
+                                      np.asarray(res.M))
+        np.testing.assert_array_equal(np.asarray(out0.G),
+                                      np.asarray(res.G))
+        assert int(out0.next_idx) == int(res.next_idx)
+        assert diag0.shape == (9,)
+
+        # manufactured flips == direct from_Q
+        s32 = np.asarray(res.S)[idx]
+        fix_bits = np.where(within, ~s32, False)
+        fix_idx = np.where(within, idx, -1).astype(np.int32)
+        out, diag9 = certified_finish(
+            (gp.kern,), (gp.state,), grid, Q, packed_t,
+            jnp.asarray(fix_idx), jnp.asarray(fix_bits),
+            jnp.asarray(int(within.sum()), jnp.int32),
+            jnp.asarray(int(within.sum()), jnp.int32),
+            fmin, beta, scaling, threshold, chunk=16)
+        ref = safeopt_step_from_Q(
+            (gp.kern,), (gp.state,), grid, Q, jnp.asarray(fix_idx),
+            jnp.asarray(fix_bits), fmin, beta, scaling, threshold,
+            chunk=16)
+        np.testing.assert_array_equal(np.asarray(out.S),
+                                      np.asarray(ref.S))
+        assert int(out.next_idx) == int(ref.next_idx)
+        assert int(diag9[5]) == int(within.sum())
+
+    def test_auto_resolves_host_on_cpu(self):
+        opt = SafeOpt(self._gps(), self._grid(), fmin=[1.0],
+                      exact_boundaries=True, use_pallas=False)
+        assert opt._oracle == "host"
+
+    def test_validation(self):
+        with pytest.raises(ValueError, match="oracle"):
+            SafeOpt(self._gps(), self._grid(), fmin=[1.0],
+                    oracle="nonsense")
+
+    def test_reduced_precision_with_device_oracle(self):
+        grid = self._grid()
+        host = SafeOpt(self._gps(), grid, fmin=[1.0],
+                       interval_precision="high", oracle="host",
+                       use_pallas=False)
+        dev = SafeOpt(self._gps(), grid, fmin=[1.0],
+                      interval_precision="high", oracle="device",
+                      use_pallas=False)
+        x_h = host.optimize()
+        x_d = dev.optimize()
+        np.testing.assert_array_equal(x_d, x_h)
+        np.testing.assert_array_equal(dev.S, host.S)

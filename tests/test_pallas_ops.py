@@ -475,3 +475,101 @@ def test_batched_group_stacking_three_pass():
                         rtol=1e-10, atol=1e-12)
         assert_allclose(np.asarray(batched[g][1]), np.asarray(u_ref),
                         rtol=1e-10, atol=1e-12)
+
+
+class TestVmemFeasibilityGate:
+    """cap=1024 x 2 GPs x 3-pass exceeded the 16 MB scoped VMEM at
+    compile time on hardware (round 5): the resident whitened factors
+    (num_gps * cap^2 f32) were unbudgeted. Oversized configs must
+    route to the XLA interval path instead of failing to compile."""
+
+    def test_feasibility_matrix(self):
+        from safeopt_tpu.ops.fused_posterior import fused_vmem_ok
+        assert fused_vmem_ok(512, 2, 2)          # production bench shape
+        assert fused_vmem_ok(256, 2, 2)
+        assert not fused_vmem_ok(1024, 2, 2)     # the hardware OOM
+        assert not fused_vmem_ok(2048, 1, 2)
+
+    def test_supports_batched_respects_vmem(self):
+        import numpy as np
+
+        from safeopt_tpu.gp import GPRegression, RBF
+        from safeopt_tpu.ops.fused_posterior import supports_batched
+
+        def gps(cap):
+            rng = np.random.default_rng(0)
+            X = rng.uniform(-1, 1, size=(8, 2))
+            Y = X.sum(axis=1, keepdims=True)
+            return [GPRegression(X, Y, RBF(2), noise_var=1e-3,
+                                 capacity=cap) for _ in range(2)]
+
+        small = gps(256)
+        big = gps(1024)
+        assert supports_batched(tuple(g.kern for g in small),
+                                tuple(g.state for g in small), 2)
+        assert not supports_batched(tuple(g.kern for g in big),
+                                    tuple(g.state for g in big), 2)
+
+    def test_cap1024_step_runs_via_xla_fallback(self):
+        """use_pallas=True at an infeasible capacity must transparently
+        take the XLA interval path and produce the same decisions."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from safeopt_tpu.algorithms.safe_opt_core import safeopt_step
+        from safeopt_tpu.config import default_dtype
+        from safeopt_tpu.gp import GPRegression, RBF
+        from safeopt_tpu.utils import linearly_spaced_combinations
+
+        rng = np.random.default_rng(1)
+        X = rng.uniform(-2, 2, size=(40, 2))
+        Y = (np.exp(-0.5 * np.sum(X ** 2, axis=1)))[:, None]
+        gp = GPRegression(X, Y, RBF(2), noise_var=1e-3, capacity=1024)
+        grid = jnp.asarray(
+            linearly_spaced_combinations([(-2., 2.), (-2., 2.)], 20),
+            default_dtype())
+        dtype = default_dtype()
+        args = ((gp.kern,), (gp.state,), grid,
+                jnp.asarray([0.2], dtype), jnp.asarray(2.0, dtype),
+                jnp.asarray([1.0], dtype), jnp.asarray([0.0], dtype))
+        r_pallas = safeopt_step(*args, chunk=8, use_pallas=True)
+        r_xla = safeopt_step(*args, chunk=8, use_pallas=False)
+        np.testing.assert_array_equal(np.asarray(r_pallas.S),
+                                      np.asarray(r_xla.S))
+        assert int(r_pallas.next_idx) == int(r_xla.next_idx)
+
+    def test_chunked_posterior_matches_unchunked(self, monkeypatch):
+        """With _V_BYTES_LIMIT forced tiny, the chunked XLA interval
+        path (and the expander's chunked cross terms) must reproduce
+        the unchunked decisions exactly — HBM-OOM protection at
+        cap>=1024 x 1e6 grids cannot change results."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        import safeopt_tpu.algorithms.safe_opt_core as core
+        from safeopt_tpu.config import default_dtype
+        from safeopt_tpu.gp import GPRegression, RBF
+        from safeopt_tpu.utils import linearly_spaced_combinations
+
+        rng = np.random.default_rng(3)
+        X = rng.uniform(-2, 2, size=(30, 2))
+        Y = (np.exp(-0.5 * np.sum(X ** 2, axis=1)))[:, None]
+        gp = GPRegression(X, Y, RBF(2), noise_var=1e-3, capacity=64)
+        grid = jnp.asarray(
+            linearly_spaced_combinations([(-2., 2.), (-2., 2.)], 30),
+            default_dtype())
+        dtype = default_dtype()
+        args = ((gp.kern,), (gp.state,), grid,
+                jnp.asarray([0.2], dtype), jnp.asarray(2.0, dtype),
+                jnp.asarray([1.0], dtype), jnp.asarray([0.0], dtype))
+        ref = core.safeopt_step(*args, chunk=8, use_pallas=False)
+        monkeypatch.setattr(core, "_V_BYTES_LIMIT", 1)
+        monkeypatch.setattr(core, "_CHUNK_ROWS", 128)
+        core.safeopt_step._clear_cache()
+        chunked = core.safeopt_step(*args, chunk=8, use_pallas=False)
+        np.testing.assert_array_equal(np.asarray(chunked.S),
+                                      np.asarray(ref.S))
+        np.testing.assert_array_equal(np.asarray(chunked.G),
+                                      np.asarray(ref.G))
+        assert int(chunked.next_idx) == int(ref.next_idx)
+        core.safeopt_step._clear_cache()
