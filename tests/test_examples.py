@@ -41,9 +41,10 @@ def _run(script, *argv):
     ("example_long_campaign.py", ("--n-pre", "60", "--iters", "6",
                                   "--inducing", "9")),
     ("example_quasi_periodic.py", ("--iters", "8", "--refit-every", "4")),
+    ("example_pipelined_campaign.py", ("--iters", "5", "--dim", "3")),
 ], ids=["1d-grid", "1d-swarm", "2d", "multi-constraint", "context",
         "on-device-loop", "pendulum", "pendulum-fleet", "campaign-fleet",
-        "long-campaign", "quasi-periodic"])
+        "long-campaign", "quasi-periodic", "pipelined-campaign"])
 def test_example_runs(script, argv, capsys):
     _run(script, *argv)
     out = capsys.readouterr().out
