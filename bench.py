@@ -1022,7 +1022,8 @@ def _sparse_secondary(grid_dev, n=2000, m=64):
     step_ms_by = {}
     for m_i in (64, 128, 256):
         for c_i, cal in ((0.0, "max"), (0.5, "max"), (1.0, "max"),
-                         (0.5, 0.99), (1.0, 0.99)):
+                         (0.5, 0.99), (0.75, 0.99), (0.85, 0.99),
+                         (1.0, 0.99)):
             sp_i = SparseGPRegression(X, Y, kern, noise_var=0.05 ** 2,
                                       inducing=m_i, conservative=c_i,
                                       calibration=cal)
@@ -1634,11 +1635,17 @@ def _hyperopt_secondary(n=512, restarts=8):
     lml = gp.optimize_restarts(num_restarts=restarts, max_iters=200)
     auto_s = time.perf_counter() - t0
 
+    # The honest accelerator comparison is a SINGLE run: the vmapped
+    # (restarts+1)-way batch CRASHES the TPU worker (libtpu kernel
+    # fault on the batched (512,512) cholesky scan — scoped round 5:
+    # n=512/steps=200 single-run ok at 64 s, the same fit with
+    # restarts=8 kills the worker and every subsequent dispatch).
+    # Projection: single-run time x (restarts + 1).
     t0 = time.perf_counter()
     _, _, lml_accel = fit_hyperparameters(
-        fresh_kern(), X, Y, 0.02, steps=200, restarts=restarts,
-        device="accel")
-    accel_s = time.perf_counter() - t0
+        fresh_kern(), X, Y, 0.02, steps=200, restarts=0,
+        device="accel", polish=False)
+    accel_s = (time.perf_counter() - t0) * (restarts + 1)
 
     # sparse fit incl. inducing moves (GPy sparse optimize semantics)
     Xs = rng.uniform(-3.0, 3.0, size=(2000, 2))
@@ -1654,10 +1661,13 @@ def _hyperopt_secondary(n=512, restarts=8):
     return {
         "hyperopt_restarts_ms": round(auto_s * 1e3, 1),
         "hyperopt_restarts_lml": round(float(lml), 3),
-        "hyperopt_restarts_accel_ms": round(accel_s * 1e3, 1),
-        "hyperopt_restarts_accel_lml": (None if not np.isfinite(lml_accel)
-                                        else round(float(lml_accel), 3)),
+        "hyperopt_accel_projected_ms": round(accel_s * 1e3, 1),
+        "hyperopt_accel_single_lml": (None if not np.isfinite(lml_accel)
+                                      else round(float(lml_accel), 3)),
         "hyperopt_route": "host-cpu f64 (auto)",
+        "hyperopt_accel_note": ("restarts>0 vmapped batch crashes the "
+                                "TPU worker (libtpu fault, round 5); "
+                                "projection = single-run x (r+1)"),
         "hyperopt_auto_beats_accel": bool(auto_s <= accel_s),
         "hyperopt_sparse_inducing_ms": round(sparse_s * 1e3, 1),
         "hyperopt_sparse_lml": round(float(lml_sp), 3),

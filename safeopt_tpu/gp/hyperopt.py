@@ -226,6 +226,17 @@ def fit_hyperparameters(kernel, X, Y, noise_var: float, *,
         if device not in ("auto", "cpu", "accel"):
             raise ValueError("device must be 'auto', 'cpu' or 'accel', "
                              f"got {device!r}")
+        if device == "accel" and restarts > 0:
+            # Measured round 5 (v5e/libtpu): the vmapped
+            # (restarts+1)-way LML scan batch crashes the TPU worker
+            # process outright (kernel fault on the batched cholesky
+            # scan; a single run executes fine). Refuse rather than
+            # kill the caller's session.
+            raise ValueError(
+                "device='accel' with restarts>0 batches the LML scans "
+                "via vmap, which crashes the TPU runtime on this "
+                "stack; use device='auto'/'cpu' (the measured-faster "
+                "route) or loop single accel fits manually")
         cpu = None
         if device in ("auto", "cpu"):
             try:

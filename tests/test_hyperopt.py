@@ -288,3 +288,21 @@ def test_sparse_lml_gradient_wrt_inducing_matches_fd():
                   - float(lml(jax.numpy.asarray(dn)))) / (2 * eps)
             assert_allclose(g[i, 0], fd, rtol=2e-5, atol=1e-7,
                             err_msg=f"inducing row {i}")
+
+
+def test_accel_restarts_refused():
+    """device='accel' with restarts>0 crashes the TPU runtime (round-5
+    measurement); the API must refuse rather than kill the session."""
+    import numpy as np
+    import pytest
+
+    from safeopt_tpu.gp import RBF
+    from safeopt_tpu.gp.hyperopt import fit_hyperparameters
+
+    X = np.random.default_rng(0).uniform(-1, 1, size=(20, 1))
+    Y = X ** 2
+    with pytest.raises(ValueError, match="accel"):
+        fit_hyperparameters(RBF(1), X, Y, 0.01, steps=5, restarts=2,
+                            device="accel")
+    with pytest.raises(ValueError, match="device"):
+        fit_hyperparameters(RBF(1), X, Y, 0.01, steps=5, device="gpu")
