@@ -295,6 +295,7 @@ def main():
             kernels, states, grid_dev, fmin, beta, scaling, threshold)),
         ("swarm", lambda: _swarm_secondary()),
         ("fleet", lambda: _fleet_secondary()),
+        ("grid-pipeline", lambda: _grid_pipeline_secondary(rng, grid)),
         ("hyperopt", lambda: _hyperopt_secondary()),
         ("notebook", lambda: _notebook_fulllength_secondary()),
     ]
@@ -1599,6 +1600,55 @@ def _fleet_secondary(K=8, n_iter=8):
         "fleet_iters": n_iter,
         "fleet_ms_per_campaign_iter": round(dev_ms, 3),
         "fleet_wall_ms_per_campaign_iter": round(wall_ms, 3),
+    }
+
+
+# ---------------------------------------------------------------------------
+# round-5 addition: the grid algorithm's lag-1 serving loop, pipelined
+# ---------------------------------------------------------------------------
+
+
+def _grid_pipeline_secondary(rng, grid, n_iter=16):
+    """Exact-grid SafeOpt lag-1 campaign at cap512 (the DEFAULT
+    auto-certified path), blocking vs pipelined. The grid step has no
+    device-state chain (GP data enters on the host), so
+    ``optimize_async`` dispatches overlap the tunnel pull, the plant,
+    AND the per-iteration model update with the next iteration's
+    device compute. Trajectory equality vs the blocking loop is
+    gated. n_obs=480 leaves headroom so the campaign's adds never
+    cross the capacity-512 boundary (no mid-campaign recompile)."""
+    from safeopt_tpu.algorithms.pipeline import run_lagged_campaign
+
+    def plant(x):
+        x = np.asarray(x, dtype=float)
+        return [2.0 * np.exp(-0.5 * np.sum(x ** 2)),
+                1.0 - 0.1 * np.sum(x ** 2)]
+
+    def build():
+        from safeopt_tpu import SafeOpt
+        gp_f, gp_g = _build_gps(np.random.default_rng(0), n_obs=480,
+                                capacity=512, spread=4.0)
+        return SafeOpt([gp_f, gp_g], np.asarray(grid),
+                       fmin=[0.2, 0.5])
+
+    def run(pipelined):
+        opt = build()
+        t0 = time.perf_counter()
+        xs, _ = run_lagged_campaign(opt, plant, n_iter,
+                                    pipelined=pipelined)
+        return xs, (time.perf_counter() - t0) / n_iter * 1e3
+
+    run(False)                              # compile warmup
+    xs_s, serial_ms = run(False)
+    run(True)
+    xs_p, pipe_ms = run(True)
+    match = bool(np.array_equal(xs_s, xs_p))
+    return {
+        "grid_lagged_serial_ms": round(serial_ms, 2),
+        "grid_lagged_pipelined_ms": round(pipe_ms, 2),
+        "grid_pipeline_speedup": round(serial_ms / max(pipe_ms, 1e-9), 2),
+        "grid_pipeline_traj_match": match,
+        "grid_pipeline_overlap_gate": match and pipe_ms < serial_ms,
     }
 
 

@@ -7,10 +7,10 @@ light.
 
 from .base import GaussianProcessOptimization
 from .pipeline import run_lagged_campaign
-from .safe_opt import SafeOpt
+from .safe_opt import PendingSafeOptStep, SafeOpt
 from .swarm import SwarmOptimization
 from .swarm_opt import PendingSwarmIteration, SafeOptSwarm
 
 __all__ = ["GaussianProcessOptimization", "SafeOpt", "SafeOptSwarm",
-           "SwarmOptimization", "PendingSwarmIteration",
-           "run_lagged_campaign"]
+           "SwarmOptimization", "PendingSafeOptStep",
+           "PendingSwarmIteration", "run_lagged_campaign"]

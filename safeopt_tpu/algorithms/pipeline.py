@@ -11,7 +11,8 @@ that latency entirely: the algorithm becomes the standard lag-1
 to t-1, and its execution overlaps the pull of x[t] (plus the plant's
 evaluation of y[t]) with the device compute of x[t+1].
 
-``run_lagged_campaign`` runs exactly that loop, either
+``run_lagged_campaign`` runs exactly that loop — for ``SafeOptSwarm``
+AND the exact-grid ``SafeOpt`` — either
 
 * ``pipelined=False`` — the semantic reference: every ``optimize()``
   blocks on its pull before the next dispatch; or
@@ -51,8 +52,12 @@ def run_lagged_campaign(opt, objective: Callable[[np.ndarray], float],
 
     Parameters
     ----------
-    opt : SafeOptSwarm
-        The optimizer (fused mode; its GP accumulates the data).
+    opt : SafeOptSwarm or SafeOpt
+        The optimizer (its GP accumulates the data). The swarm chains
+        iteration t+1's dispatch on t's in-flight device state; the
+        grid algorithm needs no chain at all (its only inter-iteration
+        dependence is the GP data, entering on the host), so both
+        pipeline through their ``optimize_async``.
     objective : callable
         The plant: ``y = objective(x)`` — a scalar for one GP, a
         length-G vector for multi-GP problems (one column per model,
@@ -72,7 +77,8 @@ def run_lagged_campaign(opt, objective: Callable[[np.ndarray], float],
         return np.asarray(xs), np.asarray(ys)
 
     if pipelined:
-        opt.reserve(n_iter)
+        if hasattr(opt, "reserve"):      # SafeOptSwarm: device chain
+            opt.reserve(n_iter)
         pending = opt.optimize_async(ucb=ucb)
         for t in range(n_iter):
             nxt = (opt.optimize_async(ucb=ucb, after=pending)

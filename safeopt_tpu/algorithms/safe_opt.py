@@ -26,7 +26,39 @@ from .safe_opt_core import (certified_finish, certified_scan,
                             interval_scan, safe_maximum, safeopt_step,
                             safeopt_step_from_Q)
 
-__all__ = ["SafeOpt"]
+__all__ = ["SafeOpt", "PendingSafeOptStep"]
+
+
+class PendingSafeOptStep:
+    """Handle for an in-flight SafeOpt iteration (``optimize_async``).
+
+    ``result()`` blocks on the single diagnostics pull, records the
+    iteration's stats, and returns the next query point — idempotent.
+    The reference's empty-safe-set EnvironmentError surfaces here.
+    """
+
+    def __init__(self, opt, result, diag, start):
+        self._opt, self._res, self._diag = opt, result, diag
+        self._start = start
+        self._x = None
+        self._done = False
+        # start the device->host copy of the diagnostics as soon as
+        # the program produces them so result()'s pull overlaps the
+        # next iteration's compute (no-op where unsupported)
+        buf = diag if diag is not None else result.diag
+        try:
+            buf.copy_to_host_async()
+        except (AttributeError, RuntimeError):  # pragma: no cover
+            pass
+
+    def result(self) -> np.ndarray:
+        """Block on the diagnostics pull, commit stats, and return the
+        next query point (idempotent)."""
+        if not self._done:
+            self._x = self._opt._finish_step(self._res, self._diag,
+                                             self._start)
+            self._done = True
+        return self._x
 
 # Capacity at and above which the auto policy promotes the certified
 # 3-pass path to the DEFAULT decision path on TPUs: the 3-pass interval
@@ -717,7 +749,18 @@ class SafeOpt(GaussianProcessOptimization):
             ucb=ucb, use_lipschitz=self._use_lipschitz,
             chunk=self._expander_chunk, use_pallas=self._use_pallas)
 
-        d = np.asarray(diag9)                    # the ONE host pull
+        # the diag9 buffer stays ON DEVICE: the caller (optimize() via
+        # its PendingStep, sync or async) pulls it once and feeds it
+        # back through _absorb_certified_diag9 for telemetry
+        return settled, diag9
+
+    def _absorb_certified_diag9(self, d: np.ndarray) -> None:
+        """Record the device-oracle pipeline's telemetry from its
+        pulled 9-int diagnostics buffer (warnings + IterationStats
+        fields)."""
+        import logging
+
+        k = self._boundary_k
         flips_h, total = int(d[5]), int(d[6])
         refine_pop, n_within_h = int(d[7]), int(d[8])
         if total > k:
@@ -737,7 +780,6 @@ class SafeOpt(GaussianProcessOptimization):
                 "noise", refine_pop, refine_budget)
         self._band_population = n_within_h
         self._certified_corrections = flips_h
-        return settled, d[:5]
 
     def _run_step(self, context=_KEEP_CONTEXT, ucb: bool = False):
         """Execute the fused device step and mirror results host-side.
@@ -843,16 +885,54 @@ class SafeOpt(GaussianProcessOptimization):
 
     def optimize(self, context=None, ucb: bool = False) -> np.ndarray:
         """Run one SafeOpt iteration and return the next query point."""
+        return self.optimize_async(context=context, ucb=ucb).result()
+
+    def optimize_async(self, context=None, ucb: bool = False, after=None):
+        """Dispatch one SafeOpt iteration WITHOUT blocking on its
+        diagnostics pull.
+
+        Returns a :class:`PendingSafeOptStep`; ``result()`` blocks on
+        the single diagnostics buffer, records the iteration stats,
+        and returns the next query point. Unlike the swarm's
+        ``optimize_async``, no device-state chaining is needed —
+        the grid step's only inter-iteration dependence is the GP
+        data, which enters via ``add_new_data_point`` on the host —
+        so consecutive dispatches pipeline naturally and
+        ``algorithms/pipeline.run_lagged_campaign`` overlaps the
+        tunnel pull (and the plant) with the next iteration's device
+        compute for lag-1 campaigns. ``after`` is accepted for API
+        symmetry with :class:`SafeOptSwarm` and ignored. The
+        host-oracle certified path (``oracle='host'``) synchronizes
+        internally on its packed-band pull; the plain and
+        device-oracle paths are fully asynchronous. Finalize pendings
+        in dispatch order (stats and telemetry commit at
+        ``result()``).
+        """
+        import time
+
+        del after
+        start = time.perf_counter()
+        result, diag = self._run_step(context=context, ucb=ucb)
+        return PendingSafeOptStep(self, result, diag, start)
+
+    def _finish_step(self, result, diag, start) -> np.ndarray:
+        """Pull the diagnostics, record stats, return the query point
+        (the tail of a blocking ``optimize()``)."""
         import time
 
         from ..utils.observability import IterationStats
 
-        start = time.perf_counter()
-        result, diag = self._run_step(context=context, ucb=ucb)
         if diag is None:
             # every host-needed scalar rides ONE packed int32 buffer —
             # a single device->host round trip instead of five
             diag = np.asarray(result.diag)
+        else:
+            diag = np.asarray(diag)              # no-op if already host
+        if diag.shape[0] >= 9:
+            # device-oracle certified pipeline: telemetry rides the
+            # same buffer
+            self._absorb_certified_diag9(diag)
+            diag = diag[:5]
         has_safe, idx, safe_count, maximizer_count, expander_found = diag
         if not bool(has_safe):
             raise EnvironmentError("There are no safe points to evaluate.")

@@ -108,3 +108,57 @@ class TestAsyncMechanics:
         xa = a.optimize()
         xb = b.optimize_async().result()
         np.testing.assert_array_equal(xa, xb)
+
+
+class TestGridSafeOptPipeline:
+    """The exact-grid SafeOpt pipelines too (round 5): its only
+    inter-iteration dependence is the GP data (host side), so
+    consecutive optimize_async dispatches overlap naturally. The lag-1
+    trajectories must match the blocking loop bitwise, for the plain
+    path AND the device-oracle certified path."""
+
+    def _opt(self, **kw):
+        from safeopt_tpu import SafeOpt, linearly_spaced_combinations
+        from safeopt_tpu.gp import GPRegression, RBF
+
+        rng = np.random.default_rng(4)
+        X = rng.uniform(-1.5, 1.5, size=(25, 2))
+        Y = (1.0 + np.exp(-0.5 * np.sum(X ** 2, axis=1)))[:, None]
+        gp = GPRegression(X, Y, RBF(2, variance=2.0, lengthscale=1.0),
+                          noise_var=1e-4)
+        grid = linearly_spaced_combinations(
+            [(-2.0, 2.0), (-2.0, 2.0)], 25)
+        return SafeOpt(gp, grid, fmin=[1.0], use_pallas=False, **kw)
+
+    @staticmethod
+    def _plant(x):
+        x = np.asarray(x, dtype=float)
+        return float(1.0 + np.exp(-0.5 * np.sum(x ** 2)))
+
+    @pytest.mark.parametrize("kw", [
+        dict(),
+        dict(exact_boundaries=True, oracle="device"),
+        dict(exact_boundaries=True, oracle="host"),
+    ], ids=["plain", "device-oracle", "host-oracle"])
+    def test_pipelined_matches_serial(self, kw):
+        xs_s, ys_s = run_lagged_campaign(self._opt(**kw), self._plant,
+                                         n_iter=5, pipelined=False)
+        xs_p, ys_p = run_lagged_campaign(self._opt(**kw), self._plant,
+                                         n_iter=5, pipelined=True)
+        np.testing.assert_array_equal(xs_p, xs_s)
+        np.testing.assert_array_equal(ys_p, ys_s)
+
+    def test_async_matches_blocking(self):
+        a, b = self._opt(), self._opt()
+        np.testing.assert_array_equal(
+            np.asarray(b.optimize_async().result()),
+            np.asarray(a.optimize()))
+
+    def test_stats_recorded_at_result(self):
+        opt = self._opt(exact_boundaries=True, oracle="device")
+        p = opt.optimize_async()
+        n0 = len(opt.stats.history)
+        p.result()
+        assert len(opt.stats.history) == n0 + 1
+        p.result()                       # idempotent
+        assert len(opt.stats.history) == n0 + 1
