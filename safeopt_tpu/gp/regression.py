@@ -221,6 +221,37 @@ def gp_predict(kernel: Kernel, state: GPState,
                                 jnp.atleast_2d(Xq))
 
 
+@jax.jit
+def _device_row_update(state: GPState, i, x_row, y_row, l_row, linv_row,
+                       w_val, new_count) -> GPState:
+    """Scatter one bordered-update row into the device state.
+
+    One tiny dispatch + ~KB of transfers instead of re-shipping the
+    O(cap^2) factors per observation (GPRegression._sync_row)."""
+    return GPState(
+        X=jax.lax.dynamic_update_index_in_dim(state.X, x_row, i, 0),
+        Y=jax.lax.dynamic_update_index_in_dim(state.Y, y_row, i, 0),
+        count=new_count,
+        L=jax.lax.dynamic_update_index_in_dim(state.L, l_row, i, 0),
+        Linv=jax.lax.dynamic_update_index_in_dim(state.Linv, linv_row,
+                                                 i, 0),
+        w=state.w.at[i].set(w_val),
+        noise_var=state.noise_var)
+
+
+@jax.jit
+def _oracle_row_update(cache, i, x_row, linv_row, w_val, new_count):
+    """Row-scatter for the float64 oracle mirror (same contract as
+    ``_device_row_update``; alpha is the sparse-model slot and stays
+    zero for the exact engine)."""
+    return OracleState(
+        X=jax.lax.dynamic_update_index_in_dim(cache.X, x_row, i, 0),
+        F=jax.lax.dynamic_update_index_in_dim(cache.F, linv_row, i, 0),
+        w=cache.w.at[i].set(w_val),
+        alpha=cache.alpha,
+        count=new_count)
+
+
 def _next_capacity(n: int, minimum: int = 64) -> int:
     cap = minimum
     while cap < n:
@@ -294,12 +325,51 @@ class GPRegression:
             noise_var=jnp.asarray(float(h.noise_var), dtype),
         )
 
+    def _sync_row(self, pos: int) -> None:
+        """Propagate ONE bordered-update row to the device mirrors.
+
+        A Cholesky border (append) or truncation (pop) changes exactly
+        row ``pos`` of L/Linv plus X/Y/w entries; re-shipping the full
+        O(cap^2) factors per observation costs ~5 MB of tunnel
+        bandwidth per iteration at cap=512 (measured: it dominated the
+        lag-1 campaign at ~150 ms/iter, round 5). Ship the one row and
+        scatter it in on device — BIT-identical to a full rebuild
+        because untouched device rows were cast from the same
+        (unchanged) host values. Rows are copied out of the host
+        factor before shipping (never alias its in-place-mutated
+        memory; see _device_state). The f64 oracle mirror gets the
+        same treatment when it exists; otherwise it stays lazily
+        rebuilt.
+        """
+        h = self._host
+        dtype = default_dtype()
+        st = self._state
+        i = jnp.asarray(pos, jnp.int32)
+        self._state = _device_row_update(
+            st, i,
+            jnp.asarray(np.array(h.X[pos]), dtype),
+            jnp.asarray(np.array(h.Y[pos]), dtype),
+            jnp.asarray(np.array(h.L[pos]), dtype),
+            jnp.asarray(np.array(h.Linv[pos]), dtype),
+            jnp.asarray(float(h.w[pos]), dtype),
+            jnp.asarray(int(h.count), jnp.int32))
+        cache = getattr(self, "_oracle_cache", None)
+        if cache is not None:
+            with jax.enable_x64(True):
+                self._oracle_cache = _oracle_row_update(
+                    cache, i,
+                    jnp.asarray(np.array(h.X[pos]), jnp.float64),
+                    jnp.asarray(np.array(h.Linv[pos]), jnp.float64),
+                    jnp.asarray(float(h.w[pos]), jnp.float64),
+                    jnp.asarray(int(h.count), jnp.int32))
+
     def device_oracle_state(self):
         """``(OracleState, 'exact')`` — the float64 device mirror of
         this model's host oracle (``predict_f64``), for on-device
         knife-edge certification (``SafeOpt(oracle='device')``).
         Same operands as the host oracle (the f64 factor), shipped
-        lazily and re-shipped only after a model update."""
+        lazily, re-shipped in full only after a REBUILD — per-
+        observation updates scatter one row (``_sync_row``)."""
         if getattr(self, "_oracle_cache", None) is None:
             h = self._host
             with jax.enable_x64(True):
@@ -432,16 +502,22 @@ class GPRegression:
         return draws[:, None, :]                       # (m, 1, size)
 
     def append_data(self, x, y) -> None:
-        """Fast path: append one observation (O(n^2) exact update)."""
+        """Fast path: append one observation (O(n^2) exact update;
+        the device mirrors receive only the one changed row)."""
         if self.num_data + 1 > self._host.capacity:
             self._host = self._host.grown(self._host.capacity * 2)
+            self._host.append(np.asarray(x, dtype=np.float64), float(y))
+            self._state = self._device_state()   # capacity changed
+            return
+        pos = int(self._host.count)
         self._host.append(np.asarray(x, dtype=np.float64), float(y))
-        self._state = self._device_state()
+        self._sync_row(pos)
 
     def pop_data(self) -> None:
-        """Fast path: drop the most recent observation (exact)."""
+        """Fast path: drop the most recent observation (exact; the
+        device mirrors receive only the one restored padding row)."""
         self._host.pop()
-        self._state = self._device_state()
+        self._sync_row(int(self._host.count))
 
     def set_XY(self, X, Y) -> None:
         """Replace the training set (GPy semantics).

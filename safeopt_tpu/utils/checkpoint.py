@@ -206,6 +206,7 @@ def save(opt, path: str) -> None:
         meta["refine_k"] = int(opt._refine_k)
         meta["refine_band"] = float(opt._refine_band)
         meta["refine_band_k"] = int(opt._refine_band_k)
+        meta["oracle"] = str(opt._oracle)
         if opt.num_contexts:
             arrays["context"] = np.asarray(opt.context)
     elif isinstance(opt, SafeOptSwarm):
@@ -294,7 +295,8 @@ def load(path: str, beta=None):
                       interval_precision=meta.get("interval_precision"),
                       refine_k=meta.get("refine_k", 0),
                       refine_band=meta.get("refine_band", 1e-2),
-                      refine_band_k=meta.get("refine_band_k", 20480))
+                      refine_band_k=meta.get("refine_band_k", 20480),
+                      oracle=meta.get("oracle", "auto"))
         if "use_lipschitz" in meta:
             opt.use_lipschitz = meta["use_lipschitz"]
         for i, g in enumerate(opt.gps):

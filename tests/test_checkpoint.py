@@ -93,6 +93,23 @@ def test_safeopt_settings_roundtrip(tmp_path):
     assert_allclose(opt2.lipschitz, [1.5])
 
 
+def test_safeopt_oracle_roundtrip(tmp_path):
+    """The resolved f64-oracle placement survives a roundtrip (a
+    checkpoint saved on an accelerator session restores its 'device'
+    choice verbatim rather than re-resolving 'auto' on the loading
+    backend)."""
+    gp = GPRegression(np.array([[0.0]]), np.array([[1.0]]),
+                      RBF(1, variance=2.0), noise_var=0.01)
+    grid = linearly_spaced_combinations([(-3.0, 3.0)], 50)
+    opt = SafeOpt(gp, grid, fmin=[0.0], exact_boundaries=True,
+                  oracle="device", use_pallas=False)
+    path = str(tmp_path / "ckpt_oracle.npz")
+    checkpoint.save(opt, path)
+    opt2 = checkpoint.load(path)
+    assert opt2._oracle == "device"
+    assert opt2._exact_boundaries is True
+
+
 def test_swarm_max_iters_roundtrip(tmp_path):
     gp = GPRegression(np.array([[0.0]]), np.array([[1.0]]),
                       RBF(1, variance=2.0), noise_var=0.01)
