@@ -137,11 +137,13 @@ class SafeOpt(GaussianProcessOptimization):
         or raise the model's ``jitter`` so the default band again
         covers the f32 ambiguity. See docs/design.md, "Sparse
         conditioning and the certification band".
-    boundary_k : int
+    boundary_k : int, optional
         Triage budget: at most this many near-boundary candidates are
-        certified per iteration (default 1024 — the host float64
-        recompute is microseconds at that size; overflow logs a
-        warning).
+        certified per iteration (overflow logs a warning). Default
+        ``None``: 1024, raised to 2048 when the auto-certified policy
+        promotes the device-oracle path (where the per-row settle cost
+        is ~microseconds and the cap512 bench workload's 1,408-row
+        band overflowed the old fixed default every iteration).
     interval_precision : str, optional
         Run the full-grid interval pass at reduced MXU precision
         (``'default'`` = 1-pass bf16; ``'high'`` = 3-pass, XLA
@@ -247,7 +249,7 @@ class SafeOpt(GaussianProcessOptimization):
                  num_contexts=0, threshold=0, scaling="auto",
                  expander_chunk: int = 32, use_pallas=None,
                  exact_boundaries=None, boundary_band: float = 1e-3,
-                 boundary_k: int = 1024, interval_precision="auto",
+                 boundary_k=None, interval_precision="auto",
                  refine_k=None, refine_band: float = 1e-2,
                  refine_band_k: int = 20480, oracle: str = "auto"):
         super().__init__(gp, fmin=fmin, beta=beta,
@@ -348,6 +350,14 @@ class SafeOpt(GaussianProcessOptimization):
         # (the BASELINE.md "bitwise-stable decisions" target on TPU).
         self._exact_boundaries = bool(exact_boundaries)
         self._boundary_band = float(boundary_band)
+        if boundary_k is None:
+            # Auto: the promoted certified path settles knife edges on
+            # device where the oracle's marginal cost per band row is
+            # ~microseconds, so budget generously — the cap512 bench
+            # workload carries a 1,408-row band that overflowed the
+            # old 1024 default every iteration, leaving 384 rows
+            # uncertified with only a warning to show for it.
+            boundary_k = 2048 if self._auto_certified else 1024
         self._boundary_k = min(int(boundary_k), N)
         # Where the f64 knife-edge oracle runs. 'host' is the bitwise
         # reference (predict_f64 on the host f64 factors) but costs,

@@ -711,3 +711,30 @@ class TestDeviceOracle:
         x_d = dev.optimize()
         np.testing.assert_array_equal(x_d, x_h)
         np.testing.assert_array_equal(dev.S, host.S)
+
+    def test_auto_boundary_k(self, monkeypatch=None):
+        """boundary_k=None resolves to 1024 plain / 2048 under the
+        auto-certified promotion (round 5: the cap512 band overflowed
+        the fixed 1024 budget every iteration)."""
+        import pytest as _pytest
+        mp = _pytest.MonkeyPatch()
+        try:
+            gp = self._gps()
+            grid = linearly_spaced_combinations(
+                [(-2.0, 2.0), (-2.0, 2.0)], 40)
+            plain = SafeOpt(gp, grid, fmin=[1.0], use_pallas=False)
+            assert plain._boundary_k == min(1024, 1600)
+            mp.setattr(jax, "default_backend", lambda: "tpu")
+            rng = np.random.default_rng(2)
+            X = rng.uniform(-2.0, 2.0, size=(60, 2))
+            Y = (1.0 + np.exp(-0.5 * np.sum(X ** 2, axis=1)))[:, None]
+            big = GPRegression(X, Y, RBF(2, variance=2.0),
+                               noise_var=1e-4, capacity=512)
+            auto = SafeOpt(big, grid, fmin=[1.0], use_pallas=False)
+            assert auto._auto_certified
+            assert auto._boundary_k == min(2048, 1600)
+            explicit = SafeOpt(big, grid, fmin=[1.0], boundary_k=256,
+                               use_pallas=False)
+            assert explicit._boundary_k == 256
+        finally:
+            mp.undo()
